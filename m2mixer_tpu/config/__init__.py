@@ -1,0 +1,166 @@
+"""Config system: YAML + attribute-access dicts + dotted CLI overrides.
+
+The reference uses OmegaConf (`/root/reference/run.py:28-40`,
+`/root/reference/utils/utils.py:9-18`). OmegaConf is not available in this
+image, so this module provides a small, dependency-free replacement with the
+same surface used by the reference: ``load``, attribute access, ``.get``,
+``deep_update``, ``from_cli`` (dotted overrides), and ``todict``. YAML anchors
+(used by e.g. the reference's memotion config) work out of the box via PyYAML.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Mapping
+
+import yaml
+
+__all__ = [
+    "DictConfig",
+    "ListConfig",
+    "load",
+    "loads",
+    "save",
+    "from_cli",
+    "deep_update",
+    "todict",
+    "merge",
+]
+
+
+class DictConfig(dict):
+    """A dict with attribute access and recursive wrapping of nested values."""
+
+    def __init__(self, data: Mapping | None = None):
+        super().__init__()
+        if data:
+            for k, v in data.items():
+                self[k] = v
+
+    # -- wrapping ---------------------------------------------------------
+    @staticmethod
+    def _wrap(value: Any) -> Any:
+        if isinstance(value, DictConfig):
+            return value
+        if isinstance(value, Mapping):
+            return DictConfig(value)
+        if isinstance(value, list):
+            return [DictConfig._wrap(v) for v in value]
+        if isinstance(value, tuple):
+            return tuple(DictConfig._wrap(v) for v in value)
+        return value
+
+    # -- mapping protocol --------------------------------------------------
+    def __setitem__(self, key, value):
+        super().__setitem__(key, DictConfig._wrap(value))
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __delattr__(self, name: str) -> None:
+        try:
+            del self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def copy(self) -> "DictConfig":
+        return DictConfig({k: v for k, v in self.items()})
+
+    def __deepcopy__(self, memo):
+        import copy
+
+        return DictConfig({k: copy.deepcopy(v, memo) for k, v in self.items()})
+
+
+# OmegaConf-style alias; lists are plain lists here.
+ListConfig = list
+
+
+def load(path: str) -> DictConfig:
+    """Load a YAML file into a DictConfig (anchors/aliases supported)."""
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    return DictConfig(data or {})
+
+
+def loads(text: str) -> DictConfig:
+    return DictConfig(yaml.safe_load(text) or {})
+
+
+def save(cfg: Mapping, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(todict(cfg), f, sort_keys=False)
+
+
+def _parse_value(raw: str) -> Any:
+    """Parse a CLI override value with YAML typing rules ('1e-3' -> float)."""
+    try:
+        return yaml.safe_load(raw)
+    except yaml.YAMLError:
+        return raw
+
+
+def from_cli(args: Iterable[str]) -> DictConfig:
+    """Build a nested config from ``a.b.c=value`` strings.
+
+    Mirrors ``OmegaConf.from_cli`` as used by the reference CLI-override path
+    (`/root/reference/run.py:33-40`) so wandb-sweep-style dotted overrides
+    keep working.
+    """
+    out = DictConfig()
+    for arg in args:
+        arg = arg.strip()
+        if not arg:
+            continue
+        if "=" not in arg:
+            key, raw = arg, "true"
+        else:
+            key, raw = arg.split("=", 1)
+        key = key.lstrip("-")
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            if p not in node or not isinstance(node[p], DictConfig):
+                node[p] = DictConfig()
+            node = node[p]
+        node[parts[-1]] = _parse_value(raw)
+    return out
+
+
+def deep_update(mapping: dict, *updating_mappings: Mapping) -> dict:
+    """Recursively merge ``updating_mappings`` into ``mapping`` *in place*.
+
+    Matches the reference semantics (`/root/reference/utils/utils.py:9-18`)
+    except it mutates its first argument so callers holding sub-config
+    references (train_cfg/model_cfg) observe the merged values, which is what
+    the reference relies on at `/root/reference/run.py:35-40`.
+    """
+    for updating in updating_mappings:
+        for k, v in updating.items():
+            if k in mapping and isinstance(mapping[k], Mapping) and isinstance(v, Mapping):
+                deep_update(mapping[k], v)
+            else:
+                mapping[k] = v
+    return mapping
+
+
+def merge(*configs: Mapping) -> DictConfig:
+    """Return a new DictConfig that is the deep merge of ``configs``."""
+    out = DictConfig()
+    for cfg in configs:
+        deep_update(out, cfg)
+    return out
+
+
+def todict(obj: Any) -> Any:
+    """Recursively convert DictConfigs into plain dicts/lists."""
+    if isinstance(obj, Mapping):
+        return {k: todict(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [todict(v) for v in obj]
+    return obj

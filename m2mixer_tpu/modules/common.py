@@ -1,0 +1,126 @@
+"""Shared layer helpers: torch-parity initializers and configured layers.
+
+The reference's training dynamics depend on PyTorch's default ``nn.Linear`` /
+``nn.Conv2d`` initialization (kaiming-uniform(a=sqrt(5)) weights + uniform
+fan-in-bounded bias). Flax defaults differ (lecun-normal, zero bias), so to
+keep optimization behavior comparable we provide initializers reproducing the
+torch distributions. All layers take an optional compute ``dtype`` (bf16 on
+TPU) while keeping parameters in float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# kaiming_uniform(a=sqrt(5)) over fan_in == uniform(+-sqrt(1/fan_in))
+# == variance_scaling(scale=1/3, mode='fan_in', distribution='uniform').
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """torch nn.Linear/Conv bias init: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+class Linear(nn.Module):
+    """``nn.Dense`` with torch-parity initialization.
+
+    ``in_features`` is required (statically known from config everywhere in
+    this framework) so the bias bound can be computed without a shape trace.
+    """
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dense = nn.Dense(
+            self.out_features,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(self.in_features),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="linear",
+        )
+        return dense(x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the trailing dimension (torch ``nn.LayerNorm`` parity:
+    eps=1e-5, learned scale+bias)."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+def gelu(x):
+    """Exact (erf) GELU — torch ``nn.GELU()`` default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+class Dropout(nn.Module):
+    """Dropout keyed on the 'dropout' rng collection."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0:
+            return x
+        return nn.Dropout(rate=self.rate, deterministic=deterministic)(x)
+
+
+class PatchEmbed(nn.Module):
+    """Conv2d(kernel=stride=patch) patch embedding as reshape + GEMM.
+
+    The reference uses ``nn.Conv2d(in, hidden, p, p)`` then flattens the grid
+    (`/root/reference/modules/mixer.py:143-146`). A stride==kernel conv is
+    exactly a block reshape followed by a matmul, which maps straight onto
+    the MXU without a convolution lowering. Input is NCHW to match the
+    reference data layout; output is ``(b, h*w, hidden)`` (or the 2-D grid
+    ``(b, h, w, hidden)`` if ``keep_grid``).
+    """
+
+    in_channels: int
+    hidden_dim: int
+    patch_size: int
+    keep_grid: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, c, h, w = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        # (b, c, gh, p, gw, p) -> (b, gh, gw, c, p, p) -> (b, gh, gw, c*p*p)
+        x = x.reshape(b, c, gh, p, gw, p)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh, gw, c * p * p)
+        x = Linear(c * p * p, self.hidden_dim, dtype=self.dtype, name="proj")(x)
+        if self.keep_grid:
+            return x  # (b, gh, gw, hidden)
+        return x.reshape(b, gh * gw, self.hidden_dim)
+
+
+def prod(xs: Sequence[int]) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out

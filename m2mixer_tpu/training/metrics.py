@@ -1,0 +1,239 @@
+"""Metrics with torchmetrics-compatible semantics.
+
+The reference scores every task with torchmetrics objects
+(`/root/reference/models/avmnist.py:366-380`, `mmimdb.py:184-192`,
+`mimic.py:162-181`, `mmhs150.py:172-189`). This module reproduces those
+semantics (macro/micro/weighted averaging, 0/0 -> 0 zero-division, exact
+AUROC / average-precision) as small stateful accumulators over host numpy
+arrays. Epoch volumes here are tiny (<=100k scalars), so host accumulation
+costs nothing; the hot path (the train step) never touches these.
+
+The constructor mirrors torchmetrics' (``task=``, ``num_classes=``,
+``num_labels=``, ``average=``) so task models read the same as the
+reference's ``setup_scores``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = [
+    "Accuracy",
+    "F1Score",
+    "Precision",
+    "Recall",
+    "AUROC",
+    "AveragePrecision",
+    "confusion_matrix",
+]
+
+
+def _to_numpy(x):
+    return np.asarray(x)
+
+
+def confusion_matrix(preds: np.ndarray, labels: np.ndarray, num_classes: int) -> np.ndarray:
+    """Dense KxK confusion matrix; rows = true class, cols = predicted."""
+    idx = labels.astype(np.int64) * num_classes + preds.astype(np.int64)
+    return np.bincount(idx, minlength=num_classes * num_classes).reshape(num_classes, num_classes)
+
+
+def _safe_div(a, b):
+    return np.where(b > 0, a / np.maximum(b, 1), 0.0)
+
+
+class _BaseMetric:
+    """Accumulates (preds, labels) and computes at epoch end, then resets on
+    ``compute()``-after-``reset()`` cycles driven by the trainer."""
+
+    def __init__(self, task: str = "multiclass", num_classes: Optional[int] = None,
+                 num_labels: Optional[int] = None, average: str = "micro",
+                 threshold: float = 0.5, **kwargs):
+        if task not in ("multiclass", "multilabel", "binary"):
+            raise ValueError(f"Unsupported task: {task}")
+        self.task = task
+        self.num_classes = num_classes
+        self.num_labels = num_labels
+        self.average = average
+        self.threshold = threshold
+        self._preds: List[np.ndarray] = []
+        self._labels: List[np.ndarray] = []
+
+    def update(self, preds, labels):
+        self._preds.append(_to_numpy(preds))
+        self._labels.append(_to_numpy(labels))
+
+    def __call__(self, preds, labels):
+        """torchmetrics forward semantics: update state, return batch value."""
+        batch = type(self)(task=self.task, num_classes=self.num_classes,
+                           num_labels=self.num_labels, average=self.average,
+                           threshold=self.threshold)
+        batch.update(preds, labels)
+        self.update(preds, labels)
+        return batch.compute()
+
+    def reset(self):
+        self._preds = []
+        self._labels = []
+
+    def _gather(self):
+        preds = np.concatenate(self._preds) if self._preds else np.zeros((0,))
+        labels = np.concatenate(self._labels) if self._labels else np.zeros((0,))
+        return preds, labels
+
+    # -- stats ------------------------------------------------------------
+    def _binarize(self, preds):
+        if preds.dtype.kind == "f" and (self.task in ("binary", "multilabel")):
+            # float inputs are probabilities/logits-after-sigmoid -> threshold
+            return (preds >= self.threshold).astype(np.int64)
+        return preds.astype(np.int64)
+
+    def _tp_fp_fn_tn(self):
+        """Per-class TP/FP/FN/TN for the configured task."""
+        preds, labels = self._gather()
+        if self.task == "multiclass":
+            cm = confusion_matrix(preds.astype(np.int64), labels.astype(np.int64), self.num_classes)
+            tp = np.diag(cm).astype(np.float64)
+            fp = cm.sum(axis=0) - tp
+            fn = cm.sum(axis=1) - tp
+            tn = cm.sum() - tp - fp - fn
+            support = cm.sum(axis=1)
+            return tp, fp, fn, tn, support
+        if self.task == "multilabel":
+            p = self._binarize(preds).reshape(-1, self.num_labels)
+            t = labels.reshape(-1, self.num_labels).astype(np.int64)
+            tp = (p * t).sum(axis=0).astype(np.float64)
+            fp = (p * (1 - t)).sum(axis=0).astype(np.float64)
+            fn = ((1 - p) * t).sum(axis=0).astype(np.float64)
+            tn = ((1 - p) * (1 - t)).sum(axis=0).astype(np.float64)
+            return tp, fp, fn, tn, t.sum(axis=0)
+        # binary
+        p = self._binarize(preds).reshape(-1)
+        t = labels.reshape(-1).astype(np.int64)
+        tp = np.array([float((p * t).sum())])
+        fp = np.array([float((p * (1 - t)).sum())])
+        fn = np.array([float(((1 - p) * t).sum())])
+        tn = np.array([float(((1 - p) * (1 - t)).sum())])
+        return tp, fp, fn, tn, np.array([t.sum()])
+
+    def _average(self, per_class, tp, fp, fn, support, micro_fn):
+        if self.task == "binary":
+            return float(per_class[0])
+        if self.average == "macro":
+            return float(per_class.mean())
+        if self.average == "weighted":
+            total = support.sum()
+            return float((per_class * support).sum() / total) if total > 0 else 0.0
+        # micro
+        return float(micro_fn(tp.sum(), fp.sum(), fn.sum()))
+
+
+class Accuracy(_BaseMetric):
+    def compute(self) -> float:
+        preds, labels = self._gather()
+        if preds.size == 0:
+            return 0.0
+        if self.task == "multiclass":
+            return float((preds.astype(np.int64) == labels.astype(np.int64)).mean())
+        p = self._binarize(preds)
+        return float((p == labels.astype(np.int64)).mean())
+
+
+class Precision(_BaseMetric):
+    def compute(self) -> float:
+        tp, fp, fn, tn, support = self._tp_fp_fn_tn()
+        per_class = _safe_div(tp, tp + fp)
+        return self._average(per_class, tp, fp, fn, support,
+                             lambda TP, FP, FN: _safe_div(TP, TP + FP))
+
+
+class Recall(_BaseMetric):
+    def compute(self) -> float:
+        tp, fp, fn, tn, support = self._tp_fp_fn_tn()
+        per_class = _safe_div(tp, tp + fn)
+        return self._average(per_class, tp, fp, fn, support,
+                             lambda TP, FP, FN: _safe_div(TP, TP + FN))
+
+
+class F1Score(_BaseMetric):
+    def compute(self) -> float:
+        tp, fp, fn, tn, support = self._tp_fp_fn_tn()
+        per_class = _safe_div(2 * tp, 2 * tp + fp + fn)
+        return self._average(per_class, tp, fp, fn, support,
+                             lambda TP, FP, FN: _safe_div(2 * TP, 2 * TP + FP + FN))
+
+
+def _binary_auroc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Exact AUROC via the rank statistic (ties get average rank)."""
+    pos = labels == 1
+    n_pos = int(pos.sum())
+    n_neg = int((~pos).sum())
+    if n_pos == 0 or n_neg == 0:
+        return 0.0
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    sorted_scores = scores[order]
+    # average ranks over tie groups
+    i = 0
+    n = len(scores)
+    base = np.arange(1, n + 1, dtype=np.float64)
+    while i < n:
+        j = i
+        while j + 1 < n and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i : j + 1]] = base[i : j + 1].mean()
+        i = j + 1
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def _binary_average_precision(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Exact AP = sum_n (R_n - R_{n-1}) P_n over the ranked list."""
+    n_pos = int((labels == 1).sum())
+    if n_pos == 0:
+        return 0.0
+    order = np.argsort(-scores, kind="mergesort")
+    sorted_labels = labels[order]
+    tp_cum = np.cumsum(sorted_labels == 1)
+    precision = tp_cum / np.arange(1, len(labels) + 1)
+    return float((precision * (sorted_labels == 1)).sum() / n_pos)
+
+
+class AUROC(_BaseMetric):
+    """Exact AUROC. For binary: pass probabilities/logits (monotonic
+    invariant). For multiclass: one-vs-rest averaged per ``average``."""
+
+    def compute(self) -> float:
+        scores, labels = self._gather()
+        if scores.size == 0:
+            return 0.0
+        if self.task == "binary":
+            return _binary_auroc(scores.reshape(-1).astype(np.float64),
+                                 labels.reshape(-1).astype(np.int64))
+        scores = scores.reshape(-1, self.num_classes)
+        labels = labels.reshape(-1).astype(np.int64)
+        vals = np.array([
+            _binary_auroc(scores[:, k], (labels == k).astype(np.int64))
+            for k in range(self.num_classes)
+        ])
+        return float(vals.mean())
+
+
+class AveragePrecision(_BaseMetric):
+    """Exact AP; multiclass = one-vs-rest, averaged per ``average``."""
+
+    def compute(self) -> float:
+        scores, labels = self._gather()
+        if scores.size == 0:
+            return 0.0
+        if self.task == "binary":
+            return _binary_average_precision(scores.reshape(-1).astype(np.float64),
+                                             labels.reshape(-1).astype(np.int64))
+        scores = scores.reshape(-1, self.num_classes)
+        labels = labels.reshape(-1).astype(np.int64)
+        vals = np.array([
+            _binary_average_precision(scores[:, k], (labels == k).astype(np.int64))
+            for k in range(self.num_classes)
+        ])
+        return float(vals.mean())

@@ -1,0 +1,13 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip behavior is validated without TPU hardware by forcing the host
+platform to expose 8 XLA CPU devices (the TPU-native answer to "test
+multi-node without a cluster" — see SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
