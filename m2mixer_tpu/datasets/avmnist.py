@@ -1,0 +1,125 @@
+"""AV-MNIST data stack (image digits 1x28x28 + audio spectrograms 1x112x112).
+
+Parity with ``/root/reference/datasets/avmnist.py``: npy layout
+``{audio,image}/{train,test}_data.npy`` + ``{train,test}_labels.npy``
+(`avmnist.py:104-114`), train = indices 0-55000 and val = 55000-60000 drawn
+from the train files (`:174-178`), train iteration unshuffled and test
+shuffled — both reference quirks, kept configurable. The whole dataset fits
+in memory, so batching is vectorized numpy slicing instead of forked
+DataLoader workers. ``RandomModalityMuting`` (`avmnist.py:64-83`) is applied
+batch-level with numpy randomness (it is disabled by default in the
+reference pipeline too, `:167-168`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .base import ArrayDataModule, Batch
+
+__all__ = ["AVMnistDataModule", "AVMnistIntermediateDataModule", "synthetic_avmnist_arrays"]
+
+
+def synthetic_avmnist_arrays(n: int, seed: int = 0):
+    """AV-MNIST-shaped random tensors for smoke tests and benchmarks."""
+    rng = np.random.RandomState(seed)
+    return {
+        "image": rng.rand(n, 1, 28, 28).astype(np.float32) * 255.0,
+        "audio": rng.rand(n, 1, 112, 112).astype(np.float32) * 255.0,
+        "label": rng.randint(0, 10, size=(n,)).astype(np.int32),
+    }
+
+
+class AVMnistDataModule(ArrayDataModule):
+    def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
+                 p_muting: float = 0.0, shuffle_train: bool = False,
+                 synthetic: bool = False, synthetic_sizes=(512, 128, 128), **kwargs):
+        super().__init__(batch_size=batch_size, shuffle_train=shuffle_train, shuffle_test=True)
+        self.data_dir = data_dir
+        self.p_muting = float(p_muting)
+        self.synthetic = synthetic
+        self.synthetic_sizes = synthetic_sizes
+        self._mute_rng = np.random.RandomState(1234)
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        if self.splits:
+            return
+        if self.synthetic:
+            n_train, n_val, n_test = self.synthetic_sizes
+            train = synthetic_avmnist_arrays(n_train + n_val, seed=0)
+            test = synthetic_avmnist_arrays(n_test, seed=1)
+            self.splits["train"] = {k: v[:n_train] for k, v in train.items()}
+            self.splits["val"] = {k: v[n_train:] for k, v in train.items()}
+            self.splits["test"] = test
+            return
+
+        def load(stage_name):
+            img = np.load(os.path.join(self.data_dir, "image", f"{stage_name}_data.npy"))
+            aud = np.load(os.path.join(self.data_dir, "audio", f"{stage_name}_data.npy"))
+            lab = np.load(os.path.join(self.data_dir, f"{stage_name}_labels.npy"))
+            return {
+                "image": img.reshape(img.shape[0], 1, 28, 28).astype(np.float32),
+                "audio": aud[:, None, :, :].astype(np.float32),
+                "label": lab.astype(np.int32),
+            }
+
+        train = load("train")
+        # reference split: train=0:55000, val=55000:60000 (`avmnist.py:174-178`)
+        n_val_start = min(55000, len(train["label"]))
+        self.splits["train"] = {k: v[:n_val_start] for k, v in train.items()}
+        self.splits["val"] = {k: v[n_val_start:] for k, v in train.items()}
+        self.splits["test"] = load("test")
+
+    def train_batches(self) -> Iterator[Batch]:
+        for batch in super().train_batches():
+            if self.p_muting > 0:
+                batch = dict(batch)
+                # batch-level random modality muting (`avmnist.py:64-83`)
+                r = self._mute_rng.rand(len(batch["label"]))
+                which = self._mute_rng.rand(len(batch["label"])) <= 0.5
+                mute = r <= self.p_muting
+                img_mask = np.where(mute & which, 0.0, 1.0).astype(np.float32)
+                aud_mask = np.where(mute & ~which, 0.0, 1.0).astype(np.float32)
+                batch["image"] = batch["image"] * img_mask[:, None, None, None]
+                batch["audio"] = batch["audio"] * aud_mask[:, None, None, None]
+            yield batch
+
+
+class AVMnistIntermediateDataModule(ArrayDataModule):
+    """Saved intermediate vectors + correctness labels for the post-hoc probe
+    (parity: `/root/reference/datasets/avmnist.py:193-261`)."""
+
+    def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
+                 modality: str = "multi", **kwargs):
+        super().__init__(batch_size=batch_size, shuffle_test=True)
+        self.data_dir = data_dir
+        self.modality = modality
+
+    def _load(self, stage: str):
+        root = os.path.join(self.data_dir, stage)
+        if self.modality == "multi":
+            return {
+                "image": np.load(os.path.join(root, "image_vectors.npy")).astype(np.float32),
+                "audio": np.load(os.path.join(root, "audio_vectors.npy")).astype(np.float32),
+                "fusion": np.load(os.path.join(root, "fusion_vectors.npy")).astype(np.float32),
+                "image_label": np.load(os.path.join(root, "image_corrects.npy")).astype(np.int32),
+                "audio_label": np.load(os.path.join(root, "audio_corrects.npy")).astype(np.int32),
+                "fusion_label": np.load(os.path.join(root, "fusion_corrects.npy")).astype(np.int32),
+            }
+        if self.modality not in ("image", "audio", "fusion"):
+            raise ValueError("Modality should be one of multi, image, audio, fusion")
+        return {
+            "data": np.load(os.path.join(root, f"{self.modality}_vectors.npy")).astype(np.float32),
+            "label": np.load(os.path.join(root, f"{self.modality}_corrects.npy")).astype(np.int32),
+        }
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        if self.splits:
+            return
+        train = self._load("train")
+        self.splits["train"] = train
+        self.splits["val"] = train  # reference uses the train files for val (`avmnist.py:246-248`)
+        self.splits["test"] = self._load("test")

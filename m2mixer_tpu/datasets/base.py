@@ -1,0 +1,80 @@
+"""Data-module protocol + array-backed base implementation.
+
+Replaces Lightning DataModules + forked DataLoader workers with host-side
+vectorized numpy batching (the TPU-native input shape: the accelerator wants
+big contiguous ndarray slices, not per-sample Python objects). Datasets too
+big or too preprocessing-heavy for memory implement ``train_batches`` etc.
+directly (optionally via Grain).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["DataModule", "ArrayDataModule"]
+
+Batch = Dict[str, np.ndarray]
+
+
+class DataModule:
+    """Protocol: ``setup(stage)`` then ``{train,val,test}_batches()``."""
+
+    batch_size: int = 1
+
+    def setup(self, stage: Optional[str] = None) -> None:  # pragma: no cover
+        pass
+
+    def train_batches(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def val_batches(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def test_batches(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+
+class ArrayDataModule(DataModule):
+    """In-memory splits of parallel numpy arrays.
+
+    ``self.splits[stage]`` is a dict of equally-long arrays; batches are
+    contiguous (or permuted) slices — zero-copy views in the common case.
+    """
+
+    def __init__(self, batch_size: int, shuffle_train: bool = False,
+                 shuffle_test: bool = False, seed: int = 0, drop_last: bool = False):
+        self.batch_size = int(batch_size)
+        self.shuffle_train = shuffle_train
+        self.shuffle_test = shuffle_test
+        self.drop_last = drop_last
+        self.splits: Dict[str, Dict[str, np.ndarray]] = {}
+        self._rng = np.random.RandomState(seed)
+
+    def split_size(self, stage: str) -> int:
+        arrays = self.splits[stage]
+        return len(next(iter(arrays.values())))
+
+    def _iterate(self, stage: str, shuffle: bool) -> Iterator[Batch]:
+        arrays = self.splits[stage]
+        n = self.split_size(stage)
+        order = self._rng.permutation(n) if shuffle else None
+        bs = self.batch_size
+        end = (n // bs) * bs if self.drop_last else n
+        for start in range(0, end, bs):
+            stop = min(start + bs, end)
+            if order is None:
+                yield {k: v[start:stop] for k, v in arrays.items()}
+            else:
+                idx = order[start:stop]
+                yield {k: v[idx] for k, v in arrays.items()}
+
+    def train_batches(self) -> Iterator[Batch]:
+        return self._iterate("train", self.shuffle_train)
+
+    def val_batches(self) -> Iterator[Batch]:
+        return self._iterate("val", False)
+
+    def test_batches(self) -> Iterator[Batch]:
+        return self._iterate("test", self.shuffle_test)

@@ -1,0 +1,317 @@
+"""Task base classes: the TPU-native replacement for LightningModules.
+
+The reference couples model, criteria, metrics, and training-loop hooks in
+``AbstractTrainTestModule`` (`/root/reference/modules/train_test_module.py`)
+and repeats a ~200-line "MultiLoss" recipe per task model. Here a task is a
+thin object around a **pure step function**:
+
+    step(params, batch, ctx, rngs, train) -> (loss, aux)
+
+Everything the reference does with Python-side mutable state inside
+``shared_step`` (modality muting, freezing, loss-weight schedules, SoftAdapt,
+GradBlend) is split TPU-style:
+
+- *traced* per-step state enters through ``ctx`` — a dict of scalars/vectors
+  (epoch, loss_weights, frozen flag, mute code, random-mute flag) so the
+  train step compiles once and never recompiles when the schedule changes;
+- *host* logic (annealing, SoftAdapt weight refits, GradBlend sub-training)
+  lives in epoch hooks that only mutate what goes into the next ``ctx``;
+- muting randomness is drawn **inside** the jitted step from the 'mute' rng
+  collection (the reference draws with ``np.random.choice`` per step,
+  `/root/reference/models/avmnist.py:247-250`).
+
+Freezing (`/root/reference/models/avmnist.py:314-324`) is a 0/1 mask over
+parameter subtrees applied to both gradients and optimizer updates, switched
+by the traced ``frozen`` flag — exactly "these params stop changing at epoch
+N" without re-jitting or rebuilding optimizer state.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DictConfig
+from ..modules.softadapt import LossWeightedSoftAdapt
+
+MUTE_NONE = -1
+
+
+def pool_tokens(x: jnp.ndarray) -> jnp.ndarray:
+    """``x.reshape(B, -1, D).mean(axis=1)`` — the per-modality head pooling
+    used throughout the reference (e.g. `models/avmnist.py:267-272`)."""
+    return x.reshape(x.shape[0], -1, x.shape[-1]).mean(axis=1)
+
+
+class TrainTask(abc.ABC):
+    """Contract between task models and the Trainer."""
+
+    RNG_COLLECTIONS = ("dropout", "stochastic", "mute")
+
+    def __init__(self, model_cfg: DictConfig, optimizer_cfg: DictConfig, **kwargs):
+        self.model_cfg = model_cfg
+        self.optimizer_cfg = DictConfig(optimizer_cfg)
+        self.scheduler_patience = self.optimizer_cfg.pop("scheduler_patience", 5)
+        self.loss_pos_weight = self.optimizer_cfg.pop("loss_pos_weight", None)
+        self.log_confusion_matrix = False
+        self.network = self.build_network()
+
+    # -- model -------------------------------------------------------------
+    @abc.abstractmethod
+    def build_network(self):
+        """Return the flax module implementing the forward pass."""
+
+    @abc.abstractmethod
+    def step(self, params, batch, ctx, rngs, train: bool) -> Tuple[jnp.ndarray, Dict]:
+        """Pure, jittable loss computation. Returns (total_loss, aux) where
+        aux carries 'losses' (dict of scalars), 'preds', 'labels', and any
+        extra arrays the task wants logged or dumped."""
+
+    def init_params(self, rng, batch):
+        rngs = {"params": rng}
+        for name in self.RNG_COLLECTIONS:
+            rng, sub = jax.random.split(rng)
+            rngs[name] = sub
+        return self.network.init(rngs, **self.network_inputs(batch), deterministic=True)
+
+    @abc.abstractmethod
+    def network_inputs(self, batch) -> Dict[str, Any]:
+        """Map a batch dict to the network's call kwargs (minus rng/flags)."""
+
+    # -- metrics -----------------------------------------------------------
+    @abc.abstractmethod
+    def setup_scores(self) -> List[Optional[Dict]]:
+        """[train, val, test] dicts of metric accumulators (or Nones)."""
+
+    # -- schedules / context -------------------------------------------------
+    def make_ctx(self, epoch: int, mode: str) -> Dict[str, np.ndarray]:
+        """Host-side per-step context; all values are traced arguments."""
+        return {"epoch": np.float32(epoch)}
+
+    def frozen_mask(self, params):
+        """Pytree of 1.0 (trainable when frozen-flag set) / 0.0 (frozen).
+        Default: nothing freezes."""
+        return jax.tree.map(lambda _: 1.0, params)
+
+    # -- host hooks ----------------------------------------------------------
+    def on_train_epoch_start(self, trainer, epoch: int) -> None:
+        pass
+
+    def on_validation_epoch_end(self, trainer, epoch: int, logs: Dict[str, float]) -> None:
+        pass
+
+    def epoch_log_keys(self) -> Sequence[str]:
+        """aux['losses'] entries to average & log per epoch."""
+        return ()
+
+    def test_artifact_keys(self) -> Sequence[str]:
+        """aux keys concatenated across test batches into test_preds.npz."""
+        return ()
+
+
+class MultiLossTask(TrainTask):
+    """The shared multimodal multi-head-loss recipe.
+
+    Concrete tasks define: ``modalities`` (branch names, fusion last is
+    implicit), ``build_network``, ``branch_losses`` (per-branch criteria),
+    ``predictions``. This class provides: loss-weight schedules (fixed /
+    annealed / SoftAdapt / GradBlend), modality freezing, random muting, and
+    the weighted-sum combine including the reference's x3 scaling rule for
+    fixed weighting (`/root/reference/models/avmnist.py:290-291`).
+    """
+
+    #: branch names, e.g. ("image", "audio"); the fusion branch is implicit.
+    modalities: Tuple[str, ...] = ()
+    #: multiply the fixed-weighting combined loss by len(losses) (x3 rule)?
+    fixed_weight_scale: bool = True
+
+    def __init__(self, model_cfg: DictConfig, optimizer_cfg: DictConfig, **kwargs):
+        super().__init__(model_cfg, optimizer_cfg, **kwargs)
+        self.log_confusion_matrix = True
+        m = model_cfg
+        self.mute = m.get("mute", None)
+        self.freeze_modalities_on_epoch = m.get("freeze_modalities_on_epoch", None)
+        self.random_modality_muting_on_freeze = m.get("random_modality_muting_on_freeze", False)
+        self.muting_probs = m.get("muting_probs", None)
+        self.modalities_frozen = False
+
+        n = self.num_branches
+        self.fusion_loss_weight = float(m.get("fusion_loss_weight", 1.0 / n))
+        self.fusion_loss_change = float(m.get("fusion_loss_change", 0))
+        self.loss_change_epoch = int(m.get("loss_change_epoch", 0))
+
+        self.use_softadapt = bool(m.get("use_softadapt", False))
+        if self.use_softadapt:
+            self.loss_histories = [[] for _ in range(n)]
+            self.loss_weights = np.full((n,), 1.0 / n, dtype=np.float32)
+            self.update_loss_weights_per_epoch = int(m.get("update_loss_weights_per_epoch", 6))
+            self.softadapt = LossWeightedSoftAdapt(
+                beta=-0.1, accuracy_order=self.update_loss_weights_per_epoch - 1
+            )
+
+        self.use_gradblend = bool(m.get("gradblend", False))
+        if self.use_gradblend:
+            self.gb_update_freq = int(m.get("gb_update_freq", 20))
+            self.gb_weights: Optional[np.ndarray] = None
+
+    # -- structure -----------------------------------------------------------
+    @property
+    def num_branches(self) -> int:
+        return len(self.modalities) + 1
+
+    @property
+    def loss_names(self) -> Tuple[str, ...]:
+        return tuple(self.modalities) + ("fusion",)
+
+    @abc.abstractmethod
+    def branch_losses(self, outputs, batch, ctx) -> Dict[str, jnp.ndarray]:
+        """Per-branch scalar losses keyed by ``loss_names``."""
+
+    @abc.abstractmethod
+    def predictions(self, outputs, batch) -> Dict[str, jnp.ndarray]:
+        """At least {'preds', 'labels'}; extra branch preds welcome."""
+
+    # -- context -------------------------------------------------------------
+    def current_loss_weights(self) -> np.ndarray:
+        """The weight vector (branch order = loss_names) for this epoch."""
+        n = self.num_branches
+        if self.use_softadapt:
+            return np.asarray(self.loss_weights, np.float32)
+        if self.use_gradblend and self.gb_weights is not None:
+            return np.asarray(self.gb_weights, np.float32)
+        ow = (1.0 - self.fusion_loss_weight) / (n - 1)
+        w = np.full((n,), ow, dtype=np.float32)
+        w[-1] = self.fusion_loss_weight
+        if self.fixed_weight_scale:
+            w = w * n
+        return w
+
+    def _static_mute_code(self) -> int:
+        if self.mute in (None, "multimodal"):
+            return MUTE_NONE
+        return list(self.modalities).index(self.mute)
+
+    def make_ctx(self, epoch: int, mode: str) -> Dict[str, np.ndarray]:
+        frozen = (
+            self.freeze_modalities_on_epoch is not None
+            and epoch >= self.freeze_modalities_on_epoch
+        )
+        random_mute = bool(
+            self.random_modality_muting_on_freeze
+            and self.freeze_modalities_on_epoch is not None
+            and epoch >= self.freeze_modalities_on_epoch
+        )
+        if mode != "train":
+            mute_code, random_mute, frozen_f = MUTE_NONE, False, 0.0
+        else:
+            mute_code = self._static_mute_code()
+            frozen_f = 1.0 if frozen else 0.0
+        probs = np.full((len(self.modalities) + 1,), 0.0, dtype=np.float32)
+        if self.muting_probs is not None:
+            for i, name in enumerate(self.modalities):
+                probs[i] = float(self.muting_probs[name])
+            probs[-1] = float(self.muting_probs.get("multimodal", 0.0))
+        return {
+            "epoch": np.float32(epoch),
+            "loss_weights": self.current_loss_weights(),
+            "frozen": np.float32(frozen_f),
+            "mute_code": np.int32(mute_code),
+            "random_mute": np.float32(1.0 if random_mute else 0.0),
+            "mute_probs": probs,
+        }
+
+    # -- step ----------------------------------------------------------------
+    def resolve_mute_code(self, ctx, rngs) -> jnp.ndarray:
+        """Traced mute decision: static code, or a categorical draw over
+        (modalities..., 'multimodal') when random muting is active. Code i
+        zeroes modality i; the 'multimodal' outcome maps to no muting."""
+        static_code = ctx["mute_code"]
+        if "mute" not in rngs:
+            return static_code
+        drawn = jax.random.categorical(rngs["mute"], jnp.log(ctx["mute_probs"] + 1e-9))
+        n_mod = len(self.modalities)
+        drawn = jnp.where(drawn >= n_mod, MUTE_NONE, drawn).astype(jnp.int32)
+        return jnp.where(ctx["random_mute"] > 0, drawn, static_code)
+
+    def step(self, params, batch, ctx, rngs, train: bool):
+        mute_code = self.resolve_mute_code(ctx, rngs) if train else jnp.int32(MUTE_NONE)
+        apply_rngs = {k: v for k, v in rngs.items() if k != "mute"}
+        outputs = self.network.apply(
+            params,
+            **self.network_inputs(batch),
+            deterministic=not train,
+            mute_code=mute_code,
+            rngs=apply_rngs if train else None,
+        )
+        losses = self.branch_losses(outputs, batch, ctx)
+        vec = jnp.stack([losses[n] for n in self.loss_names])
+        total = jnp.dot(ctx["loss_weights"].astype(vec.dtype), vec)
+        if train:
+            # after freezing, only the fusion head trains and only its loss
+            # backprops (`/root/reference/models/avmnist.py:292-293`)
+            total = jnp.where(ctx["frozen"] > 0, losses["fusion"], total)
+        aux = {"losses": losses, **self.predictions(outputs, batch)}
+        return total, aux
+
+    # -- freezing ------------------------------------------------------------
+    def frozen_param_prefixes(self) -> Tuple[str, ...]:
+        """Top-level param subtrees frozen at the freeze epoch: the modality
+        encoders and their heads (`/root/reference/models/avmnist.py:314-324`).
+        Matches the ``MultimodalNet`` field naming (encoders_i / heads_i)."""
+        names = []
+        for i, _ in enumerate(self.modalities):
+            names += [f"encoders_{i}", f"heads_{i}"]
+        return tuple(names)
+
+    def frozen_mask(self, params):
+        prefixes = self.frozen_param_prefixes()
+
+        def mask(path, leaf):
+            top = None
+            for p in path:
+                key = getattr(p, "key", None)
+                if key is not None and key != "params":
+                    top = key
+                    break
+            return 0.0 if top in prefixes else 1.0
+
+        return jax.tree_util.tree_map_with_path(mask, params)
+
+    # -- host hooks ------------------------------------------------------------
+    def epoch_log_keys(self) -> Sequence[str]:
+        return tuple(f"loss_{n}" for n in self.loss_names)
+
+    def on_validation_epoch_end(self, trainer, epoch: int, logs: Dict[str, float]) -> None:
+        # fixed-weight annealing (`/root/reference/models/avmnist.py:338-339`)
+        if epoch >= self.loss_change_epoch:
+            self.fusion_loss_weight = min(1.0, self.fusion_loss_weight + self.fusion_loss_change)
+        if self.use_softadapt:
+            for i, name in enumerate(self.loss_names):
+                self.loss_histories[i].append(logs.get(f"val_loss_{name}", 0.0))
+            if epoch != 0 and epoch % self.update_loss_weights_per_epoch == 0:
+                self.loss_weights = self.softadapt.get_component_weights(
+                    *[np.asarray(h, np.float64) for h in self.loss_histories]
+                ).astype(np.float32)
+                self.loss_histories = [[] for _ in self.loss_names]
+
+    def on_train_epoch_start(self, trainer, epoch: int) -> None:
+        if self.use_gradblend and epoch % self.gb_update_freq == 0:
+            from ..modules.gradblend import estimate_gradblend_weights
+
+            self.gb_weights = estimate_gradblend_weights(self, trainer)
+
+    # -- gradblend adapter -----------------------------------------------------
+    def gradblend_modality_keys(self) -> Tuple[str, ...]:
+        """Batch keys feeding each modality encoder (order = modalities)."""
+        return tuple(self.modalities)
+
+    def gradblend_loss(self, logits, batch):
+        """Criterion for GradBlend sub-training (CE by default, matching
+        `models/avmnist.py:232`); binary tasks override with BCE."""
+        from ..modules.losses import cross_entropy_loss
+
+        return cross_entropy_loss(logits, batch["label"])

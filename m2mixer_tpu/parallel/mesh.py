@@ -1,0 +1,131 @@
+"""Device mesh + sharding layout for data/tensor-parallel training.
+
+The reference has no distributed code at all (SURVEY.md §2.6): it delegates
+everything to Lightning defaults. Here parallelism is a first-class
+component, expressed the TPU way: one ``jax.sharding.Mesh`` with a ``data``
+axis (batch sharding / DP) and a ``model`` axis (tensor parallelism of the
+wide channel-mix GEMMs). Parameters and batches get ``NamedSharding``s;
+XLA's SPMD partitioner inserts the all-reduces (over ICI) that NCCL would
+have done imperatively.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
+``make_mesh`` uses the global device list, and per-host data feeding is the
+input pipeline's job.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "MeshConfig",
+    "make_mesh",
+    "replicated",
+    "batch_sharding",
+    "param_shardings",
+    "shard_params",
+    "shard_batch",
+]
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Mesh layout: ``data * model`` must divide the device count.
+
+    ``data=-1`` means "all remaining devices". ``model_min_dim`` controls
+    which GEMM dimensions are worth sharding tensor-parallel: a kernel axis
+    is sharded over ``model`` only if it is divisible by the axis size and
+    at least this large (small mixer dims don't amortize the collective).
+    """
+
+    data: int = -1
+    model: int = 1
+    model_min_dim: int = 256
+
+
+def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    config = config or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(1, config.model)
+    data = config.data if config.data != -1 else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over the ``data`` mesh axis."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+# Tensor-parallel layout rules for mixer blocks (Megatron-style pairing):
+# the channel-mix fc1 kernel (D, C) is column-sharded on C, fc2 (C, D) is
+# row-sharded on C, so the activation stays sharded between the two GEMMs
+# and a single psum materializes the residual add. Biases follow.
+_TP_RULES = [
+    (re.compile(r"channel_mix/fc1/linear/kernel$"), P(None, "model")),
+    (re.compile(r"channel_mix/fc1/linear/bias$"), P("model")),
+    (re.compile(r"channel_mix/fc2/linear/kernel$"), P("model", None)),
+    (re.compile(r"channel_mix/fc2/linear/bias$"), P()),
+]
+
+
+def _spec_for(path: str, leaf, mesh: Mesh, min_dim: int) -> P:
+    model_size = mesh.shape["model"]
+    if model_size == 1:
+        return P()
+    for pat, spec in _TP_RULES:
+        if pat.search(path):
+            # verify divisibility of the sharded dimension
+            dims = list(spec)
+            ok = True
+            for axis, name in enumerate(dims):
+                if name == "model":
+                    if axis >= leaf.ndim or leaf.shape[axis] % model_size != 0 or leaf.shape[axis] < min_dim:
+                        ok = False
+            if ok:
+                return spec
+            return P()
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is None:
+            key = str(getattr(p, "idx", p))
+        parts.append(str(key))
+    return "/".join(parts)
+
+
+def param_shardings(mesh: Mesh, params: Any, model_min_dim: int = 256):
+    """Per-leaf NamedShardings: TP rules where profitable, replicated else."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(_path_str(path), leaf, mesh, model_min_dim)),
+        params,
+    )
+
+
+def shard_params(mesh: Mesh, params: Any, model_min_dim: int = 256):
+    shardings = param_shardings(mesh, params, model_min_dim)
+    return jax.device_put(params, shardings)
+
+
+def shard_batch(mesh: Mesh, batch: Any):
+    """Place a host batch on the mesh, sharded over the data axis."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x) or 1)), batch
+    )

@@ -1,0 +1,168 @@
+"""Host-side training control flow: early stopping, plateau LR, checkpoints.
+
+These reproduce the exact semantics the reference delegates to Lightning and
+torch (`/root/reference/run.py:60-68`; ReduceLROnPlateau in
+`/root/reference/models/avmnist.py:413-422`): EarlyStopping(monitor val_loss,
+patience 30, mode min), ModelCheckpoint(save_last, save_top_k=5, monitor from
+config), and ReduceLROnPlateau(factor 0.1, rel threshold 1e-4, patience from
+config). All are pure host logic keyed on epoch-level validation metrics —
+the one part of the trainer that must NOT live under jit.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+from typing import Optional
+
+import jax
+
+__all__ = ["EarlyStopping", "ReduceLROnPlateau", "CheckpointManager"]
+
+
+def _better(value: float, best: Optional[float], mode: str, min_delta: float = 0.0) -> bool:
+    if best is None or math.isnan(best):
+        return True
+    if mode == "min":
+        return value < best - min_delta
+    return value > best + min_delta
+
+
+class EarlyStopping:
+    """Lightning-parity: stop after ``patience`` epochs without improvement
+    greater than ``min_delta`` over the running best."""
+
+    def __init__(self, monitor: str = "val_loss", patience: int = 30, mode: str = "min",
+                 min_delta: float = 0.0):
+        self.monitor = monitor
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.best: Optional[float] = None
+        self.wait = 0
+        self.should_stop = False
+
+    def update(self, logs: dict) -> bool:
+        value = logs.get(self.monitor)
+        if value is None:
+            return False
+        if _better(value, self.best, self.mode, self.min_delta):
+            self.best = value
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                self.should_stop = True
+        return self.should_stop
+
+
+class ReduceLROnPlateau:
+    """torch-parity plateau scheduler (factor 0.1, threshold 1e-4 'rel',
+    cooldown 0, min_lr 0) driving the optimizer's injected learning rate."""
+
+    def __init__(self, initial_lr: float, patience: int = 5, factor: float = 0.1,
+                 threshold: float = 1e-4, mode: str = "min", min_lr: float = 0.0):
+        self.lr = float(initial_lr)
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.mode = mode
+        self.min_lr = min_lr
+        self.best: Optional[float] = None
+        self.num_bad = 0
+
+    def _improved(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "min":
+            return value < self.best * (1 - self.threshold)
+        return value > self.best * (1 + self.threshold)
+
+    def update(self, value: float) -> float:
+        """Returns the (possibly reduced) learning rate."""
+        if self._improved(value):
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr
+
+
+class CheckpointManager:
+    """Top-k-by-monitor + save-last retention on top of Orbax.
+
+    Layout: ``dir/epoch_N/`` Orbax pytree checkpoints + ``index.json``
+    recording monitor values; ``best_path()`` resolves Lightning's
+    ``ckpt_path='best'`` (`/root/reference/run.py:81`).
+    """
+
+    def __init__(self, directory: str, monitor: str = "val_loss", mode: str = "min",
+                 top_k: int = 5, save_last: bool = True):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.top_k = top_k
+        self.save_last = save_last
+        self.index: dict = {"entries": [], "last": None}
+        self._index_path = os.path.join(self.directory, "index.json")
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self.index = json.load(f)
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def _write_index(self):
+        with open(self._index_path, "w") as f:
+            json.dump(self.index, f, indent=2)
+
+    def _path(self, epoch: int) -> str:
+        return os.path.join(self.directory, f"epoch_{epoch}")
+
+    def save(self, epoch: int, state, metrics: dict) -> None:
+        value = metrics.get(self.monitor)
+        path = self._path(epoch)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        state = jax.tree.map(lambda x: x, state)  # shallow copy of structure
+        self._ckptr.save(path, state)
+        self.index["entries"] = [e for e in self.index["entries"] if e["epoch"] != epoch]
+        self.index["entries"].append({"epoch": epoch, "monitor": value, "path": path})
+        self.index["last"] = path
+        self._prune()
+        self._write_index()
+
+    def _prune(self):
+        entries = [e for e in self.index["entries"] if e["monitor"] is not None]
+        reverse = self.mode == "max"
+        entries.sort(key=lambda e: e["monitor"], reverse=reverse)
+        keep = entries[: self.top_k]
+        keep_paths = {e["path"] for e in keep} | ({self.index["last"]} if self.save_last else set())
+        for e in self.index["entries"]:
+            if e["path"] not in keep_paths and os.path.exists(e["path"]):
+                shutil.rmtree(e["path"])
+        self.index["entries"] = [e for e in self.index["entries"] if e["path"] in keep_paths]
+
+    def best_path(self) -> Optional[str]:
+        entries = [e for e in self.index["entries"] if e["monitor"] is not None]
+        if not entries:
+            return self.index.get("last")
+        reverse = self.mode == "max"
+        entries.sort(key=lambda e: e["monitor"], reverse=reverse)
+        return entries[0]["path"]
+
+    def last_path(self) -> Optional[str]:
+        return self.index.get("last")
+
+    def restore(self, path: str, target):
+        """Restore a checkpoint into the structure of ``target``."""
+        import orbax.checkpoint as ocp
+
+        restored = self._ckptr.restore(path, item=target)
+        return restored

@@ -1,0 +1,80 @@
+"""Experiment loggers: TensorBoard (always), JSONL, optional wandb.
+
+Mirrors the reference's dual logging (TensorBoard + wandb,
+`/root/reference/run.py:42-45,72`) with wandb strictly optional behind the
+same ``--disable-wandb`` flag; run summaries (best-epoch metrics, wall
+times, param counts — `/root/reference/modules/train_test_module.py:38-70,
+113-123`) land in ``summary.json`` instead of ``wandb.run.summary``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+__all__ = ["ExperimentLogger"]
+
+
+class ExperimentLogger:
+    def __init__(self, save_dir: str, name: str, use_wandb: bool = False,
+                 wandb_project: str = "MMixer", config: Optional[dict] = None):
+        self.save_dir = save_dir
+        self.name = name or "run"
+        # versioned run dirs like Lightning's TensorBoardLogger
+        base = os.path.join(save_dir, self.name)
+        os.makedirs(base, exist_ok=True)
+        existing = [d for d in os.listdir(base) if d.startswith("version_")]
+        self.version = len(existing)
+        self.log_dir = os.path.join(base, f"version_{self.version}")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(self.log_dir)
+        except Exception:
+            pass
+
+        self._jsonl = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        self.summary: Dict[str, float] = {}
+        self._t0 = time.time()
+
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project, name=name, config=config)
+            except Exception as e:  # wandb absent in this image: degrade silently
+                print(f"[logger] wandb unavailable ({type(e).__name__}); continuing without it")
+
+        if config is not None:
+            with open(os.path.join(self.log_dir, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+
+    def log(self, metrics: Dict[str, float], step: int) -> None:
+        clean = {k: float(v) for k, v in metrics.items()}
+        if self._tb is not None:
+            for k, v in clean.items():
+                self._tb.add_scalar(k, v, step)
+        self._jsonl.write(json.dumps({"step": step, "t": time.time() - self._t0, **clean}) + "\n")
+        self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log(clean, step=step)
+
+    def set_summary(self, key: str, value) -> None:
+        self.summary[key] = value
+        with open(os.path.join(self.log_dir, "summary.json"), "w") as f:
+            json.dump(self.summary, f, indent=2, default=str)
+        if self._wandb is not None:
+            self._wandb.summary[key] = value
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        self._jsonl.close()
+        if self._wandb is not None:
+            self._wandb.finish()

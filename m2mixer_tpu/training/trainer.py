@@ -1,0 +1,362 @@
+"""The training engine: one jitted SPMD train step + a host epoch loop.
+
+Replaces ``pl.Trainer`` + ``AbstractTrainTestModule``
+(`/root/reference/run.py:59-83`,
+`/root/reference/modules/train_test_module.py`) with the TPU-native shape:
+
+- the whole optimization step — forward, multi-head losses, backward, Adam
+  update, frozen-parameter masking — is ONE ``jax.jit``-compiled function
+  over a device mesh; batches are sharded over the ``data`` axis and XLA
+  inserts the gradient all-reduces;
+- per-epoch schedule state (loss weights, freeze/mute flags, epoch index)
+  enters as traced scalars in ``ctx`` so schedules never trigger recompiles;
+- losses/preds returned by the step stay ON DEVICE during the epoch (the
+  dispatch queue keeps the chip busy); they are fetched once per epoch for
+  metric computation and logging;
+- everything Lightning did with callbacks is explicit host logic:
+  EarlyStopping(val_loss, patience 30), ReduceLROnPlateau on the injected
+  learning rate, top-k + last Orbax checkpoints, and the best-checkpoint
+  auto-test.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import DictConfig, todict
+from ..parallel import MeshConfig, batch_sharding, make_mesh, replicated, shard_params
+from .callbacks import CheckpointManager, EarlyStopping, ReduceLROnPlateau
+from .loggers import ExperimentLogger
+
+__all__ = ["Trainer", "seed_everything"]
+
+
+def seed_everything(seed: int) -> jax.Array:
+    """``pl.seed_everything`` analog: numpy/python RNGs + a base JAX key."""
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def _make_optimizer(optimizer_cfg: DictConfig):
+    """torch.optim.Adam semantics (L2 via grad += wd*p before moments),
+    with the learning rate injected so the plateau scheduler can change it
+    between steps without recompiling."""
+    lr = float(optimizer_cfg.get("lr", 1e-3))
+    betas = tuple(optimizer_cfg.get("betas", (0.9, 0.999)))
+    eps = float(optimizer_cfg.get("eps", 1e-8))
+    wd = float(optimizer_cfg.get("weight_decay", 0.0))
+
+    def make(learning_rate):
+        steps = []
+        if wd:
+            steps.append(optax.add_decayed_weights(wd))
+        steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        steps.append(optax.scale_by_learning_rate(learning_rate))
+        return optax.chain(*steps)
+
+    return optax.inject_hyperparams(make)(learning_rate=lr), lr
+
+
+class Trainer:
+    def __init__(
+        self,
+        train_cfg: DictConfig,
+        name: str = "run",
+        work_dir: Optional[str] = None,
+        mesh_config: Optional[MeshConfig] = None,
+        use_wandb: bool = False,
+        full_cfg: Optional[dict] = None,
+        early_stopping_patience: int = 30,
+        enable_progress: bool = True,
+    ):
+        self.cfg = train_cfg
+        self.name = name
+        self.max_epochs = int(train_cfg.get("epochs", 1))
+        self.monitor = train_cfg.get("monitor", "val_loss")
+        self.monitor_mode = train_cfg.get("monitor_mode", "min")
+        self.log_interval = int(train_cfg.get("log_interval_steps", 50))
+        self.compute_train_metrics = bool(train_cfg.get("compute_train_metrics", True))
+        self.seed = int(train_cfg.get("seed", 0))
+        self.mesh = make_mesh(mesh_config)
+        self.logger = ExperimentLogger(
+            work_dir or train_cfg.get("tensorboard_path", "./logs"),
+            name,
+            use_wandb=use_wandb,
+            config=todict(full_cfg) if full_cfg else None,
+        )
+        self.ckpt_dir = os.path.join(self.logger.log_dir, "checkpoints")
+        self.checkpoints = CheckpointManager(
+            self.ckpt_dir, monitor=self.monitor, mode=self.monitor_mode, top_k=5, save_last=True
+        )
+        self.early_stopping = EarlyStopping(monitor="val_loss", patience=early_stopping_patience, mode="min")
+        self.enable_progress = enable_progress
+
+        # populated in fit()
+        self.params = None
+        self.opt_state = None
+        self.optimizer = None
+        self.datamodule = None
+        self.task = None
+        self.global_step = 0
+        self.current_epoch = 0
+        self.callback_metrics: Dict[str, float] = {}
+        self._train_step = None
+        self._eval_step = None
+        self.interrupted = False
+
+    # ------------------------------------------------------------------ utils
+    def _put_batch(self, batch: Dict[str, np.ndarray]):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(self.mesh, np.ndim(x) or 1)), batch
+        )
+
+    def _put_ctx(self, ctx: Dict[str, np.ndarray]):
+        rep = replicated(self.mesh)
+        return {k: jax.device_put(jnp.asarray(v), rep) for k, v in ctx.items()}
+
+    def _log_params_once(self, params):
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        self.logger.set_summary("total_parameters", n)
+        self.logger.set_summary("trainable_parameters", n)
+        print(f"[trainer] {self.name}: {n / 1e6:.3f}M parameters, "
+              f"mesh={dict(self.mesh.shape)}, devices={len(jax.devices())}")
+
+    # ------------------------------------------------------------------ steps
+    def _build_steps(self, task, base_rng):
+        optimizer = self.optimizer
+        frozen_mask = task.frozen_mask(self.params)
+        rng_d, rng_s, rng_m = jax.random.split(base_rng, 3)
+
+        def train_step(params, opt_state, batch, ctx, step):
+            rngs = {
+                "dropout": jax.random.fold_in(rng_d, step),
+                "stochastic": jax.random.fold_in(rng_s, step),
+                "mute": jax.random.fold_in(rng_m, step),
+            }
+
+            def loss_fn(p):
+                return task.step(p, batch, ctx, rngs, train=True)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            frozen = ctx["frozen"]
+
+            def mask(g, m):
+                return g * (1.0 - frozen * (1.0 - m))
+
+            grads = jax.tree.map(mask, grads, frozen_mask)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree.map(mask, updates, frozen_mask)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        def eval_step(params, batch, ctx):
+            return task.step(params, batch, ctx, {}, train=False)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, task, datamodule) -> None:
+        self.task = task
+        self.datamodule = datamodule
+        datamodule.setup("fit")
+        base_rng = seed_everything(self.seed)
+
+        sample = next(iter(datamodule.train_batches()))
+        sample = self._put_batch(sample)
+        init_rng, step_rng = jax.random.split(base_rng)
+        if self.params is None:
+            params = task.init_params(init_rng, sample)
+            self.params = shard_params(self.mesh, params)
+        self._log_params_once(self.params)
+        self.optimizer, lr0 = _make_optimizer(task.optimizer_cfg)
+        if self.opt_state is None:
+            self.opt_state = self.optimizer.init(self.params)
+        self.plateau = ReduceLROnPlateau(lr0, patience=int(task.scheduler_patience))
+        self._build_steps(task, step_rng)
+
+        train_scores, val_scores, _ = task.setup_scores()
+        train_start = time.time()
+
+        try:
+            for epoch in range(self.current_epoch, self.max_epochs):
+                self.current_epoch = epoch
+                task.on_train_epoch_start(self, epoch)
+                self._run_train_epoch(task, datamodule, epoch, train_scores)
+                logs = self._run_val_epoch(task, datamodule, epoch, val_scores)
+                task.on_validation_epoch_end(self, epoch, logs)
+
+                # plateau LR on val_loss (reference monitors val_loss,
+                # `models/avmnist.py:413-422`)
+                new_lr = self.plateau.update(logs["val_loss"])
+                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr, jnp.float32)
+                logs["lr"] = new_lr
+
+                # best-epoch summary bookkeeping
+                best = self.logger.summary.get("best_val_loss")
+                if best is None or logs["val_loss"] <= best:
+                    self.logger.set_summary("best_val_loss", logs["val_loss"])
+                    self.logger.set_summary("best_val_loss_epoch", epoch)
+                    self.logger.set_summary("best_val_loss_time", time.time() - train_start)
+                    for k, v in logs.items():
+                        if k.startswith("val_") and k != "val_loss":
+                            self.logger.set_summary(f"best_{k}", v)
+
+                self.callback_metrics.update(logs)
+                self.logger.log(logs, self.global_step)
+                self._save_checkpoint(epoch, logs)
+                if self.early_stopping.update(logs):
+                    print(f"[trainer] early stopping at epoch {epoch}")
+                    break
+        except KeyboardInterrupt:
+            # reference behavior: fall through to testing the best ckpt
+            print("KeyboardInterrupt: proceeding to test with the current best model")
+            self.interrupted = True
+
+    def _run_train_epoch(self, task, datamodule, epoch, train_scores) -> None:
+        ctx = self._put_ctx(task.make_ctx(epoch, "train"))
+        losses_dev, preds_dev, labels_dev = [], [], []
+        extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
+        t0 = time.time()
+        nsteps = 0
+        for batch in datamodule.train_batches():
+            batch = self._put_batch(batch)
+            self.params, self.opt_state, loss, aux = self._train_step(
+                self.params, self.opt_state, batch, ctx, self.global_step
+            )
+            losses_dev.append(loss)
+            if self.compute_train_metrics and train_scores is not None:
+                preds_dev.append(aux["preds"])
+                labels_dev.append(aux["labels"])
+            for k in extra_dev:
+                extra_dev[k].append(aux["losses"][k.removeprefix("loss_")])
+            self.global_step += 1
+            nsteps += 1
+
+        # one host sync per epoch
+        losses = np.asarray(jax.device_get(losses_dev), np.float64)
+        logs = {"train_loss": float(losses.mean()), "epoch": epoch}
+        for k, vals in extra_dev.items():
+            logs[f"train_{k}"] = float(np.mean(jax.device_get(vals)))
+        if self.compute_train_metrics and train_scores is not None and preds_dev:
+            preds = np.concatenate(jax.device_get(preds_dev))
+            labels = np.concatenate(jax.device_get(labels_dev))
+            for mname, metric in train_scores.items():
+                metric.update(preds, labels)
+                logs[f"train_{mname}"] = metric.compute()
+                metric.reset()
+        dt = time.time() - t0
+        bs = getattr(datamodule, "batch_size", None)
+        if bs:
+            logs["train_samples_per_sec"] = nsteps * bs / dt
+        self.callback_metrics.update(logs)
+        self.logger.log(logs, self.global_step)
+
+    def _run_eval_epoch(self, task, batches: Iterable, epoch: int, scores, prefix: str,
+                        collect_artifacts: bool = False):
+        ctx = self._put_ctx(task.make_ctx(epoch, prefix))
+        losses_dev, preds_dev, labels_dev = [], [], []
+        extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
+        artifact_keys = task.test_artifact_keys() if collect_artifacts else ()
+        artifacts: Dict[str, list] = {k: [] for k in artifact_keys}
+        for batch in batches:
+            batch = self._put_batch(batch)
+            loss, aux = self._eval_step(self.params, batch, ctx)
+            losses_dev.append(loss)
+            preds_dev.append(aux["preds"])
+            labels_dev.append(aux["labels"])
+            for k in extra_dev:
+                extra_dev[k].append(aux["losses"][k.removeprefix("loss_")])
+            for k in artifact_keys:
+                if k in aux:
+                    artifacts[k].append(aux[k])
+
+        losses = np.asarray(jax.device_get(losses_dev), np.float64)
+        logs = {f"{prefix}_loss": float(losses.mean())}
+        for k, vals in extra_dev.items():
+            logs[f"{prefix}_{k}"] = float(np.mean(jax.device_get(vals)))
+        preds = np.concatenate(jax.device_get(preds_dev)) if preds_dev else np.zeros((0,))
+        labels = np.concatenate(jax.device_get(labels_dev)) if labels_dev else np.zeros((0,))
+        if scores is not None:
+            for mname, metric in scores.items():
+                metric.update(preds, labels)
+                logs[f"{prefix}_{mname}"] = metric.compute()
+                metric.reset()
+        out_artifacts = {
+            k: np.concatenate(jax.device_get(v)) for k, v in artifacts.items() if v
+        }
+        return logs, out_artifacts
+
+    def _run_val_epoch(self, task, datamodule, epoch, val_scores) -> Dict[str, float]:
+        logs, _ = self._run_eval_epoch(task, datamodule.val_batches(), epoch, val_scores, "val")
+        return logs
+
+    # ------------------------------------------------------------------ ckpt
+    def _state(self):
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def _save_checkpoint(self, epoch: int, logs: Dict[str, float]) -> None:
+        self.checkpoints.save(epoch, self._state(), logs)
+
+    def restore(self, path: str) -> None:
+        restored = self.checkpoints.restore(path, self._state())
+        self.params = restored["params"]
+        if restored.get("opt_state") is not None and self.opt_state is not None:
+            self.opt_state = restored["opt_state"]
+
+    def restore_params_only(self, path: str, task, datamodule) -> None:
+        """Load params from a checkpoint path for test-only runs."""
+        datamodule.setup("test")
+        sample = self._put_batch(next(iter(datamodule.test_batches())))
+        rng = seed_everything(self.seed)
+        params = task.init_params(rng, sample)
+        self.params = shard_params(self.mesh, params)
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path), item={"params": self.params, "opt_state": None})
+        self.params = restored["params"]
+
+    # ------------------------------------------------------------------ test
+    def test(self, task, datamodule, ckpt: Optional[str] = "best") -> Dict[str, float]:
+        self.task = task
+        datamodule.setup("test")
+        if self.params is None:
+            raise RuntimeError("No parameters; call fit() or restore a checkpoint first")
+        if ckpt == "best":
+            best = self.checkpoints.best_path()
+            if best is not None:
+                self.restore(best)
+        elif ckpt not in (None, "last"):
+            self.restore(ckpt)
+        if self._eval_step is None:
+            base_rng = seed_everything(self.seed)
+            if self.optimizer is None:
+                self.optimizer, _ = _make_optimizer(task.optimizer_cfg)
+                self.opt_state = self.optimizer.init(self.params)
+            self._build_steps(task, base_rng)
+
+        _, _, test_scores = task.setup_scores()
+        t0 = time.time()
+        logs, artifacts = self._run_eval_epoch(
+            task, datamodule.test_batches(), self.current_epoch, test_scores, "test",
+            collect_artifacts=True,
+        )
+        self.logger.set_summary("test_time", time.time() - t0)
+        if artifacts:
+            out = os.path.join(self.ckpt_dir, "test_preds.npz")
+            np.savez(out, **artifacts)
+            print(f"[trainer] saved test predictions to {out}")
+        self.callback_metrics.update(logs)
+        self.logger.log(logs, self.global_step)
+        print("[trainer] test:", {k: round(v, 5) for k, v in logs.items()})
+        return logs
