@@ -61,11 +61,20 @@ def build_avmnist_net(model_cfg: DictConfig, head_pool: bool = True) -> Multimod
     num_patches = fusion.get_output_shape(image_enc.num_patch, audio_enc.num_patch, dim=1)
     fusion_mixer = get_block_by_name(**mc.multimodal, num_patches=num_patches, dropout=dropout)
     num_classes = mc.classification.num_classes
+
+    def feat_dim(block_cfg):
+        return block_cfg.get("hidden_dim", block_cfg.get("d_model"))
+
     heads = (
-        Linear(mc.image.hidden_dim, num_classes),
-        Linear(mc.audio.hidden_dim, num_classes),
+        Linear(feat_dim(mc.image), num_classes),
+        Linear(feat_dim(mc.audio), num_classes),
     )
-    classifier = get_classifier_by_name(**mc.classification)
+    # some reference configs (e.g. the DynaMixer variant) omit the classifier
+    # spec; default to the StandardClassifier over the fusion hidden dim
+    cls_cfg = DictConfig(mc.classification)
+    cls_cfg.setdefault("classifier", "StandardClassifier")
+    cls_cfg.setdefault("input_shape", [feat_dim(mc.multimodal)])
+    classifier = get_classifier_by_name(**cls_cfg)
     return MultimodalNet(
         encoders=(image_enc, audio_enc),
         heads=heads,

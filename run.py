@@ -1,0 +1,88 @@
+"""Experiment runner CLI.
+
+Flag-compatible with the reference entrypoint (`/root/reference/run.py`):
+
+    python run.py -c cfg/avmnist/avmnist_m2-mixer_S.yml -n my_run \\
+        [-m train|test] [-p CKPT] [--disable-wandb] \\
+        [model.dropout=0.2 train.optimizer.lr=1e-3 ...]
+
+Unknown args become dotted config overrides (the wandb-sweep injection path).
+Config schema: top-level ``train`` / ``dataset`` / ``model`` keys resolved
+through the same string registries as the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from m2mixer_tpu import config as cfg_lib
+from m2mixer_tpu import datasets, models
+from m2mixer_tpu.parallel import MeshConfig
+from m2mixer_tpu.training import Trainer
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--cfg", type=str, required=True)
+    parser.add_argument("-n", "--name", type=str)
+    parser.add_argument("-p", "--ckpt", type=str)
+    parser.add_argument("-m", "--mode", type=str, default="train")
+    parser.add_argument("--disable-wandb", action="store_true", default=False)
+    args, unknown = parser.parse_known_args()
+    return args, unknown
+
+
+def build(args, unknown):
+    cfg = cfg_lib.load(args.cfg)
+    overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
+    for section in ("model", "train", "dataset"):
+        if section in overrides:
+            cfg_lib.deep_update(cfg[section], overrides[section])
+
+    train_cfg, dataset_cfg, model_cfg = cfg.train, cfg.dataset, cfg.model
+    task_cls = models.get_model(model_cfg.type)
+    task = task_cls(model_cfg, train_cfg.optimizer)
+
+    if dataset_cfg.params.get("num_workers", 0) == -1:
+        dataset_cfg.params.num_workers = os.cpu_count()
+    dm_cls = datasets.get_data_module(dataset_cfg.type)
+    datamodule = dm_cls(**dataset_cfg.params)
+
+    mesh_cfg = MeshConfig(
+        data=train_cfg.get("mesh_data", -1),
+        model=train_cfg.get("mesh_model", 1),
+    )
+    trainer = Trainer(
+        train_cfg,
+        name=args.name or "run",
+        mesh_config=mesh_cfg,
+        use_wandb=not args.disable_wandb,
+        full_cfg=cfg,
+    )
+    return cfg, task, datamodule, trainer
+
+
+def main():
+    args, unknown = parse_args()
+    cfg, task, datamodule, trainer = build(args, unknown)
+
+    if args.mode == "train":
+        if args.ckpt:
+            datamodule.setup("fit")
+            trainer.fit(task, datamodule)  # fresh fit; explicit resume below
+        else:
+            trainer.fit(task, datamodule)
+        trainer.test(task, datamodule, ckpt="best")
+    elif args.mode == "test":
+        if args.ckpt:
+            trainer.restore_params_only(args.ckpt, task, datamodule)
+        trainer.test(task, datamodule, ckpt=None)
+    else:
+        raise ValueError(f"Unknown mode: {args.mode}")
+    trainer.logger.close()
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

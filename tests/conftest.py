@@ -7,13 +7,17 @@ multi-node without a cluster" — see SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-# persistent compile cache: repeat test runs skip XLA compilation
 import jax
 
+# the axon sitecustomize force-sets jax_platforms post-import; undo it so
+# tests really run on the 8-device virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: repeat test runs skip XLA compilation
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
