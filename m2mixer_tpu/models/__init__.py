@@ -10,7 +10,14 @@ from __future__ import annotations
 import sys
 
 from .avmnist import *  # noqa: F401,F403
+from .avmnist_post import *  # noqa: F401,F403
 from .base import MultiLossTask, TrainTask  # noqa: F401
+from .memotion import *  # noqa: F401,F403
+from .mimic import *  # noqa: F401,F403
+from .mmhs150 import *  # noqa: F401,F403
+from .mmimdb import *  # noqa: F401,F403
+from .multioff import *  # noqa: F401,F403
+from .pnlp import *  # noqa: F401,F403
 
 
 def get_model(model_type: str):

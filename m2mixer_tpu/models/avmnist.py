@@ -50,39 +50,11 @@ def _multiclass_scores(num_classes: int, extended: bool) -> Dict[str, tm._BaseMe
 
 
 def build_avmnist_net(model_cfg: DictConfig, head_pool: bool = True) -> MultimodalNet:
-    """Build encoders/fusion/heads from the registry-driven config exactly
-    like the reference constructor (`models/avmnist.py:181-191`), including
-    fusion-shape inference via ``get_output_shape``."""
-    mc = model_cfg.modalities
-    dropout = model_cfg.get("dropout", 0.0)
-    image_enc = get_block_by_name(**mc.image, dropout=dropout)
-    audio_enc = get_block_by_name(**mc.audio, dropout=dropout)
-    fusion = get_fusion_by_name(**mc.multimodal)
-    num_patches = fusion.get_output_shape(image_enc.num_patch, audio_enc.num_patch, dim=1)
-    fusion_mixer = get_block_by_name(**mc.multimodal, num_patches=num_patches, dropout=dropout)
-    num_classes = mc.classification.num_classes
+    """Registry-driven construction, parity with the reference constructor
+    (`models/avmnist.py:181-191`) including fusion shape inference."""
+    from .nets import build_multimodal_net
 
-    def feat_dim(block_cfg):
-        return block_cfg.get("hidden_dim", block_cfg.get("d_model"))
-
-    heads = (
-        Linear(feat_dim(mc.image), num_classes),
-        Linear(feat_dim(mc.audio), num_classes),
-    )
-    # some reference configs (e.g. the DynaMixer variant) omit the classifier
-    # spec; default to the StandardClassifier over the fusion hidden dim
-    cls_cfg = DictConfig(mc.classification)
-    cls_cfg.setdefault("classifier", "StandardClassifier")
-    cls_cfg.setdefault("input_shape", [feat_dim(mc.multimodal)])
-    classifier = get_classifier_by_name(**cls_cfg)
-    return MultimodalNet(
-        encoders=(image_enc, audio_enc),
-        heads=heads,
-        fusion=fusion,
-        fusion_mixer=fusion_mixer,
-        classifier=classifier,
-        head_pool=head_pool,
-    )
+    return build_multimodal_net(model_cfg, ("image", "audio"), head_pool=head_pool)
 
 
 class _UnimodalMixerTask(TrainTask):
@@ -224,19 +196,11 @@ class AVMnistMixerMultiLossUQ(AVMnistMixerMultiLoss):
     from the least-uncertain branch
     (parity: `/root/reference/models/avmnist.py:447-572`)."""
 
-    fixed_weight_scale = False
+    weighting = "sum"  # plain sum (`models/avmnist.py:511`)
 
     def __init__(self, model_cfg, optimizer_cfg, **kwargs):
         super().__init__(model_cfg, optimizer_cfg, **kwargs)
         self.edl = EDLMSELoss(self.num_classes, 10)
-
-    def current_loss_weights(self):
-        import numpy as np
-
-        if self.use_softadapt:
-            return np.asarray(self.loss_weights, np.float32)
-        # plain sum (`models/avmnist.py:511`)
-        return np.ones((self.num_branches,), np.float32)
 
     def branch_losses(self, outputs, batch, ctx):
         labels = batch["label"]

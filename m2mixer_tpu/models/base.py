@@ -101,6 +101,9 @@ class TrainTask(abc.ABC):
     def on_train_epoch_start(self, trainer, epoch: int) -> None:
         pass
 
+    def on_train_epoch_end(self, trainer, epoch: int, logs: Dict[str, float]) -> None:
+        pass
+
     def on_validation_epoch_end(self, trainer, epoch: int, logs: Dict[str, float]) -> None:
         pass
 
@@ -126,8 +129,14 @@ class MultiLossTask(TrainTask):
 
     #: branch names, e.g. ("image", "audio"); the fusion branch is implicit.
     modalities: Tuple[str, ...] = ()
-    #: multiply the fixed-weighting combined loss by len(losses) (x3 rule)?
-    fixed_weight_scale: bool = True
+    #: fixed-weighting flavor per reference task family:
+    #:   'fixed_scaled' — (w_f*l_f + ow*sum(l_i)) * n   (avmnist, `avmnist.py:290-291`)
+    #:   'fixed'        —  w_f*l_f + ow*sum(l_i)        (mimic `mimic.py:115-121`, mmhs `mmhs150.py:106-107`)
+    #:   'sum'          —  plain sum                    (mmimdb/multioff/memotion)
+    weighting: str = "fixed_scaled"
+    #: where fusion_loss_weight annealing happens: 'val' (avmnist/mimic,
+    #: gated by loss_change_epoch), 'train_end' (mmhs, ungated), or None
+    anneal_on: str = "val"
 
     def __init__(self, model_cfg: DictConfig, optimizer_cfg: DictConfig, **kwargs):
         super().__init__(model_cfg, optimizer_cfg, **kwargs)
@@ -183,10 +192,12 @@ class MultiLossTask(TrainTask):
             return np.asarray(self.loss_weights, np.float32)
         if self.use_gradblend and self.gb_weights is not None:
             return np.asarray(self.gb_weights, np.float32)
+        if self.weighting == "sum":
+            return np.ones((n,), np.float32)
         ow = (1.0 - self.fusion_loss_weight) / (n - 1)
         w = np.full((n,), ow, dtype=np.float32)
         w[-1] = self.fusion_loss_weight
-        if self.fixed_weight_scale:
+        if self.weighting == "fixed_scaled":
             w = w * n
         return w
 
@@ -285,9 +296,14 @@ class MultiLossTask(TrainTask):
     def epoch_log_keys(self) -> Sequence[str]:
         return tuple(f"loss_{n}" for n in self.loss_names)
 
+    def on_train_epoch_end(self, trainer, epoch: int, logs: Dict[str, float]) -> None:
+        if self.anneal_on == "train_end":
+            # mmhs-style ungated annealing (`mmhs150.py:135`)
+            self.fusion_loss_weight = min(1.0, self.fusion_loss_weight + self.fusion_loss_change)
+
     def on_validation_epoch_end(self, trainer, epoch: int, logs: Dict[str, float]) -> None:
         # fixed-weight annealing (`/root/reference/models/avmnist.py:338-339`)
-        if epoch >= self.loss_change_epoch:
+        if self.anneal_on == "val" and epoch >= self.loss_change_epoch:
             self.fusion_loss_weight = min(1.0, self.fusion_loss_weight + self.fusion_loss_change)
         if self.use_softadapt:
             for i, name in enumerate(self.loss_names):

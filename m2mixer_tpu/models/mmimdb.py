@@ -1,0 +1,207 @@
+"""MM-IMDB task models (poster image + plot text, 23-genre multilabel).
+
+Re-expresses ``/root/reference/models/mmimdb.py`` (MultiLoss mixer with
+per-class-pos-weighted BCE and plain-sum weighting) and the unimodal
+baselines of ``/root/reference/models/mmimdb_gmlp.py`` (VGG19-bn with a
+swapped 23-way head; VisiongMLP image-only).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import DictConfig
+from ..modules.common import Dropout, Linear, torch_bias_init
+from ..modules.losses import bce_with_logits_loss
+from ..training import metrics as tm
+from .base import MultiLossTask, TrainTask
+from .nets import build_multimodal_net
+
+__all__ = ["MMIMDBMixerMultiLoss", "MMIDB_GMLP", "MMIDB_GMLP_ext"]
+
+
+def _multilabel_scores(num_labels: int):
+    # weighted + macro multilabel F1 (`models/mmimdb.py:184-192`)
+    return dict(
+        f1w=tm.F1Score(task="multilabel", num_labels=num_labels, average="weighted"),
+        f1m=tm.F1Score(task="multilabel", num_labels=num_labels, average="macro"),
+    )
+
+
+class MMIMDBMixerMultiLoss(MultiLossTask):
+    """3 BCE-with-pos-weight heads, plain-sum combine
+    (parity: `models/mmimdb.py:21-228`)."""
+
+    modalities = ("image", "text")
+    weighting = "sum"
+    anneal_on = "none"
+
+    def __init__(self, model_cfg, optimizer_cfg, **kwargs):
+        super().__init__(model_cfg, optimizer_cfg, **kwargs)
+        self.log_confusion_matrix = False
+        self.pos_weight = jnp.asarray(np.asarray(model_cfg.pos_weight, np.float32))
+        self.num_labels = int(model_cfg.modalities.classification.num_classes)
+
+    def build_network(self):
+        return build_multimodal_net(self.model_cfg, ("image", "text"))
+
+    def network_inputs(self, batch):
+        return {"inputs": (batch["image"], batch["text"])}
+
+    def branch_losses(self, outputs, batch, ctx):
+        labels = batch["label"].astype(jnp.float32)
+        img_logits, text_logits = outputs["branch_logits"]
+        return {
+            "image": bce_with_logits_loss(img_logits, labels, self.pos_weight),
+            "text": bce_with_logits_loss(text_logits, labels, self.pos_weight),
+            "fusion": bce_with_logits_loss(outputs["logits"], labels, self.pos_weight),
+        }
+
+    def predictions(self, outputs, batch):
+        img_logits, text_logits = outputs["branch_logits"]
+        th = lambda z: (jax.nn.sigmoid(z) > 0.5).astype(jnp.int32)
+        return {
+            "preds": th(outputs["logits"]),
+            "preds_image": th(img_logits),
+            "preds_text": th(text_logits),
+            "labels": batch["label"],
+            "logits": outputs["logits"],
+            "image_logits": img_logits,
+            "text_logits": text_logits,
+        }
+
+    def setup_scores(self):
+        return [_multilabel_scores(self.num_labels) for _ in range(3)]
+
+    def epoch_log_keys(self):
+        return ("loss_image", "loss_text", "loss_fusion")
+
+    def test_artifact_keys(self):
+        return ("preds", "preds_image", "preds_text", "labels",
+                "image_logits", "text_logits", "logits")
+
+    def gradblend_loss(self, logits, batch):
+        return bce_with_logits_loss(logits, batch["label"].astype(jnp.float32), self.pos_weight)
+
+
+# hardcoded pos-weights of the unimodal baselines (`mmimdb_gmlp.py:37-43`
+# uses one set for VGG, `:78-84` the processed-set weights for gMLP-ext)
+_VGG_POS_WEIGHT = np.asarray(
+    [4.69368723, 7.20594714, 11.74685817, 12.27579737, 16.86340206, 17.9260274,
+     24.32342007, 25.96428571, 31.45673077, 32.55223881, 34.80319149, 31.60869565,
+     37.17613636, 44.81506849, 57.90265487, 56.89565217, 61.72641509, 60.02752294,
+     82.82278481, 94.82608696, 96.22058824, 110.89830508, 198.27272727], np.float32)
+
+_EXT_POS_WEIGHT = np.asarray(
+    [4.57642832, 7.38544978, 10.79846869, 13.23391421, 15.59020924, 18.62735849,
+     22.48861048, 25.21711367, 74.50943396, 31.31641554, 31.79549114, 32.90833333,
+     39.64859438, 56.90201729, 40.46106557, 58.24483776, 67.3890785, 84.92473118,
+     58.33087149, 62.68253968, 114.13294798, 141.54121864, 116.83431953], np.float32)
+
+# VGG19 feature plan: conv widths with 'M' = 2x2 max pool (torchvision E-cfg)
+_VGG19_PLAN = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+               512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+class VGG19BN(nn.Module):
+    """VGG19 with batch norm, NCHW input.
+
+    TPU-native re-expression of torchvision's ``vgg19_bn`` used by the
+    reference baseline (`mmimdb_gmlp.py:19-28`). Pretrained ImageNet weights
+    are not bundled (no network egress); ``load_torch_state`` below converts
+    a torchvision state_dict when one is available on disk.
+    """
+
+    num_classes: int = 23
+    dtype: Optional[type] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC for conv
+        for i, spec in enumerate(_VGG19_PLAN):
+            if spec == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            x = nn.Conv(spec, (3, 3), padding=1, dtype=self.dtype,
+                        kernel_init=nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+                        name=f"conv_{i}")(x)
+            # frozen-statistics BN (affine only): keeps the train step a pure
+            # params->grads function (no mutable collections); the reference
+            # fine-tunes a pretrained VGG where frozen BN is standard anyway
+            x = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}")(x)
+            x = nn.relu(x)
+        # adaptive pool to 7x7 like torchvision, then the swapped classifier
+        b, h, w, c = x.shape
+        if (h, w) != (7, 7):
+            x = jax.image.resize(x, (b, 7, 7, c), method="linear")
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)  # channel-major flatten
+        x = Linear(512 * 7 * 7, 4096, name="fc1")(x)
+        x = nn.relu(x)
+        x = Dropout(0.5)(x, deterministic)
+        x = Linear(4096, 4096, name="fc2")(x)
+        x = nn.relu(x)
+        x = Dropout(0.5)(x, deterministic)
+        return Linear(4096, self.num_classes, name="fc3")(x)
+
+
+class _UnimodalMultilabelTask(TrainTask):
+    pos_weight: np.ndarray = _VGG_POS_WEIGHT
+
+    def network_inputs(self, batch):
+        return {"x": batch["image"]}
+
+    def step(self, params, batch, ctx, rngs, train: bool):
+        kwargs = dict(self.network_inputs(batch), deterministic=not train)
+        if train and rngs:
+            logits = self.network.apply(
+                params, **kwargs, rngs={k: v for k, v in rngs.items() if k != "mute"}
+            )
+        else:
+            logits = self.network.apply(params, **kwargs)
+        labels = batch["label"].astype(jnp.float32)
+        loss = bce_with_logits_loss(logits, labels, jnp.asarray(self.pos_weight))
+        preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int32)
+        return loss, {"losses": {"loss": loss}, "preds": preds, "labels": batch["label"]}
+
+    def setup_scores(self):
+        return [_multilabel_scores(23) for _ in range(3)]
+
+
+class MMIDB_GMLP(_UnimodalMultilabelTask):
+    """VGG19-bn image-only baseline (parity: `mmimdb_gmlp.py:14-67`)."""
+
+    pos_weight = _VGG_POS_WEIGHT
+
+    def build_network(self):
+        return VGG19BN(num_classes=23)
+
+
+class MMIDB_GMLP_ext(_UnimodalMultilabelTask):
+    """VisiongMLP image-only baseline (parity: `mmimdb_gmlp.py:70-103`)."""
+
+    pos_weight = _EXT_POS_WEIGHT
+
+    def build_network(self):
+        from ..modules import get_block_by_name
+
+        cfg = DictConfig(self.model_cfg.modalities.image)
+        cfg.setdefault("block_type", "VisiongMLP")
+        net = get_block_by_name(**cfg, dropout=self.model_cfg.get("dropout", 0.0))
+
+        class _WithHead(nn.Module):
+            body: type(net) = net
+            d_model: int = cfg.get("d_model", 128)
+
+            @nn.compact
+            def __call__(self, x, deterministic: bool = True):
+                tokens = self.body(x, deterministic)
+                pooled = tokens.mean(axis=1)
+                return Linear(self.d_model, 23, name="head")(pooled)
+
+        return _WithHead()

@@ -25,6 +25,51 @@ def pool_tokens(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(x.shape[0], -1, x.shape[-1]).mean(axis=1)
 
 
+def build_multimodal_net(model_cfg, modality_keys, head_pool: bool = True,
+                         extra_encoders=()):
+    """Registry-driven constructor for the standard N-modality topology.
+
+    Mirrors the reference constructors (`models/avmnist.py:181-191`,
+    `models/mmimdb.py:35-45`, `models/mmhs150.py:36-49`): encoders from
+    ``block_type``, fusion from ``fusion_function`` with shape inference via
+    ``get_output_shape(..., dim=1)``, per-modality Linear heads, fusion
+    classifier from ``classifier`` (defaulting to StandardClassifier when a
+    config omits it, as some reference configs do).
+
+    ``extra_encoders``: (key, config_key) pairs for modalities that reuse
+    another modality's block config (the mmhs OCR mixer reuses the text
+    config, `mmhs150.py:38`).
+    """
+    from ..config import DictConfig
+    from ..modules import get_block_by_name, get_classifier_by_name, get_fusion_by_name
+    from ..modules.common import Linear
+
+    mc = model_cfg.modalities
+    dropout = model_cfg.get("dropout", 0.0)
+
+    def feat_dim(block_cfg):
+        return block_cfg.get("hidden_dim", block_cfg.get("d_model"))
+
+    cfg_keys = list(modality_keys)
+    for _, cfg_key in extra_encoders:
+        cfg_keys.append(cfg_key)
+
+    encoders = tuple(get_block_by_name(**mc[k], dropout=dropout) for k in cfg_keys)
+    fusion = get_fusion_by_name(**mc.multimodal)
+    num_patches = fusion.get_output_shape(*[e.num_patch for e in encoders], dim=1)
+    fusion_mixer = get_block_by_name(**mc.multimodal, num_patches=num_patches, dropout=dropout)
+    num_classes = mc.classification.num_classes
+    heads = tuple(Linear(feat_dim(mc[k]), num_classes) for k in cfg_keys)
+    cls_cfg = DictConfig(mc.classification)
+    cls_cfg.setdefault("classifier", "StandardClassifier")
+    cls_cfg.setdefault("input_shape", [feat_dim(mc.multimodal)])
+    classifier = get_classifier_by_name(**cls_cfg)
+    return MultimodalNet(
+        encoders=encoders, heads=heads, fusion=fusion, fusion_mixer=fusion_mixer,
+        classifier=classifier, head_pool=head_pool,
+    )
+
+
 class MultimodalNet(nn.Module):
     """N-modality encoder/fusion/heads network.
 

@@ -147,8 +147,13 @@ def estimate_gradblend_weights(task, trainer) -> Optional[np.ndarray]:
             "head": copy.deepcopy(params[f"heads_{i}"]),
         })
 
-    # fused branch: frozen unimodal encoders, trainable fusion mixer + head
+    # fused branch: frozen unimodal encoders, trainable fusion mixer + head.
+    # like the reference's MultiModalEncoder (`gradblend.py:9-21`), encodings
+    # are rank-harmonized (unsqueeze at axis 1) and concatenated on axis 1 —
+    # NOT run through the task's fusion_function.
     frozen_enc_params = [params[f"encoders_{i}"] for i in range(n_mod)]
+    mixer_field = "fusion_mixer" if hasattr(net, "fusion_mixer") else "fusion_encoder"
+    mixer_mod = getattr(net, mixer_field)
 
     def fused_fn(p, batch, train, rng):
         rngs = {"dropout": rng, "stochastic": rng} if train and rng is not None else None
@@ -156,16 +161,20 @@ def estimate_gradblend_weights(task, trainer) -> Optional[np.ndarray]:
             net.encoders[i].apply({"params": frozen_enc_params[i]}, batch[modality_keys[i]], not train)
             for i in range(n_mod)
         ]
-        fused = net.fusion(*encs) if not hasattr(net.fusion, "apply") else net.fusion.apply(
-            {"params": params["fusion"]}, *encs
-        )
-        tokens = net.fusion_mixer.apply({"params": p["mixer"]}, fused, not train, rngs=rngs)
-        logits = net.classifier.apply({"params": p["cls"]}, tokens)
+        max_rank = max(e.ndim for e in encs)
+        encs = [e[:, None] if e.ndim < max_rank else e for e in encs]
+        fused = jnp.concatenate(encs, axis=1)
+        tokens = mixer_mod.apply({"params": p["mixer"]}, fused, not train, rngs=rngs)
+        if tokens.ndim > 2:
+            tokens = tokens.reshape(tokens.shape[0], -1, tokens.shape[-1]).mean(axis=1)
+        logits = net.classifier.apply({"params": p["cls"]}, tokens) if hasattr(
+            net.classifier, "apply"
+        ) else net.classifier(tokens)
         return task.gradblend_loss(logits, batch)
 
     branch_fns.append(fused_fn)
     branch_params.append({
-        "mixer": copy.deepcopy(params["fusion_mixer"]),
+        "mixer": copy.deepcopy(params[mixer_field]),
         "cls": copy.deepcopy(params["classifier"]),
     })
 

@@ -48,6 +48,10 @@ class _BaseMetric:
     """Accumulates (preds, labels) and computes at epoch end, then resets on
     ``compute()``-after-``reset()`` cycles driven by the trainer."""
 
+    #: rank-based metrics set this; the trainer then feeds probabilities
+    #: (aux['probs']) instead of thresholded predictions when available
+    wants_scores = False
+
     def __init__(self, task: str = "multiclass", num_classes: Optional[int] = None,
                  num_labels: Optional[int] = None, average: str = "micro",
                  threshold: float = 0.5, **kwargs):
@@ -94,6 +98,8 @@ class _BaseMetric:
         """Per-class TP/FP/FN/TN for the configured task."""
         preds, labels = self._gather()
         if self.task == "multiclass":
+            if preds.ndim == labels.ndim + 1:  # probs/logits -> class ids
+                preds = preds.argmax(-1)
             cm = confusion_matrix(preds.astype(np.int64), labels.astype(np.int64), self.num_classes)
             tp = np.diag(cm).astype(np.float64)
             fp = cm.sum(axis=0) - tp
@@ -136,6 +142,8 @@ class Accuracy(_BaseMetric):
         if preds.size == 0:
             return 0.0
         if self.task == "multiclass":
+            if preds.ndim == labels.ndim + 1:
+                preds = preds.argmax(-1)
             return float((preds.astype(np.int64) == labels.astype(np.int64)).mean())
         p = self._binarize(preds)
         return float((p == labels.astype(np.int64)).mean())
@@ -204,6 +212,8 @@ class AUROC(_BaseMetric):
     """Exact AUROC. For binary: pass probabilities/logits (monotonic
     invariant). For multiclass: one-vs-rest averaged per ``average``."""
 
+    wants_scores = True
+
     def compute(self) -> float:
         scores, labels = self._gather()
         if scores.size == 0:
@@ -222,6 +232,8 @@ class AUROC(_BaseMetric):
 
 class AveragePrecision(_BaseMetric):
     """Exact AP; multiclass = one-vs-rest, averaged per ``average``."""
+
+    wants_scores = True
 
     def compute(self) -> float:
         scores, labels = self._gather()

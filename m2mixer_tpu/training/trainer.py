@@ -193,6 +193,7 @@ class Trainer:
                 self.current_epoch = epoch
                 task.on_train_epoch_start(self, epoch)
                 self._run_train_epoch(task, datamodule, epoch, train_scores)
+                task.on_train_epoch_end(self, epoch, dict(self.callback_metrics))
                 logs = self._run_val_epoch(task, datamodule, epoch, val_scores)
                 task.on_validation_epoch_end(self, epoch, logs)
 
@@ -225,7 +226,7 @@ class Trainer:
 
     def _run_train_epoch(self, task, datamodule, epoch, train_scores) -> None:
         ctx = self._put_ctx(task.make_ctx(epoch, "train"))
-        losses_dev, preds_dev, labels_dev = [], [], []
+        losses_dev, preds_dev, labels_dev, probs_dev = [], [], [], []
         extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
         t0 = time.time()
         nsteps = 0
@@ -238,6 +239,8 @@ class Trainer:
             if self.compute_train_metrics and train_scores is not None:
                 preds_dev.append(aux["preds"])
                 labels_dev.append(aux["labels"])
+                if "probs" in aux:
+                    probs_dev.append(aux["probs"])
             for k in extra_dev:
                 extra_dev[k].append(aux["losses"][k.removeprefix("loss_")])
             self.global_step += 1
@@ -251,8 +254,9 @@ class Trainer:
         if self.compute_train_metrics and train_scores is not None and preds_dev:
             preds = np.concatenate(jax.device_get(preds_dev))
             labels = np.concatenate(jax.device_get(labels_dev))
+            probs = np.concatenate(jax.device_get(probs_dev)) if probs_dev else None
             for mname, metric in train_scores.items():
-                metric.update(preds, labels)
+                metric.update(probs if metric.wants_scores and probs is not None else preds, labels)
                 logs[f"train_{mname}"] = metric.compute()
                 metric.reset()
         dt = time.time() - t0
@@ -265,7 +269,7 @@ class Trainer:
     def _run_eval_epoch(self, task, batches: Iterable, epoch: int, scores, prefix: str,
                         collect_artifacts: bool = False):
         ctx = self._put_ctx(task.make_ctx(epoch, prefix))
-        losses_dev, preds_dev, labels_dev = [], [], []
+        losses_dev, preds_dev, labels_dev, probs_dev = [], [], [], []
         extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
         artifact_keys = task.test_artifact_keys() if collect_artifacts else ()
         artifacts: Dict[str, list] = {k: [] for k in artifact_keys}
@@ -275,6 +279,8 @@ class Trainer:
             losses_dev.append(loss)
             preds_dev.append(aux["preds"])
             labels_dev.append(aux["labels"])
+            if "probs" in aux:
+                probs_dev.append(aux["probs"])
             for k in extra_dev:
                 extra_dev[k].append(aux["losses"][k.removeprefix("loss_")])
             for k in artifact_keys:
@@ -287,9 +293,10 @@ class Trainer:
             logs[f"{prefix}_{k}"] = float(np.mean(jax.device_get(vals)))
         preds = np.concatenate(jax.device_get(preds_dev)) if preds_dev else np.zeros((0,))
         labels = np.concatenate(jax.device_get(labels_dev)) if labels_dev else np.zeros((0,))
+        probs = np.concatenate(jax.device_get(probs_dev)) if probs_dev else None
         if scores is not None:
             for mname, metric in scores.items():
-                metric.update(preds, labels)
+                metric.update(probs if metric.wants_scores and probs is not None else preds, labels)
                 logs[f"{prefix}_{mname}"] = metric.compute()
                 metric.reset()
         out_artifacts = {
