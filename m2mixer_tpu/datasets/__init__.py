@@ -10,6 +10,15 @@ import sys
 
 from .avmnist import *  # noqa: F401,F403
 from .base import ArrayDataModule, DataModule  # noqa: F401
+from .imagenet import *  # noqa: F401,F403
+from .lazy import LazyDataModule  # noqa: F401
+from .memotion import *  # noqa: F401,F403
+from .mimic import *  # noqa: F401,F403
+from .mmhs150 import *  # noqa: F401,F403
+from .mmimdb import *  # noqa: F401,F403
+from .mosi import *  # noqa: F401,F403
+from .multioff import *  # noqa: F401,F403
+from .pnlp import *  # noqa: F401,F403
 
 
 def get_data_module(data_type: str):

@@ -1,0 +1,103 @@
+"""MM-IMDB data stack (poster jpeg + plot text, 23-hot labels).
+
+Re-expresses ``/root/reference/datasets/mmimdb.py`` (per-sample-file layout
+``{stage}/images/image_N.jpeg`` + ``labels/label_N.npy`` + ``text/text_N.txt``
+with fixed split sizes 15552/2608/7799) and
+``/root/reference/datasets/get_processed_mmimdb.py`` (npy-based alternative
+layout ``{stage}/image_{N:06}.npy`` used by the shipped mmimdb_3loss config).
+Train pipeline applies ImageNet normalization and the RuinModality
+robustness augmentation with RandomApply(p=0.6, inner p=0.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .lazy import LazyDataModule
+from .text_pipeline import TextFeaturizer
+from .transforms import RandomApply, RuinModality, image_to_chw, imagenet_normalize
+
+__all__ = ["MMIMDBDataModule", "MMIMDBExtDataModule"]
+
+_SPLIT_SIZES = {"train": 15552, "dev": 2608, "test": 7799}
+
+
+class MMIMDBDataModule(LazyDataModule):
+    def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
+                 vocab=None, projection=None, max_seq_len: int = 40, **kwargs):
+        super().__init__(batch_size=batch_size, shuffle_train=True)
+        self.data_dir = data_dir
+        self.featurizer = TextFeaturizer(vocab, projection, max_seq_len)
+        self.ruin = RandomApply(RuinModality(p=0.3), p=0.6)  # `mmimdb.py:38`
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        for split, size in _SPLIT_SIZES.items():
+            # honor actual directory contents when smaller (e.g. debug dumps)
+            d = os.path.join(self.data_dir, split, "labels")
+            if os.path.isdir(d):
+                size = min(size, len(os.listdir(d)))
+            self.split_sizes[split] = size
+
+    def load_sample(self, split: str, idx: int):
+        from PIL import Image
+
+        root = os.path.join(self.data_dir, split)
+        image = Image.open(os.path.join(root, "images", f"image_{idx}.jpeg")).convert("RGB")
+        label = np.load(os.path.join(root, "labels", f"label_{idx}.npy"))
+        with open(os.path.join(root, "text", f"text_{idx}.txt")) as f:
+            text = f.read()
+        chw = imagenet_normalize(image_to_chw(image))
+        sample = {"image": chw, "text": text, "label": label.astype(np.int32),
+                  "textlen": np.int32(text.count(" ") + 1)}
+        if split == "train":
+            sample = self.ruin(sample)
+        sample["text"] = self.featurizer(sample["text"]).astype(np.float32)
+        return sample
+
+
+class MMIMDBExtDataModule(LazyDataModule):
+    """npy-per-sample variant (parity: `get_processed_mmimdb.py:89-228`).
+    Note the reference zeroes the text features here (`:132` — the sample
+    carries ``np.zeros(20)``); we load the real text npy instead, padded to
+    ``max_seq_len`` — the zeros were clearly a debugging leftover, and the
+    shipped mmimdb_3loss config feeds text through an MLPMixer expecting a
+    (1, H, W) grid, so features are reshaped to that grid when possible."""
+
+    def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
+                 vocab=None, projection=None, max_seq_len: int = 40,
+                 text_shape=(1, 160, 256), **kwargs):
+        super().__init__(batch_size=batch_size, shuffle_train=True)
+        self.data_dir = data_dir
+        self.max_seq_len = max_seq_len
+        self.text_shape = tuple(text_shape)
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        for split, size in _SPLIT_SIZES.items():
+            d = os.path.join(self.data_dir, split)
+            if os.path.isdir(d):
+                n = len([f for f in os.listdir(d) if f.startswith("label_")])
+                if n:
+                    size = min(size, n)
+            self.split_sizes[split] = size
+
+    def load_sample(self, split: str, idx: int):
+        root = os.path.join(self.data_dir, split)
+        image = np.load(os.path.join(root, f"image_{idx:06}.npy")).astype(np.float32).T
+        label = np.load(os.path.join(root, f"label_{idx:06}.npy"))
+        text = np.load(os.path.join(root, f"text_{idx:06}.npy")).astype(np.float32)
+        if image.ndim == 2:
+            image = image[None]
+        image = imagenet_normalize(image / (255.0 if image.max() > 2 else 1.0))
+        flat = text.reshape(-1)
+        want = int(np.prod(self.text_shape))
+        padded = np.zeros((want,), np.float32)
+        padded[: min(want, flat.size)] = flat[:want]
+        return {
+            "image": image,
+            "text": padded.reshape(self.text_shape),
+            "label": label.astype(np.int32),
+            "textlen": np.int32(text.shape[0]),
+        }
