@@ -116,9 +116,17 @@ class Trainer:
 
     # ------------------------------------------------------------------ utils
     def _put_batch(self, batch: Dict[str, np.ndarray]):
-        return jax.tree.map(
-            lambda x: jax.device_put(x, batch_sharding(self.mesh, np.ndim(x) or 1)), batch
-        )
+        data_size = self.mesh.shape["data"]
+
+        def put(x):
+            n = np.shape(x)[0] if np.ndim(x) else 0
+            if data_size > 1 and n % data_size != 0:
+                # ragged tail batch: replicate instead of sharding (it
+                # already triggers its own compile for the odd shape)
+                return jax.device_put(x, replicated(self.mesh))
+            return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x) or 1))
+
+        return jax.tree.map(put, batch)
 
     def _put_ctx(self, ctx: Dict[str, np.ndarray]):
         rep = replicated(self.mesh)

@@ -1,0 +1,68 @@
+"""Repeated-training significance runner.
+
+Re-expresses ``/root/reference/run_for_significance.py``: N independent
+train+test runs of one config (default 10), collecting ``test_acc`` from
+each run's final metrics into ``test_scores.npy``. Matching the reference,
+the seed is set once up front and NOT re-set per repeat
+(`run_for_significance.py:34`) so repeats differ through RNG progression;
+pass ``--reseed`` to give each repeat seed+i instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from m2mixer_tpu import config as cfg_lib
+from m2mixer_tpu import datasets, models
+from m2mixer_tpu.training import Trainer
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--cfg", type=str, required=True)
+    parser.add_argument("-n", "--name", type=str, default="significance")
+    parser.add_argument("-r", "--runs", type=int, default=10)
+    parser.add_argument("--project", type=str, default="MMixer")
+    parser.add_argument("--metric", type=str, default="test_acc")
+    parser.add_argument("--disable-wandb", action="store_true", default=True)
+    parser.add_argument("--reseed", action="store_true", default=False)
+    parser.add_argument("-o", "--out", type=str, default="test_scores.npy")
+    args, unknown = parser.parse_known_args()
+    return args, unknown
+
+
+def main():
+    args, unknown = parse_args()
+    scores = []
+    for run in range(args.runs):
+        cfg = cfg_lib.load(args.cfg)
+        overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
+        for section in ("model", "train", "dataset"):
+            if section in overrides:
+                cfg_lib.deep_update(cfg[section], overrides[section])
+        if args.reseed:
+            cfg.train.seed = int(cfg.train.seed) + run
+
+        task = models.get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+        if cfg.dataset.params.get("num_workers", 0) == -1:
+            cfg.dataset.params.num_workers = os.cpu_count()
+        dm = datasets.get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        trainer = Trainer(cfg.train, name=f"{args.name}_run{run}",
+                          use_wandb=not args.disable_wandb, full_cfg=cfg)
+        trainer.fit(task, dm)
+        logs = trainer.test(task, dm, ckpt="best")
+        scores.append(logs.get(args.metric, float("nan")))
+        trainer.logger.close()
+        print(f"[significance] run {run}: {args.metric}={scores[-1]:.5f}")
+
+    scores = np.asarray(scores)
+    np.save(args.out, scores)
+    print(f"[significance] {args.metric}: mean={np.nanmean(scores):.5f} "
+          f"std={np.nanstd(scores):.5f} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

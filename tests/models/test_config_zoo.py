@@ -11,7 +11,7 @@ from m2mixer_tpu.config import load
 from m2mixer_tpu.models import get_model
 
 REPO = os.path.join(os.path.dirname(__file__), "..", "..")
-CFGS = sorted(glob.glob(os.path.join(REPO, "cfg", "avmnist", "*.yml")))
+CFGS = sorted(glob.glob(os.path.join(REPO, "cfg", "*", "*.yml")))
 
 
 @pytest.mark.parametrize("cfg_path", CFGS, ids=[os.path.basename(p) for p in CFGS])

@@ -1,0 +1,182 @@
+"""Training-recipe feature tests: weighting modes, freezing, muting,
+SoftAdapt, GradBlend, UQ — the reference's multi-head-loss machinery."""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+from m2mixer_tpu.config import loads
+from m2mixer_tpu.datasets import get_data_module
+from m2mixer_tpu.models import get_model
+from m2mixer_tpu.training import Trainer
+
+BASE = """
+train:
+  tensorboard_path: {tmp}/logs
+  log_interval_steps: 5
+  epochs: 2
+  optimizer: {{lr: 1e-3, betas: [0.9, 0.999], eps: 1e-8, weight_decay: 0.0,
+               scheduler_patience: 2}}
+  seed: 7
+  monitor: val_loss
+  monitor_mode: min
+dataset:
+  type: AVMnistDataModule
+  params: {{data_dir: unused, batch_size: 16, num_workers: 0, synthetic: true,
+            synthetic_sizes: [48, 16, 16]}}
+model:
+  type: AVMnistMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 10, classifier: StandardClassifier,
+                      input_shape: [16, 8, 16]}}
+    image: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 14,
+             image_size: [28, 28], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    audio: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 56,
+             image_size: [112, 112], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1}}
+"""
+
+
+def fit(cfg, epochs=None):
+    if epochs is not None:
+        cfg.train.epochs = epochs
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="recipe", full_cfg=cfg)
+    trainer.fit(task, dm)
+    return trainer, task, dm
+
+
+def test_fixed_weight_annealing(tmp_path):
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.fusion_loss_weight = 0.2
+    cfg.model.fusion_loss_change = 0.1
+    cfg.model.loss_change_epoch = 0
+    trainer, task, _ = fit(cfg, epochs=3)
+    # annealed +0.1 after each of 3 validation ends
+    assert abs(task.fusion_loss_weight - 0.5) < 1e-6
+    w = task.current_loss_weights()
+    # weights: [ow, ow, w_f] * 3 with w_f=0.5
+    assert abs(w[-1] - 1.5) < 1e-5 and abs(w[0] - 0.75) < 1e-5
+
+
+def test_freeze_modalities_stops_encoder_updates(tmp_path):
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.freeze_modalities_on_epoch = 1
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="freeze", full_cfg=cfg)
+
+    cfg.train.epochs = 1
+    trainer.max_epochs = 1
+    trainer.fit(task, dm)
+    frozen_before = jax.device_get(trainer.params["params"]["encoders_0"])
+    head_before = jax.device_get(trainer.params["params"]["classifier"])
+    # continue into the frozen epoch
+    trainer.max_epochs = 2
+    trainer.current_epoch = 1
+    trainer.fit(task, dm)
+    frozen_after = jax.device_get(trainer.params["params"]["encoders_0"])
+    head_after = jax.device_get(trainer.params["params"]["classifier"])
+
+    # encoder unchanged during frozen epoch; fusion classifier still moved
+    same = jax.tree.map(lambda a, b: np.allclose(a, b), frozen_before, frozen_after)
+    assert all(jax.tree.leaves(same))
+    moved = jax.tree.map(lambda a, b: not np.allclose(a, b), head_before, head_after)
+    assert any(jax.tree.leaves(moved))
+
+
+def test_random_muting_draws_inside_step(tmp_path):
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.freeze_modalities_on_epoch = 0
+    cfg.model.random_modality_muting_on_freeze = True
+    cfg.model.muting_probs = {"image": 0.4, "audio": 0.4, "multimodal": 0.2}
+    trainer, task, _ = fit(cfg, epochs=1)
+    assert np.isfinite(trainer.callback_metrics["train_loss"])
+    ctx = task.make_ctx(0, "train")
+    assert ctx["random_mute"] == 1.0
+    np.testing.assert_allclose(ctx["mute_probs"], [0.4, 0.4, 0.2])
+
+
+def test_softadapt_updates_weights(tmp_path):
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.use_softadapt = True
+    cfg.model.update_loss_weights_per_epoch = 2
+    trainer, task, _ = fit(cfg, epochs=3)
+    w = np.asarray(task.loss_weights)
+    assert w.shape == (3,)
+    assert abs(w.sum() - 1.0) < 1e-4
+    assert not np.allclose(w, 1.0 / 3)  # refit happened at epoch 2
+
+
+def test_gradblend_estimates_weights(tmp_path):
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.gradblend = True
+    cfg.model.gb_update_freq = 10
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="gb", full_cfg=cfg)
+    # shrink the nested-training cost for the test
+    import m2mixer_tpu.modules.gradblend as gb_mod
+
+    orig = gb_mod.GradBlend.__init__
+
+    def fast_init(self, fns, params, epochs=1, learning_rate=1e-3):
+        orig(self, fns, params, epochs=1, learning_rate=learning_rate)
+
+    gb_mod.GradBlend.__init__ = fast_init
+    try:
+        cfg.train.epochs = 1
+        trainer.max_epochs = 1
+        trainer.fit(task, dm)
+    finally:
+        gb_mod.GradBlend.__init__ = orig
+    assert task.gb_weights is not None
+    w = np.asarray(task.gb_weights)
+    assert w.shape == (3,) and abs(w.sum() - 1.0) < 1e-4 and (w >= 0).all()
+    np.testing.assert_allclose(task.current_loss_weights(), w)
+
+
+def test_uq_model_trains(tmp_path):
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.type = "AVMnistMixerMultiLossUQ"
+    trainer, task, dm = fit(cfg, epochs=1)
+    logs = trainer.test(task, dm, ckpt="best")
+    assert np.isfinite(logs["test_loss"])
+    assert "test_acc" in logs
+
+
+def test_mimic_e2e_synthetic(tmp_path):
+    from m2mixer_tpu.datasets.mimic import MIMICDataModule
+
+    cfg = loads(f"""
+train:
+  tensorboard_path: {tmp_path}/logs
+  log_interval_steps: 5
+  epochs: 2
+  optimizer: {{lr: 1e-3, weight_decay: 0.0}}
+  seed: 3
+  monitor: val_loss
+  monitor_mode: min
+model:
+  type: MimicMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 6, classifier: StandardClassifier, input_shape: [16, 25, 32]}}
+    time: {{block_type: MLPMixerNoPatching, embedding_dim: 12, proj_dim: 32, hidden_dim: 32,
+            num_patch: 24, token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    static: {{block_type: MLP, input_dim: 5, hidden_dim: 32, num_blocks: 1, output_dim: 32}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion, hidden_dim: 32,
+                  token_dim: 8, channel_dim: 32, num_mixers: 1}}
+""")
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = MIMICDataModule.synthetic(n=128, batch_size=16)
+    trainer = Trainer(cfg.train, name="mimic", full_cfg=cfg)
+    trainer.fit(task, dm)
+    logs = trainer.test(task, dm, ckpt="best")
+    assert "test_auroc" in logs and "test_f1_micro" in logs
+    assert np.isfinite(logs["test_loss"])
