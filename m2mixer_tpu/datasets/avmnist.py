@@ -73,6 +73,12 @@ class AVMnistDataModule(ArrayDataModule):
         self.splits["val"] = {k: v[n_val_start:] for k, v in train.items()}
         self.splits["test"] = load("test")
 
+    def device_resident_ok(self, stage: str) -> bool:
+        # the host-side batch-muting transform blocks the device-resident path
+        if stage == "train" and self.p_muting > 0:
+            return False
+        return super().device_resident_ok(stage)
+
     def train_batches(self) -> Iterator[Batch]:
         for batch in super().train_batches():
             if self.p_muting > 0:

@@ -56,19 +56,31 @@ class ArrayDataModule(DataModule):
         arrays = self.splits[stage]
         return len(next(iter(arrays.values())))
 
+    def device_resident_ok(self, stage: str) -> bool:
+        """Whether the trainer may hoist this split into HBM and run
+        epoch-compiled training over it (no per-batch host transforms)."""
+        return stage in self.splits
+
+    def epoch_order(self, stage: str, shuffle: bool) -> np.ndarray:
+        """The sample visit order for one epoch — shared by the per-step
+        iterator and the epoch-compiled path so both are deterministic and
+        identical given the module's RNG state."""
+        n = self.split_size(stage)
+        return self._rng.permutation(n) if shuffle else np.arange(n)
+
+    def train_shuffle_enabled(self) -> bool:
+        return self.shuffle_train
+
     def _iterate(self, stage: str, shuffle: bool) -> Iterator[Batch]:
         arrays = self.splits[stage]
         n = self.split_size(stage)
-        order = self._rng.permutation(n) if shuffle else None
+        order = self.epoch_order(stage, shuffle)
         bs = self.batch_size
         end = (n // bs) * bs if self.drop_last else n
         for start in range(0, end, bs):
             stop = min(start + bs, end)
-            if order is None:
-                yield {k: v[start:stop] for k, v in arrays.items()}
-            else:
-                idx = order[start:stop]
-                yield {k: v[idx] for k, v in arrays.items()}
+            idx = order[start:stop]
+            yield {k: v[idx] for k, v in arrays.items()}
 
     def train_batches(self) -> Iterator[Batch]:
         return self._iterate("train", self.shuffle_train)

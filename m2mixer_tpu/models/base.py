@@ -41,6 +41,17 @@ from ..modules.softadapt import LossWeightedSoftAdapt
 MUTE_NONE = -1
 
 
+def resolve_dtype(precision):
+    """``model.precision`` -> compute dtype (params always stay float32).
+    'bf16'/'bfloat16' selects bfloat16 compute for every block GEMM — the
+    TPU-native mixed-precision policy; None/'f32' keeps float32."""
+    if precision in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if precision in (None, "f32", "float32", "fp32"):
+        return None
+    raise ValueError(f"Unknown precision: {precision}")
+
+
 def pool_tokens(x: jnp.ndarray) -> jnp.ndarray:
     """``x.reshape(B, -1, D).mean(axis=1)`` — the per-modality head pooling
     used throughout the reference (e.g. `models/avmnist.py:267-272`)."""

@@ -43,9 +43,11 @@ def build_multimodal_net(model_cfg, modality_keys, head_pool: bool = True,
     from ..config import DictConfig
     from ..modules import get_block_by_name, get_classifier_by_name, get_fusion_by_name
     from ..modules.common import Linear
+    from .base import resolve_dtype
 
     mc = model_cfg.modalities
     dropout = model_cfg.get("dropout", 0.0)
+    dtype = resolve_dtype(model_cfg.get("precision"))
 
     def feat_dim(block_cfg):
         return block_cfg.get("hidden_dim", block_cfg.get("d_model"))
@@ -54,16 +56,20 @@ def build_multimodal_net(model_cfg, modality_keys, head_pool: bool = True,
     for _, cfg_key in extra_encoders:
         cfg_keys.append(cfg_key)
 
-    encoders = tuple(get_block_by_name(**mc[k], dropout=dropout) for k in cfg_keys)
-    fusion = get_fusion_by_name(**mc.multimodal)
+    encoders = tuple(
+        get_block_by_name(**mc[k], dropout=dropout, dtype=dtype) for k in cfg_keys
+    )
+    fusion = get_fusion_by_name(**mc.multimodal, dtype=dtype)
     num_patches = fusion.get_output_shape(*[e.num_patch for e in encoders], dim=1)
-    fusion_mixer = get_block_by_name(**mc.multimodal, num_patches=num_patches, dropout=dropout)
+    fusion_mixer = get_block_by_name(
+        **mc.multimodal, num_patches=num_patches, dropout=dropout, dtype=dtype
+    )
     num_classes = mc.classification.num_classes
-    heads = tuple(Linear(feat_dim(mc[k]), num_classes) for k in cfg_keys)
+    heads = tuple(Linear(feat_dim(mc[k]), num_classes, dtype=dtype) for k in cfg_keys)
     cls_cfg = DictConfig(mc.classification)
     cls_cfg.setdefault("classifier", "StandardClassifier")
     cls_cfg.setdefault("input_shape", [feat_dim(mc.multimodal)])
-    classifier = get_classifier_by_name(**cls_cfg)
+    classifier = get_classifier_by_name(**cls_cfg, dtype=dtype)
     return MultimodalNet(
         encoders=encoders, heads=heads, fusion=fusion, fusion_mixer=fusion_mixer,
         classifier=classifier, head_pool=head_pool,

@@ -23,7 +23,9 @@ __all__ = [
 
 
 def cross_entropy_loss(logits, labels, weight: Optional[jnp.ndarray] = None):
-    """Mean cross-entropy over integer labels (torch ``CrossEntropyLoss``)."""
+    """Mean cross-entropy over integer labels (torch ``CrossEntropyLoss``).
+    Logits are upcast to float32 so bf16 compute keeps a stable loss."""
+    logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
     if weight is not None:
@@ -35,6 +37,7 @@ def cross_entropy_loss(logits, labels, weight: Optional[jnp.ndarray] = None):
 def bce_with_logits_loss(logits, targets, pos_weight: Optional[jnp.ndarray] = None):
     """Mean binary cross-entropy with logits (torch ``BCEWithLogitsLoss``),
     with optional per-class ``pos_weight`` applied to the positive term."""
+    logits = logits.astype(jnp.float32)
     targets = targets.astype(logits.dtype)
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)

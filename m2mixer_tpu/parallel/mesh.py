@@ -55,9 +55,10 @@ def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
     n = len(devices)
     model = max(1, config.model)
     data = config.data if config.data != -1 else n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than the {n} available devices")
+    # an explicit smaller mesh is allowed: use the first data*model devices
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 
 

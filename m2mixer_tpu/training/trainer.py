@@ -173,6 +173,35 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
 
+        # epoch-compiled fast path: many steps per dispatch (see compiled.py)
+        self._step_rng_keys = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
+        if self.compiled_epochs:
+            from .compiled import make_eval_epoch_fn, make_train_epoch_fn
+
+            bs = self.datamodule.batch_size
+            self._train_epoch_fn = make_train_epoch_fn(task, optimizer, frozen_mask, bs)
+            self._eval_epoch_fn = make_eval_epoch_fn(task, bs)
+
+    # -------------------------------------------------------------- fast path
+    @property
+    def compiled_epochs(self) -> bool:
+        """Epoch-compiled training is used when the config allows it, the
+        mesh is a single device (multi-device batches go through the sharded
+        per-step path), and the datamodule can live device-resident."""
+        if not bool(self.cfg.get("compiled_epochs", True)):
+            return False
+        if self.mesh.size != 1:
+            return False
+        dm = self.datamodule
+        return dm is not None and hasattr(dm, "splits") and bool(dm.splits)
+
+    def _device_split(self, stage: str):
+        if not hasattr(self, "_dev_splits"):
+            self._dev_splits = {}
+        if stage not in self._dev_splits:
+            self._dev_splits[stage] = jax.device_put(self.datamodule.splits[stage])
+        return self._dev_splits[stage]
+
     # ------------------------------------------------------------------ fit
     def fit(self, task, datamodule) -> None:
         self.task = task
@@ -238,27 +267,68 @@ class Trainer:
         extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
         t0 = time.time()
         nsteps = 0
-        for batch in datamodule.train_batches():
-            batch = self._put_batch(batch)
-            self.params, self.opt_state, loss, aux = self._train_step(
-                self.params, self.opt_state, batch, ctx, self.global_step
-            )
+
+        def consume(loss, aux, flat: bool):
             losses_dev.append(loss)
             if self.compute_train_metrics and train_scores is not None:
-                preds_dev.append(aux["preds"])
-                labels_dev.append(aux["labels"])
-                if "probs" in aux:
-                    probs_dev.append(aux["probs"])
+                preds = aux["preds"]
+                labels = aux["labels"]
+                probs = aux.get("probs")
+                if flat:  # (S, B, ...) stacked by the epoch scan
+                    preds = preds.reshape(-1, *preds.shape[2:])
+                    labels = labels.reshape(-1, *labels.shape[2:])
+                    if probs is not None:
+                        probs = probs.reshape(-1, *probs.shape[2:])
+                preds_dev.append(preds)
+                labels_dev.append(labels)
+                if probs is not None:
+                    probs_dev.append(probs)
             for k in extra_dev:
                 extra_dev[k].append(aux["losses"][k.removeprefix("loss_")])
-            self.global_step += 1
-            nsteps += 1
+
+        if self.compiled_epochs and datamodule.device_resident_ok("train"):
+            arrays = self._device_split("train")
+            order = datamodule.epoch_order("train", datamodule.train_shuffle_enabled())
+            bs = datamodule.batch_size
+            n_full = (len(order) // bs) * bs
+            if n_full:
+                self.params, self.opt_state, losses, aux = self._train_epoch_fn(
+                    self.params, self.opt_state, arrays,
+                    jnp.asarray(order[:n_full], jnp.int32), ctx,
+                    self._step_rng_keys, self.global_step,
+                )
+                consume(losses, aux, flat=True)
+                steps = n_full // bs
+                self.global_step += steps
+                nsteps += steps
+            # ragged tail through the per-step path
+            for start in range(n_full, len(order), bs):
+                idx = order[start:]
+                batch = self._put_batch(
+                    {k: v[idx] for k, v in datamodule.splits["train"].items()}
+                )
+                self.params, self.opt_state, loss, aux = self._train_step(
+                    self.params, self.opt_state, batch, ctx, self.global_step
+                )
+                consume(loss, aux, flat=False)
+                self.global_step += 1
+                nsteps += 1
+        else:
+            for batch in datamodule.train_batches():
+                batch = self._put_batch(batch)
+                self.params, self.opt_state, loss, aux = self._train_step(
+                    self.params, self.opt_state, batch, ctx, self.global_step
+                )
+                consume(loss, aux, flat=False)
+                self.global_step += 1
+                nsteps += 1
 
         # one host sync per epoch
-        losses = np.asarray(jax.device_get(losses_dev), np.float64)
+        losses = np.concatenate([np.atleast_1d(x) for x in jax.device_get(losses_dev)])
         logs = {"train_loss": float(losses.mean()), "epoch": epoch}
         for k, vals in extra_dev.items():
-            logs[f"train_{k}"] = float(np.mean(jax.device_get(vals)))
+            flat = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
+            logs[f"train_{k}"] = float(flat.mean())
         if self.compute_train_metrics and train_scores is not None and preds_dev:
             preds = np.concatenate(jax.device_get(preds_dev))
             labels = np.concatenate(jax.device_get(labels_dev))
@@ -281,24 +351,60 @@ class Trainer:
         extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
         artifact_keys = task.test_artifact_keys() if collect_artifacts else ()
         artifacts: Dict[str, list] = {k: [] for k in artifact_keys}
-        for batch in batches:
-            batch = self._put_batch(batch)
-            loss, aux = self._eval_step(self.params, batch, ctx)
+
+        def consume(loss, aux, flat: bool):
             losses_dev.append(loss)
-            preds_dev.append(aux["preds"])
-            labels_dev.append(aux["labels"])
-            if "probs" in aux:
-                probs_dev.append(aux["probs"])
+            preds, labels = aux["preds"], aux["labels"]
+            probs = aux.get("probs")
+            if flat:
+                preds = preds.reshape(-1, *preds.shape[2:])
+                labels = labels.reshape(-1, *labels.shape[2:])
+                if probs is not None:
+                    probs = probs.reshape(-1, *probs.shape[2:])
+            preds_dev.append(preds)
+            labels_dev.append(labels)
+            if probs is not None:
+                probs_dev.append(probs)
             for k in extra_dev:
                 extra_dev[k].append(aux["losses"][k.removeprefix("loss_")])
             for k in artifact_keys:
                 if k in aux:
-                    artifacts[k].append(aux[k])
+                    v = aux[k]
+                    if flat and v.ndim >= 2:
+                        v = v.reshape(-1, *v.shape[2:])
+                    artifacts[k].append(v)
 
-        losses = np.asarray(jax.device_get(losses_dev), np.float64)
+        split_key = "val" if prefix == "val" else "test"
+        dm = self.datamodule
+        if (self.compiled_epochs and dm is not None and batches is None
+                and dm.device_resident_ok(split_key)):
+            arrays = self._device_split(split_key)
+            order = np.arange(dm.split_size(split_key))
+            bs = dm.batch_size
+            n_full = (len(order) // bs) * bs
+            if n_full:
+                losses, aux = self._eval_epoch_fn(
+                    self.params, arrays, jnp.asarray(order[:n_full], jnp.int32), ctx
+                )
+                consume(losses, aux, flat=True)
+            for start in range(n_full, len(order), bs):
+                idx = order[start:]
+                batch = self._put_batch({k: v[idx] for k, v in dm.splits[split_key].items()})
+                loss, aux = self._eval_step(self.params, batch, ctx)
+                consume(loss, aux, flat=False)
+        else:
+            if batches is None:
+                batches = dm.val_batches() if prefix == "val" else dm.test_batches()
+            for batch in batches:
+                batch = self._put_batch(batch)
+                loss, aux = self._eval_step(self.params, batch, ctx)
+                consume(loss, aux, flat=False)
+
+        losses = np.concatenate([np.atleast_1d(x) for x in jax.device_get(losses_dev)])
         logs = {f"{prefix}_loss": float(losses.mean())}
         for k, vals in extra_dev.items():
-            logs[f"{prefix}_{k}"] = float(np.mean(jax.device_get(vals)))
+            flat_vals = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
+            logs[f"{prefix}_{k}"] = float(flat_vals.mean())
         preds = np.concatenate(jax.device_get(preds_dev)) if preds_dev else np.zeros((0,))
         labels = np.concatenate(jax.device_get(labels_dev)) if labels_dev else np.zeros((0,))
         probs = np.concatenate(jax.device_get(probs_dev)) if probs_dev else None
@@ -313,7 +419,7 @@ class Trainer:
         return logs, out_artifacts
 
     def _run_val_epoch(self, task, datamodule, epoch, val_scores) -> Dict[str, float]:
-        logs, _ = self._run_eval_epoch(task, datamodule.val_batches(), epoch, val_scores, "val")
+        logs, _ = self._run_eval_epoch(task, None, epoch, val_scores, "val")
         return logs
 
     # ------------------------------------------------------------------ ckpt
@@ -344,6 +450,7 @@ class Trainer:
     # ------------------------------------------------------------------ test
     def test(self, task, datamodule, ckpt: Optional[str] = "best") -> Dict[str, float]:
         self.task = task
+        self.datamodule = datamodule
         datamodule.setup("test")
         if self.params is None:
             raise RuntimeError("No parameters; call fit() or restore a checkpoint first")
@@ -363,7 +470,7 @@ class Trainer:
         _, _, test_scores = task.setup_scores()
         t0 = time.time()
         logs, artifacts = self._run_eval_epoch(
-            task, datamodule.test_batches(), self.current_epoch, test_scores, "test",
+            task, None, self.current_epoch, test_scores, "test",
             collect_artifacts=True,
         )
         self.logger.set_summary("test_time", time.time() - t0)
