@@ -23,8 +23,9 @@ from .classification import *  # noqa: F401,F403
 from .mlp import *  # noqa: F401,F403
 from .recurrent import *  # noqa: F401,F403
 from .losses import *  # noqa: F401,F403
+from .pallas_blocks import *  # noqa: F401,F403
 
-from . import mixer, gmlp, dynamixer, fusion, classification, mlp, recurrent, losses  # noqa: F401
+from . import mixer, gmlp, dynamixer, fusion, classification, mlp, recurrent, losses, pallas_blocks  # noqa: F401
 
 
 def _tuplify(v):

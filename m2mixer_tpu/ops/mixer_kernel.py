@@ -1,0 +1,284 @@
+"""Fused MixerBlock Pallas kernel (TPU).
+
+One kernel evaluates a whole MixerBlock — LN -> token-mix FF -> residual ->
+LN -> channel-mix FF -> residual — on a batch tile held in VMEM, instead of
+the ~14 separate HLO ops of the modular path. A second kernel computes the
+full backward pass for the tile by differentiating the same math *inside*
+the kernel (``jax.vjp`` over the tile computation traces to on-chip ops), so
+no intermediate activations ever round-trip through HBM; parameter gradients
+accumulate across batch tiles through the sequential grid.
+
+Dropout uses the per-core PRNG (`pltpu.prng_seed`/``prng_random_bits``)
+seeded by (user seed, grid tile), and the backward kernel regenerates the
+identical masks — the standard recompute (remat) trade: extra FLOPs, zero
+activation memory traffic.
+
+Shapes follow the reference block (`/root/reference/modules/mixer.py:25-47`):
+x (B, N, D); token FF (N -> T -> N) applied across tokens; channel FF
+(D -> C -> D) across features. All shapes static; the batch tile is chosen
+so the channel-FF hidden tile stays well under VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["MixerBlockParams", "fused_mixer_block", "mixer_block_reference"]
+
+
+class MixerBlockParams(NamedTuple):
+    ln1_scale: jax.Array  # (D,)
+    ln1_bias: jax.Array
+    w1: jax.Array  # (N, T)
+    b1: jax.Array  # (T,)
+    w2: jax.Array  # (T, N)
+    b2: jax.Array  # (N,)
+    ln2_scale: jax.Array  # (D,)
+    ln2_bias: jax.Array
+    w3: jax.Array  # (D, C)
+    b3: jax.Array  # (C,)
+    w4: jax.Array  # (C, D)
+    b4: jax.Array  # (D,)
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7): Mosaic has no
+    erf/erfc lowering, and this keeps the kernel's GELU the exact-erf flavor
+    the reference uses (torch nn.GELU default), not the tanh approximation."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _block_math(x, params: MixerBlockParams, masks, compute_dtype):
+    """The MixerBlock forward over one (TILE_B, N, D) tile.
+
+    All contractions are plain 2-D matmuls (tile flattened to rows) so the
+    backward pass AD generates — weight grads contract over the row axis —
+    lowers to single-contracting-dim ``tpu.matmul``s. ``masks`` are the four
+    dropout keep-masks (pre-scaled by 1/(1-p)), or None.
+    """
+    p = params
+    cd = compute_dtype
+    B, N, D = x.shape
+    T = p.w1.shape[1]
+
+    def mm(a, w):
+        return jnp.dot(a.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
+
+    x2 = x.astype(cd).reshape(B * N, D)
+    y = _layer_norm(x2, p.ln1_scale.astype(cd), p.ln1_bias.astype(cd))
+    # token mix over N: rows become (B*D, N)
+    y_t = y.reshape(B, N, D).transpose(0, 2, 1).reshape(B * D, N)
+    h = _gelu(mm(y_t, p.w1) + p.b1)  # (B*D, T)
+    if masks is not None:
+        h = h * masks[0]
+    t = mm(h, p.w2) + p.b2  # (B*D, N)
+    if masks is not None:
+        t = t * masks[1]
+    t = t.reshape(B, D, N).transpose(0, 2, 1).reshape(B * N, D)
+    x1 = x2 + t.astype(cd)
+
+    z = _layer_norm(x1, p.ln2_scale.astype(cd), p.ln2_bias.astype(cd))
+    h2 = _gelu(mm(z, p.w3) + p.b3)  # (B*N, C)
+    if masks is not None:
+        h2 = h2 * masks[2]
+    c = mm(h2, p.w4) + p.b4  # (B*N, D)
+    if masks is not None:
+        c = c * masks[3]
+    return (x1 + c.astype(cd)).astype(jnp.float32).reshape(B, N, D)
+
+
+def _make_masks(shapes, rate, seed_ref, tile_idx):
+    """Four dropout keep-masks from the on-chip PRNG; identical sequence in
+    forward and backward kernels (same seed, same call order)."""
+    if rate == 0.0:
+        return None
+    pltpu.prng_seed(seed_ref[0] + tile_idx)
+    keep_scale = 1.0 / (1.0 - rate)
+    thresh = jnp.uint32(int(rate * (2**32 - 1)))
+    masks = []
+    for shape in shapes:
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        masks.append((bits >= thresh).astype(jnp.float32) * keep_scale)
+    return tuple(masks)
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests / virtual mesh)."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(seed_ref, x_ref, *param_refs, out_ref, rate, compute_dtype, dims):
+    tile_b, n, d, t, c = dims
+    params = MixerBlockParams(*[r[:] for r in param_refs])
+    masks = _make_masks(
+        [(tile_b * d, t), (tile_b * d, n), (tile_b * n, c), (tile_b * n, d)],
+        rate, seed_ref, pl.program_id(0),
+    )
+    out_ref[:] = _block_math(x_ref[:], params, masks, compute_dtype)
+
+
+def _bwd_kernel(seed_ref, x_ref, g_ref, *refs, rate, compute_dtype, dims, n_params):
+    tile_b, n, d, t, c = dims
+    param_refs = refs[:n_params]
+    dx_ref = refs[n_params]
+    dparam_refs = refs[n_params + 1:]
+    params = MixerBlockParams(*[r[:] for r in param_refs])
+    masks = _make_masks(
+        [(tile_b * d, t), (tile_b * d, n), (tile_b * n, c), (tile_b * n, d)],
+        rate, seed_ref, pl.program_id(0),
+    )
+
+    def f(x, ps):
+        return _block_math(x, ps, masks, compute_dtype)
+
+    # differentiate the tile computation on-chip: traces to VMEM-resident ops
+    _, vjp = jax.vjp(f, x_ref[:], params)
+    dx, dparams = vjp(g_ref[:])
+    dx_ref[:] = dx
+
+    i = pl.program_id(0)
+    for ref, dp in zip(dparam_refs, dparams):
+        @pl.when(i == 0)
+        def _(ref=ref, dp=dp):
+            ref[:] = dp.astype(jnp.float32)
+
+        @pl.when(i > 0)
+        def _(ref=ref, dp=dp):
+            ref[:] = ref[:] + dp.astype(jnp.float32)
+
+
+def _choose_tile(b, n, c, n_live_bufs: int):
+    """Largest batch tile whose (rows x C) working set fits VMEM.
+
+    ``n_live_bufs`` approximates how many rows-by-C float buffers are alive
+    at once: ~4 for the forward, ~20 for the AD-generated backward (weights,
+    weight grads, and the recomputed/gradient activations)."""
+    budget_rows = (10 * 1024 * 1024 // 4) // max(c * n_live_bufs, 1)
+    tile_b = max(1, min(b, max(budget_rows, 1) // max(n, 1)))
+    while b % tile_b != 0:
+        tile_b -= 1
+    return tile_b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_mixer_block(x, params: MixerBlockParams, seed=None,
+                      dropout_rate: float = 0.0, compute_dtype=jnp.float32):
+    """Fused MixerBlock: ``x (B, N, D) -> (B, N, D)`` (float32 in/out).
+
+    ``seed``: traced int32 (1,) array driving the in-kernel dropout PRNG
+    (ignored when dropout_rate == 0); being an operand, per-step seeds do
+    NOT retrace/recompile."""
+    return _fwd_call(x, params, seed, dropout_rate, compute_dtype)
+
+
+def _specs_for_params(params):
+    # nd bound eagerly: late-binding closures would all use the last param
+    return [pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+            for p in params]
+
+
+def _fwd_call(x, params, seed, dropout_rate, compute_dtype):
+    b, n, d = x.shape
+    t = params.w1.shape[1]
+    c = params.w3.shape[1]
+    tile_b = _choose_tile(b, n, c, n_live_bufs=4)
+    dims = (tile_b, n, d, t, c)
+    grid = (b // tile_b,)
+    kernel = functools.partial(_fwd_kernel, rate=float(dropout_rate),
+                               compute_dtype=compute_dtype, dims=dims)
+    seed_arr = jnp.zeros((1,), jnp.int32) if seed is None else jnp.asarray(seed, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        lambda seed_ref, x_ref, *prefs: kernel(seed_ref, x_ref, *prefs[:-1], out_ref=prefs[-1]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *_specs_for_params(params),
+        ],
+        out_specs=pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        interpret=_interpret(),
+    )(seed_arr, x, *params)
+
+
+def _fwd_rule(x, params, seed, dropout_rate, compute_dtype):
+    y = _fwd_call(x, params, seed, dropout_rate, compute_dtype)
+    return y, (x, params, seed)
+
+
+def _bwd_rule(dropout_rate, compute_dtype, residuals, g):
+    x, params, seed = residuals
+    b, n, d = x.shape
+    t = params.w1.shape[1]
+    c = params.w3.shape[1]
+    tile_b = _choose_tile(b, n, c, n_live_bufs=20)
+    dims = (tile_b, n, d, t, c)
+    grid = (b // tile_b,)
+    n_params = len(params)
+    kernel = functools.partial(_bwd_kernel, rate=float(dropout_rate),
+                               compute_dtype=compute_dtype, dims=dims,
+                               n_params=n_params)
+    seed_arr = jnp.zeros((1,), jnp.int32) if seed is None else jnp.asarray(seed, jnp.int32).reshape(1)
+
+    dparam_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for p in params
+    ]
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *_specs_for_params(params),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *dparam_specs,
+        ),
+        out_shape=out_shapes,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed_arr, x, g, *params)
+    dx, *dparams = outs
+    import numpy as _np
+    dseed = (None if seed is None
+             else _np.zeros(_np.shape(seed), jax.dtypes.float0))
+    return dx, MixerBlockParams(*dparams), dseed
+
+
+fused_mixer_block.defvjp(_fwd_rule, _bwd_rule)
+
+
+def mixer_block_reference(x, params: MixerBlockParams, dropout_rate: float = 0.0,
+                          compute_dtype=jnp.float32):
+    """Pure-jnp reference of the same math (no dropout), for parity tests."""
+    return _block_math(x, params, None, compute_dtype)

@@ -1,0 +1,90 @@
+"""Fused MixerBlock Pallas kernel: numerics parity with the jnp reference
+(interpret mode on CPU; the same kernels compile via Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m2mixer_tpu.ops.mixer_kernel import (
+    MixerBlockParams,
+    fused_mixer_block,
+    mixer_block_reference,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(0)
+    B, N, D, T, C = 8, 4, 32, 16, 64
+    x = jnp.asarray(rng.randn(B, N, D), jnp.float32)
+    params = MixerBlockParams(
+        ln1_scale=jnp.ones(D), ln1_bias=jnp.zeros(D),
+        w1=jnp.asarray(rng.randn(N, T) * 0.1, jnp.float32), b1=jnp.zeros(T),
+        w2=jnp.asarray(rng.randn(T, N) * 0.1, jnp.float32), b2=jnp.zeros(N),
+        ln2_scale=jnp.ones(D), ln2_bias=jnp.zeros(D),
+        w3=jnp.asarray(rng.randn(D, C) * 0.1, jnp.float32), b3=jnp.zeros(C),
+        w4=jnp.asarray(rng.randn(C, D) * 0.1, jnp.float32), b4=jnp.zeros(D),
+    )
+    return x, params
+
+
+def test_forward_matches_reference(setup):
+    x, params = setup
+    y = fused_mixer_block(x, params)
+    ref = mixer_block_reference(x, params)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_forward_matches_modular_flax_block(setup):
+    """The kernel must compute the same function as the modular MixerBlock
+    (up to the in-kernel polynomial erf, |err| <= 1.5e-7)."""
+    from m2mixer_tpu.modules.mixer import MixerBlock
+
+    x, p = setup
+    block = MixerBlock(hidden_dim=32, num_patch=4, token_dim=16, channel_dim=64)
+    variables = {
+        "params": {
+            "norm_token": {"LayerNorm_0": {"scale": p.ln1_scale, "bias": p.ln1_bias}},
+            "token_mix": {"fc1": {"linear": {"kernel": p.w1, "bias": p.b1}},
+                          "fc2": {"linear": {"kernel": p.w2, "bias": p.b2}}},
+            "norm_channel": {"LayerNorm_0": {"scale": p.ln2_scale, "bias": p.ln2_bias}},
+            "channel_mix": {"fc1": {"linear": {"kernel": p.w3, "bias": p.b3}},
+                            "fc2": {"linear": {"kernel": p.w4, "bias": p.b4}}},
+        }
+    }
+    ref = block.apply(variables, x)
+    y = fused_mixer_block(x, p)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=5e-5)
+
+
+def test_gradients_match_reference(setup):
+    x, params = setup
+    g = jax.grad(lambda x, p: jnp.sum(fused_mixer_block(x, p) ** 2), argnums=(0, 1))(x, params)
+    gr = jax.grad(lambda x, p: jnp.sum(mixer_block_reference(x, p) ** 2), argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(gr[0]), atol=1e-4)
+    for name, a, b in zip(params._fields, g[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+
+def test_pallas_block_module_matches_kernel(setup):
+    from m2mixer_tpu.modules.pallas_blocks import PallasMixerBlock
+
+    x, _ = setup
+    block = PallasMixerBlock(hidden_dim=32, num_patch=4, token_dim=16, channel_dim=64)
+    variables = block.init(jax.random.PRNGKey(0), x)
+    y = block.apply(variables, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_pallas_mlp_mixer_registry():
+    from m2mixer_tpu.modules import get_block_by_name
+
+    m = get_block_by_name(block_type="PallasMLPMixer", in_channels=1, hidden_dim=32,
+                          patch_size=14, image_size=[28, 28], token_dim=16,
+                          channel_dim=64, num_mixers=2, dropout=0.0)
+    x = jnp.ones((2, 1, 28, 28))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(variables, x)
+    assert y.shape == (2, 4, 32)
