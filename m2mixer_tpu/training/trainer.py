@@ -81,6 +81,19 @@ class Trainer:
     ):
         self.cfg = train_cfg
         self.name = name
+        # multi-host: bring up the jax distributed runtime before the mesh
+        # (DCN process group; per-host data feeding is the pipeline's job)
+        if bool(train_cfg.get("distributed", False)):
+            import jax.distributed
+
+            try:
+                jax.distributed.initialize()
+            except Exception as e:
+                print(f"[trainer] jax.distributed.initialize failed/skipped: {e}")
+        # debugging analog of sanitizers: raise on NaN grads/activations
+        if bool(train_cfg.get("debug_nans", False)):
+            jax.config.update("jax_debug_nans", True)
+        self.profile_dir = train_cfg.get("profile_dir", None)
         self.max_epochs = int(train_cfg.get("epochs", 1))
         self.monitor = train_cfg.get("monitor", "val_loss")
         self.monitor_mode = train_cfg.get("monitor_mode", "min")
@@ -203,7 +216,7 @@ class Trainer:
         return self._dev_splits[stage]
 
     # ------------------------------------------------------------------ fit
-    def fit(self, task, datamodule) -> None:
+    def fit(self, task, datamodule, resume_from: Optional[str] = None) -> None:
         self.task = task
         self.datamodule = datamodule
         datamodule.setup("fit")
@@ -219,6 +232,9 @@ class Trainer:
         self.optimizer, lr0 = _make_optimizer(task.optimizer_cfg)
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
+        if resume_from is not None:
+            self.restore(resume_from, with_progress=True)
+            print(f"[trainer] resumed from {resume_from} at epoch {self.current_epoch}")
         self.plateau = ReduceLROnPlateau(lr0, patience=int(task.scheduler_patience))
         self._build_steps(task, step_rng)
 
@@ -229,7 +245,12 @@ class Trainer:
             for epoch in range(self.current_epoch, self.max_epochs):
                 self.current_epoch = epoch
                 task.on_train_epoch_start(self, epoch)
-                self._run_train_epoch(task, datamodule, epoch, train_scores)
+                if self.profile_dir and epoch == 1:
+                    # profile the second epoch (first is compile-skewed)
+                    with jax.profiler.trace(self.profile_dir):
+                        self._run_train_epoch(task, datamodule, epoch, train_scores)
+                else:
+                    self._run_train_epoch(task, datamodule, epoch, train_scores)
                 task.on_train_epoch_end(self, epoch, dict(self.callback_metrics))
                 logs = self._run_val_epoch(task, datamodule, epoch, val_scores)
                 task.on_validation_epoch_end(self, epoch, logs)
@@ -413,6 +434,19 @@ class Trainer:
                 metric.update(probs if metric.wants_scores and probs is not None else preds, labels)
                 logs[f"{prefix}_{mname}"] = metric.compute()
                 metric.reset()
+        # confusion-matrix logging (the reference sends one to wandb,
+        # `train_test_module.py:124-132`); here it lands next to the logs
+        if getattr(task, "log_confusion_matrix", False) and preds.size and preds.ndim == 1:
+            from .metrics import confusion_matrix as _cm
+
+            p_int = preds.astype(np.int64)
+            l_int = labels.astype(np.int64).reshape(-1)
+            if p_int.shape == l_int.shape:
+                k = int(max(p_int.max(), l_int.max())) + 1
+                cm = _cm(p_int, l_int, k)
+                np.save(os.path.join(self.logger.log_dir,
+                                     f"confusion_matrix_{prefix}_{epoch}.npy"), cm)
+
         out_artifacts = {
             k: np.concatenate(jax.device_get(v)) for k, v in artifacts.items() if v
         }
@@ -424,16 +458,24 @@ class Trainer:
 
     # ------------------------------------------------------------------ ckpt
     def _state(self):
-        return {"params": self.params, "opt_state": self.opt_state}
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": np.int32(self.current_epoch),
+            "global_step": np.int64(self.global_step),
+        }
 
     def _save_checkpoint(self, epoch: int, logs: Dict[str, float]) -> None:
         self.checkpoints.save(epoch, self._state(), logs)
 
-    def restore(self, path: str) -> None:
+    def restore(self, path: str, with_progress: bool = False) -> None:
         restored = self.checkpoints.restore(path, self._state())
         self.params = restored["params"]
         if restored.get("opt_state") is not None and self.opt_state is not None:
             self.opt_state = restored["opt_state"]
+        if with_progress:
+            self.current_epoch = int(restored.get("epoch", 0)) + 1
+            self.global_step = int(restored.get("global_step", 0))
 
     def restore_params_only(self, path: str, task, datamodule) -> None:
         """Load params from a checkpoint path for test-only runs."""

@@ -116,6 +116,10 @@ class Projection:
         self.window_size = window_size
 
     def __call__(self, words: List[List[str]]) -> np.ndarray:
+        if words:
+            native = self._call_native(words)
+            if native is not None:
+                return native
         # per-word fingerprint: min over its tokens' cached fingerprints
         fingerprints = np.stack([
             self.hash.rows(tokens).min(axis=0) for tokens in words
@@ -130,6 +134,16 @@ class Projection:
                 [padded[k : k + n] for k in range(2 * w + 1)], axis=1
             )
         return features
+
+    def _call_native(self, words: List[List[str]]):
+        """One-pass C++ projection (m2mixer_tpu/native) when built."""
+        from ..native import project_words_native
+
+        flat = [t for tokens in words for t in tokens]
+        offsets = np.zeros((len(words) + 1,), np.int64)
+        np.cumsum([len(tokens) for tokens in words], out=offsets[1:])
+        token_rows = self.hash.rows(flat).astype(np.int32)
+        return project_words_native(token_rows, offsets, self.feature_size, self.window_size)
 
 
 def build_vocab_cache(vocab_file: str, out_file: str = "vocab.npy",

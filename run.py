@@ -68,11 +68,7 @@ def main():
     cfg, task, datamodule, trainer = build(args, unknown)
 
     if args.mode == "train":
-        if args.ckpt:
-            datamodule.setup("fit")
-            trainer.fit(task, datamodule)  # fresh fit; explicit resume below
-        else:
-            trainer.fit(task, datamodule)
+        trainer.fit(task, datamodule, resume_from=args.ckpt)
         trainer.test(task, datamodule, ckpt="best")
     elif args.mode == "test":
         if args.ckpt:
