@@ -41,7 +41,9 @@ class MultiOFFDataModule(LazyDataModule):
 
         for split, csv in _SPLIT_CSVS.items():
             df = pd.read_csv(os.path.join(self.data_dir, "Split Dataset", csv))
-            df.iloc[:, -1] = df.iloc[:, -1].apply(lambda x: 1 if x == "offensive" else 0)
+            # offensive -> 1, anything else -> 0 (`multioff.py:93`); written to
+            # a fresh int column (pandas 3 str columns reject int assignment)
+            df = df.assign(_label=(df.iloc[:, -1] == "offensive").astype(int))
             self.frames[split] = df
             self.split_sizes[split] = len(df)
 
@@ -55,6 +57,6 @@ class MultiOFFDataModule(LazyDataModule):
         return {
             "image": image,
             "text": self.featurizer(text).astype(np.float32),
-            "label": np.int32(row.iloc[-1]),
+            "label": np.int32(row["_label"]),
             "textlen": np.int32(text.count(" ") + 1),
         }

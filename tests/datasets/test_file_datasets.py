@@ -1,0 +1,136 @@
+"""File-layout dataset tests with tiny generated corpora."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from m2mixer_tpu.config import DictConfig
+
+
+@pytest.fixture(scope="module")
+def vocab(tmp_path_factory):
+    from m2mixer_tpu.utils.projection import build_vocab_cache
+
+    tmp = tmp_path_factory.mktemp("vocab")
+    vocab_file = tmp / "vocab.txt"
+    vocab_file.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "a", "the", "movie", "was", "great", "bad", "meme", "funny", "none"]))
+    cache = tmp / "vocab.npy"
+    build_vocab_cache(str(vocab_file), str(cache))
+    return DictConfig({
+        "tokenizer_type": "wordpiece",
+        "tokenizer": {"vocab": str(vocab_file), "lowercase": True,
+                      "strip_accents": False, "clean_text": False},
+        "vocab_path": str(cache),
+    })
+
+
+PROJ = DictConfig({"num_hashes": 64, "feature_size": 32, "window_size": 1})
+
+
+def _img(path, size=(40, 30)):
+    Image.fromarray(np.random.RandomState(0).randint(0, 255, (size[1], size[0], 3),
+                                                     dtype=np.uint8)).save(path)
+
+
+def test_mmimdb_file_layout(tmp_path, vocab):
+    from m2mixer_tpu.datasets.mmimdb import MMIMDBDataModule
+
+    for split in ("train", "dev", "test"):
+        for sub in ("images", "labels", "text"):
+            os.makedirs(tmp_path / split / sub)
+        for i in range(4):
+            _img(tmp_path / split / "images" / f"image_{i}.jpeg")
+            np.save(tmp_path / split / "labels" / f"label_{i}.npy",
+                    np.eye(23, dtype=np.int64)[i % 23])
+            (tmp_path / split / "text" / f"text_{i}.txt").write_text("the movie was great")
+
+    dm = MMIMDBDataModule(str(tmp_path), batch_size=2, vocab=vocab,
+                          projection=PROJ, max_seq_len=8)
+    dm.setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["image"].shape == (2, 3, 30, 40)
+    assert batch["text"].shape == (2, 8, 3 * 32)
+    assert batch["label"].shape == (2, 23)
+
+
+def test_mmhs150_file_layout(tmp_path, vocab):
+    from m2mixer_tpu.datasets.mmhs150 import MMHS150DataModule
+
+    os.makedirs(tmp_path / "splits")
+    os.makedirs(tmp_path / "img_resized")
+    os.makedirs(tmp_path / "img_txt")
+    ids = [f"10{i}" for i in range(4)]
+    gt = {}
+    for i, sid in enumerate(ids):
+        _img(tmp_path / "img_resized" / f"{sid}.jpg")
+        gt[sid] = {"tweet_text": "funny meme was bad", "labels": [1, 1, 0]}
+        if i % 2 == 0:
+            with open(tmp_path / "img_txt" / f"{sid}.json", "w") as f:
+                json.dump({"img_text": "the meme"}, f)
+    for split in ("train_ids", "test_ids", "val_ids"):
+        (tmp_path / "splits" / f"{split}.txt").write_text("\n".join(ids))
+    with open(tmp_path / "MMHS150K_GT.json", "w") as f:
+        json.dump(gt, f)
+
+    dm = MMHS150DataModule(str(tmp_path), batch_size=2, vocab=vocab,
+                           projection=PROJ, max_seq_len=8)
+    dm.setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["image"].shape == (2, 3, 256, 256)
+    assert batch["text"].shape == (2, 8, 96)
+    assert batch["ocr"].shape == (2, 8, 96)
+    assert set(batch["label"]) <= {0, 1}
+    # 2 annotators positive -> label 1 (majority rule)
+    assert batch["label"][0] == 1
+
+
+def test_multioff_csv_layout(tmp_path, vocab):
+    import pandas as pd
+
+    from m2mixer_tpu.datasets.multioff import MultiOFFDataModule
+
+    os.makedirs(tmp_path / "Split Dataset")
+    os.makedirs(tmp_path / "Labelled Images")
+    rows = []
+    for i in range(4):
+        name = f"m{i}.png"
+        _img(tmp_path / "Labelled Images" / name)
+        rows.append({"image_name": name, "sentence": "a funny meme",
+                     "label": "offensive" if i % 2 else "Non-offensiv"})
+    for csv in ("Training_meme_dataset.csv", "Testing_meme_dataset.csv",
+                "Validation_meme_dataset.csv"):
+        pd.DataFrame(rows).to_csv(tmp_path / "Split Dataset" / csv, index=False)
+
+    dm = MultiOFFDataModule(str(tmp_path), batch_size=2, vocab=vocab,
+                            projection=PROJ, max_seq_len=8)
+    dm.setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["image"].shape == (2, 3, 512, 512)
+    assert set(np.asarray(batch["label"])) <= {0, 1}
+
+
+def test_pnlp_imdb_layout(tmp_path, vocab):
+    from m2mixer_tpu.datasets.pnlp import PnlpMixerDataModule
+
+    for split in ("train", "test"):
+        for label in ("pos", "neg"):
+            d = tmp_path / split / label
+            os.makedirs(d)
+            for i in range(2):
+                (d / f"{i}.txt").write_text("the movie was great" if label == "pos"
+                                            else "the movie was bad")
+
+    train_cfg = DictConfig({"dataset_type": "imdb", "dataset_path": str(tmp_path),
+                            "labels": ["neg", "pos"], "max_seq_len": 8,
+                            "train_batch_size": 2, "test_batch_size": 2,
+                            "num_workers": 0})
+    dm = PnlpMixerDataModule(vocab_cfg=vocab, train_cfg=train_cfg, proj_cfg=PROJ)
+    dm.setup()
+    batch = next(iter(dm.train_batches()))
+    assert batch["text"].shape == (2, 8, 96)
+    assert set(np.asarray(batch["label"])) <= {0, 1}
