@@ -20,7 +20,14 @@ from flax import linen as nn
 from ..ops.mixer_kernel import MixerBlockParams, fused_mixer_block
 from .common import LayerNorm, PatchEmbed, torch_bias_init, torch_kernel_init
 
-__all__ = ["PallasMixerBlock", "PallasMLPMixer", "PallasFusionMixer"]
+__all__ = [
+    "PallasMixerBlock",
+    "PallasMLPMixer",
+    "PallasFusionMixer",
+    "PallasGatingMlpBlock",
+    "PallasVisiongMLP",
+    "PallasFusiongMLP",
+]
 
 
 class PallasMixerBlock(nn.Module):
@@ -115,3 +122,120 @@ class PallasFusionMixer(nn.Module):
                 dropout=self.dropout, dtype=self.dtype, name=f"block_{i}",
             )(x, deterministic)
         return LayerNorm(dtype=self.dtype, name="norm_out")(x)
+
+
+class PallasGatingMlpBlock(nn.Module):
+    """One fused GatingMlpBlock (see ``ops/gmlp_kernel.py``); stochastic
+    depth (whole-batch skip, `/root/reference/modules/gmpl.py:36-41`) is
+    applied outside the kernel as a traced select."""
+
+    d_model: int
+    d_ffn: int
+    seq_len: int
+    survival_prob: float = 1.0
+    dropout: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from ..ops.gmlp_kernel import GmlpBlockParams, fused_gmlp_block
+
+        D, F, N = self.d_model, self.d_ffn, self.seq_len
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        params = GmlpBlockParams(
+            ln_scale=self.param("ln_scale", ones, (D,), jnp.float32),
+            ln_bias=self.param("ln_bias", zeros, (D,), jnp.float32),
+            w_in=self.param("w_in", torch_kernel_init, (D, F), jnp.float32),
+            b_in=self.param("b_in", torch_bias_init(D), (F,), jnp.float32),
+            sgu_ln_scale=self.param("sgu_ln_scale", ones, (F // 2,), jnp.float32),
+            sgu_ln_bias=self.param("sgu_ln_bias", zeros, (F // 2,), jnp.float32),
+            sgu_w=self.param("sgu_w", nn.initializers.normal(stddev=0.02), (N, N), jnp.float32),
+            sgu_b=self.param("sgu_b", nn.initializers.ones, (N,), jnp.float32),
+            w_out=self.param("w_out", torch_kernel_init, (F // 2, D), jnp.float32),
+            b_out=self.param("b_out", torch_bias_init(F // 2), (D,), jnp.float32),
+        )
+        rate = 0.0 if deterministic else float(self.dropout)
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(self.make_rng("dropout"), (1,), 0, 2**31 - 1)
+        out = fused_gmlp_block(x.astype(jnp.float32), params, seed, rate,
+                               self.dtype or jnp.float32)
+        if deterministic or self.survival_prob >= 1.0:
+            return out
+        keep = jax.random.bernoulli(
+            self.make_rng("stochastic"), p=jnp.asarray(self.survival_prob, jnp.float32)
+        )
+        return jnp.where(keep, out, x)
+
+
+class PallasVisiongMLP(nn.Module):
+    """VisiongMLP with fused gMLP blocks (config parity with VisiongMLP)."""
+
+    image_size: Tuple[int, int]
+    in_channels: int
+    patch_size: int
+    d_model: int
+    d_ffn: int
+    n_blocks: int
+    prob_0_L: Tuple[float, float] = (1.0, 0.0)
+    dropout: float = 0.0
+    dtype: Optional[Any] = None
+
+    @property
+    def num_patch(self) -> int:
+        ih, iw = self.image_size
+        assert ih % self.patch_size == 0 and iw % self.patch_size == 0
+        return (ih // self.patch_size) * (iw // self.patch_size)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        import numpy as np
+
+        b, c, h, w = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        x = x.reshape(b, c, gh, p, gw, p)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
+        x = nn.Dense(self.d_model, kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(c * p * p), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="patch_embedding")(x)
+        probs = np.linspace(self.prob_0_L[0], self.prob_0_L[1], self.n_blocks)
+        for i, prob in enumerate(probs):
+            x = PallasGatingMlpBlock(
+                d_model=self.d_model, d_ffn=self.d_ffn, seq_len=self.num_patch,
+                survival_prob=float(prob), dropout=self.dropout, dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, deterministic)
+        return x
+
+
+class PallasFusiongMLP(nn.Module):
+    """FusiongMLP with fused gMLP blocks (config parity with FusiongMLP)."""
+
+    d_model: int
+    d_ffn: int
+    n_blocks: int
+    num_patches: int
+    prob_0_L: Tuple[float, float] = (1.0, 0.0)
+    dropout: float = 0.0
+    dtype: Optional[Any] = None
+
+    @property
+    def num_patch(self) -> int:
+        return self.num_patches
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        import numpy as np
+
+        b = x.shape[0]
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.d_model), jnp.float32)
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.d_model)), x], axis=1)
+        probs = np.linspace(self.prob_0_L[0], self.prob_0_L[1], self.n_blocks)
+        for i, prob in enumerate(probs):
+            x = PallasGatingMlpBlock(
+                d_model=self.d_model, d_ffn=self.d_ffn, seq_len=self.num_patches + 1,
+                survival_prob=float(prob), dropout=self.dropout, dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, deterministic)
+        return x

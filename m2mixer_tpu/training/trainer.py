@@ -81,6 +81,18 @@ class Trainer:
     ):
         self.cfg = train_cfg
         self.name = name
+        # persistent XLA compile cache (repeat runs skip compilation)
+        if bool(train_cfg.get("compile_cache", True)):
+            cache_dir = os.environ.get(
+                "M2MIXER_COMPILE_CACHE",
+                os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), ".jax_cache"),
+            )
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            except Exception:
+                pass
         # multi-host: bring up the jax distributed runtime before the mesh
         # (DCN process group; per-host data feeding is the pipeline's job)
         if bool(train_cfg.get("distributed", False)):
