@@ -242,3 +242,7 @@ class AVMnistMixerMultiLossUQ(AVMnistMixerMultiLoss):
             "uncertainty_image": u_i.mean(),
             "uncertainty_audio": u_a.mean(),
         }
+
+    def epoch_scalar_keys(self):
+        # per-epoch mean uncertainties (`models/avmnist.py:556-572`)
+        return ("uncertainty", "uncertainty_image", "uncertainty_audio")

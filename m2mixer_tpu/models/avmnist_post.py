@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..config import DictConfig
+
 from ..modules import get_classifier_by_name
 from ..training import metrics as tm
 from .base import TrainTask

@@ -122,6 +122,11 @@ class TrainTask(abc.ABC):
         """aux['losses'] entries to average & log per epoch."""
         return ()
 
+    def epoch_scalar_keys(self) -> Sequence[str]:
+        """extra per-step scalar aux entries to average & log per epoch
+        (e.g. the UQ model's uncertainties, `models/avmnist.py:556-572`)."""
+        return ()
+
     def test_artifact_keys(self) -> Sequence[str]:
         """aux keys concatenated across test batches into test_preds.npz."""
         return ()

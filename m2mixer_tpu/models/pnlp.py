@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..modules.classification import SequenceClassificationLayer, TokenClassificationLayer
-from ..modules.common import Linear
 from ..modules.losses import cross_entropy_loss
 from ..modules.mixer import PNLPMixer
 from ..training import metrics as tm

@@ -14,7 +14,7 @@ DataLoader-worker-feeds-one-step-at-a-time shape: for AV-MNIST it turns
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Iterable, Optional
+from typing import Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -298,6 +298,7 @@ class Trainer:
         ctx = self._put_ctx(task.make_ctx(epoch, "train"))
         losses_dev, preds_dev, labels_dev, probs_dev = [], [], [], []
         extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
+        scalar_dev: Dict[str, list] = {k: [] for k in task.epoch_scalar_keys()}
         t0 = time.time()
         nsteps = 0
 
@@ -318,6 +319,9 @@ class Trainer:
                     probs_dev.append(probs)
             for k in extra_dev:
                 extra_dev[k].append(aux["losses"][k.removeprefix("loss_")])
+            for k in scalar_dev:
+                if k in aux:
+                    scalar_dev[k].append(aux[k])
 
         if self.compiled_epochs and datamodule.device_resident_ok("train"):
             arrays = self._device_split("train")
@@ -362,6 +366,10 @@ class Trainer:
         for k, vals in extra_dev.items():
             flat = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
             logs[f"train_{k}"] = float(flat.mean())
+        for k, vals in scalar_dev.items():
+            if vals:
+                flat = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
+                logs[f"train_{k}"] = float(flat.mean())
         if self.compute_train_metrics and train_scores is not None and preds_dev:
             preds = np.concatenate(jax.device_get(preds_dev))
             labels = np.concatenate(jax.device_get(labels_dev))
@@ -382,6 +390,7 @@ class Trainer:
         ctx = self._put_ctx(task.make_ctx(epoch, prefix))
         losses_dev, preds_dev, labels_dev, probs_dev = [], [], [], []
         extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
+        scalar_dev: Dict[str, list] = {k: [] for k in task.epoch_scalar_keys()}
         artifact_keys = task.test_artifact_keys() if collect_artifacts else ()
         artifacts: Dict[str, list] = {k: [] for k in artifact_keys}
 
@@ -400,6 +409,9 @@ class Trainer:
                 probs_dev.append(probs)
             for k in extra_dev:
                 extra_dev[k].append(aux["losses"][k.removeprefix("loss_")])
+            for k in scalar_dev:
+                if k in aux:
+                    scalar_dev[k].append(aux[k])
             for k in artifact_keys:
                 if k in aux:
                     v = aux[k]
@@ -438,6 +450,10 @@ class Trainer:
         for k, vals in extra_dev.items():
             flat_vals = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
             logs[f"{prefix}_{k}"] = float(flat_vals.mean())
+        for k, vals in scalar_dev.items():
+            if vals:
+                flat_vals = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
+                logs[f"{prefix}_{k}"] = float(flat_vals.mean())
         preds = np.concatenate(jax.device_get(preds_dev)) if preds_dev else np.zeros((0,))
         labels = np.concatenate(jax.device_get(labels_dev)) if labels_dev else np.zeros((0,))
         probs = np.concatenate(jax.device_get(probs_dev)) if probs_dev else None
