@@ -23,7 +23,7 @@ __all__ = ["ImagenetDataModule"]
 class ImagenetDataModule(LazyDataModule):
     def __init__(self, data_dir: str, batch_size: int = 32, num_workers: int = 0,
                  image_size: int = 224, **kwargs):
-        super().__init__(batch_size=batch_size, shuffle_train=True)
+        super().__init__(batch_size=batch_size, shuffle_train=True, num_workers=num_workers)
         self.data_dir = data_dir
         self.image_size = image_size
         self.samples: dict = {}

@@ -21,11 +21,14 @@ __all__ = ["LazyDataModule"]
 
 class LazyDataModule(DataModule):
     def __init__(self, batch_size: int, shuffle_train: bool = True, seed: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False, num_workers: int = 0):
         self.batch_size = int(batch_size)
         self.shuffle_train = shuffle_train
         self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = int(num_workers or 0)
         self._rng = np.random.RandomState(seed)
+        self._epoch = 0
         self.split_sizes: Dict[str, int] = {}
 
     # -- to implement ------------------------------------------------------
@@ -34,6 +37,13 @@ class LazyDataModule(DataModule):
 
     # -- iteration ---------------------------------------------------------
     def _iterate(self, split: str, shuffle: bool) -> Iterator[Batch]:
+        if self.num_workers > 0:
+            it = self._iterate_grain(split, shuffle)
+            if it is not None:
+                return it
+        return self._iterate_serial(split, shuffle)
+
+    def _iterate_serial(self, split: str, shuffle: bool) -> Iterator[Batch]:
         n = self.split_sizes[split]
         order = self._rng.permutation(n) if shuffle else np.arange(n)
         bs = self.batch_size
@@ -45,6 +55,40 @@ class LazyDataModule(DataModule):
                 k: np.stack([np.asarray(s[k]) for s in samples])
                 for k in samples[0]
             }
+
+    def _iterate_grain(self, split: str, shuffle: bool):
+        """Grain-backed loading: ``num_workers`` parallel processes decode
+        samples and prefetch batches — the TPU-native replacement for torch
+        DataLoader workers. Falls back to serial loading if grain is absent."""
+        try:
+            import grain.python as grain
+        except ImportError:
+            return None
+
+        module, n = self, self.split_sizes[split]
+
+        class _Source:
+            def __len__(self):
+                return n
+
+            def __getitem__(self, idx):
+                return module.load_sample(split, int(idx))
+
+        self._epoch += 1
+        sampler = grain.IndexSampler(
+            num_records=n,
+            shard_options=grain.NoSharding(),
+            shuffle=shuffle,
+            num_epochs=1,
+            seed=self.seed + self._epoch,
+        )
+        loader = grain.DataLoader(
+            data_source=_Source(),
+            sampler=sampler,
+            operations=[grain.Batch(self.batch_size, drop_remainder=self.drop_last)],
+            worker_count=self.num_workers,
+        )
+        return iter(loader)
 
     def train_batches(self) -> Iterator[Batch]:
         return self._iterate("train", self.shuffle_train)

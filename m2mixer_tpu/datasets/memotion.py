@@ -26,7 +26,7 @@ class MemotionDataModule(LazyDataModule):
     def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
                  vocab=None, projection=None, max_seq_len: int = 1024,
                  task_name: str = "humour", **kwargs):
-        super().__init__(batch_size=batch_size, shuffle_train=True)
+        super().__init__(batch_size=batch_size, shuffle_train=True, num_workers=num_workers)
         self.data_dir = data_dir
         self.task_name = task_name
         self.featurizer = TextFeaturizer(vocab, projection, max_seq_len)

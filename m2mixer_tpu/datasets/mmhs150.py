@@ -31,7 +31,7 @@ class MMHS150DataModule(LazyDataModule):
                  task: str = "binary", word_proj: str = "pnlp",
                  word2vec_path: str = "pretrained/GoogleNews-vectors-negative300.bin",
                  **kwargs):
-        super().__init__(batch_size=batch_size, shuffle_train=True)
+        super().__init__(batch_size=batch_size, shuffle_train=True, num_workers=num_workers)
         self.data_dir = data_dir
         self.task = task
         self.word_proj = word_proj

@@ -28,7 +28,7 @@ _SPLIT_SIZES = {"train": 15552, "dev": 2608, "test": 7799}
 class MMIMDBDataModule(LazyDataModule):
     def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
                  vocab=None, projection=None, max_seq_len: int = 40, **kwargs):
-        super().__init__(batch_size=batch_size, shuffle_train=True)
+        super().__init__(batch_size=batch_size, shuffle_train=True, num_workers=num_workers)
         self.data_dir = data_dir
         self.featurizer = TextFeaturizer(vocab, projection, max_seq_len)
         self.ruin = RandomApply(RuinModality(p=0.3), p=0.6)  # `mmimdb.py:38`
@@ -69,7 +69,7 @@ class MMIMDBExtDataModule(LazyDataModule):
     def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
                  vocab=None, projection=None, max_seq_len: int = 40,
                  text_shape=(1, 160, 256), **kwargs):
-        super().__init__(batch_size=batch_size, shuffle_train=True)
+        super().__init__(batch_size=batch_size, shuffle_train=True, num_workers=num_workers)
         self.data_dir = data_dir
         self.max_seq_len = max_seq_len
         self.text_shape = tuple(text_shape)

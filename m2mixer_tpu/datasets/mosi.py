@@ -56,7 +56,7 @@ class CMUMosiDataModule(LazyDataModule):
     def __init__(self, data_path: str, batch_size: int, num_workers: int = 0,
                  vocab_cfg=None, train_cfg=None, proj_cfg=None,
                  replicate_train_only_folds: bool = False, **kwargs):
-        super().__init__(batch_size=batch_size, shuffle_train=True)
+        super().__init__(batch_size=batch_size, shuffle_train=True, num_workers=num_workers)
         self.data_path = data_path
         self.train_cfg = train_cfg
         self.replicate_train_only_folds = replicate_train_only_folds

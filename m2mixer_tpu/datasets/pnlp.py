@@ -33,7 +33,7 @@ class PnlpMixerDataModule(LazyDataModule):
         self.train_cfg = train_cfg
         max_seq_len = int(train_cfg.max_seq_len)
         super().__init__(batch_size=int(train_cfg.get("train_batch_size", 32)),
-                         shuffle_train=True)
+                         shuffle_train=True, num_workers=int(train_cfg.get("num_workers", 0)))
         self.featurizer = TextFeaturizer(vocab_cfg, proj_cfg, max_seq_len)
         self.data: dict = {}
         self.label_map: dict = {}

@@ -134,3 +134,26 @@ def test_pnlp_imdb_layout(tmp_path, vocab):
     batch = next(iter(dm.train_batches()))
     assert batch["text"].shape == (2, 8, 96)
     assert set(np.asarray(batch["label"])) <= {0, 1}
+
+
+def test_grain_worker_loading(tmp_path, vocab):
+    """num_workers>0 routes through Grain with identical batch structure."""
+    from m2mixer_tpu.datasets.pnlp import PnlpMixerDataModule
+
+    for split in ("train", "test"):
+        for label in ("pos", "neg"):
+            d = tmp_path / split / label
+            os.makedirs(d)
+            for i in range(3):
+                (d / f"{i}.txt").write_text("a great movie")
+
+    train_cfg = DictConfig({"dataset_type": "imdb", "dataset_path": str(tmp_path),
+                            "labels": ["neg", "pos"], "max_seq_len": 8,
+                            "train_batch_size": 2, "test_batch_size": 2,
+                            "num_workers": 1})
+    dm = PnlpMixerDataModule(vocab_cfg=vocab, train_cfg=train_cfg, proj_cfg=PROJ)
+    dm.setup()
+    assert dm.num_workers == 1
+    batches = list(dm.train_batches())
+    assert len(batches) == 3  # 6 samples / bs 2
+    assert batches[0]["text"].shape == (2, 8, 96)
