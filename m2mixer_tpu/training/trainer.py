@@ -506,16 +506,18 @@ class Trainer:
             self.global_step = int(restored.get("global_step", 0))
 
     def restore_params_only(self, path: str, task, datamodule) -> None:
-        """Load params from a checkpoint path for test-only runs."""
+        """Load a checkpoint for test-only runs: init a matching state
+        structure (params + optimizer) then restore into it."""
+        self.task = task
+        self.datamodule = datamodule
         datamodule.setup("test")
         sample = self._put_batch(next(iter(datamodule.test_batches())))
         rng = seed_everything(self.seed)
         params = task.init_params(rng, sample)
         self.params = shard_params(self.mesh, params)
-        import orbax.checkpoint as ocp
-
-        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path), item={"params": self.params, "opt_state": None})
-        self.params = restored["params"]
+        self.optimizer, _ = _make_optimizer(task.optimizer_cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.restore(os.path.abspath(path))
 
     # ------------------------------------------------------------------ test
     def test(self, task, datamodule, ckpt: Optional[str] = "best") -> Dict[str, float]:
