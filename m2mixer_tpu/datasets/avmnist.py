@@ -23,25 +23,39 @@ from .base import ArrayDataModule, Batch
 __all__ = ["AVMnistDataModule", "AVMnistIntermediateDataModule", "synthetic_avmnist_arrays"]
 
 
-def synthetic_avmnist_arrays(n: int, seed: int = 0):
-    """AV-MNIST-shaped random tensors for smoke tests and benchmarks."""
+def synthetic_avmnist_arrays(n: int, seed: int = 0, learnable: bool = False):
+    """AV-MNIST-shaped tensors for smoke tests and benchmarks.
+
+    ``learnable=True`` plants a class-dependent signal (a bright patch whose
+    position encodes the label, plus noise) in both modalities, so training
+    convergence is testable without the real dataset.
+    """
     rng = np.random.RandomState(seed)
-    return {
-        "image": rng.rand(n, 1, 28, 28).astype(np.float32) * 255.0,
-        "audio": rng.rand(n, 1, 112, 112).astype(np.float32) * 255.0,
-        "label": rng.randint(0, 10, size=(n,)).astype(np.int32),
-    }
+    labels = rng.randint(0, 10, size=(n,)).astype(np.int32)
+    image = rng.rand(n, 1, 28, 28).astype(np.float32)
+    audio = rng.rand(n, 1, 112, 112).astype(np.float32)
+    if learnable:
+        for i, y in enumerate(labels):
+            r, c = divmod(int(y), 5)
+            image[i, 0, r * 14 : r * 14 + 14, c * 5 : c * 5 + 5] += 3.0
+            audio[i, 0, r * 56 : r * 56 + 56, c * 22 : c * 22 + 22] += 3.0
+    else:
+        image *= 255.0
+        audio *= 255.0
+    return {"image": image, "audio": audio, "label": labels}
 
 
 class AVMnistDataModule(ArrayDataModule):
     def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
                  p_muting: float = 0.0, shuffle_train: bool = False,
-                 synthetic: bool = False, synthetic_sizes=(512, 128, 128), **kwargs):
+                 synthetic: bool = False, synthetic_sizes=(512, 128, 128),
+                 synthetic_learnable: bool = False, **kwargs):
         super().__init__(batch_size=batch_size, shuffle_train=shuffle_train, shuffle_test=True)
         self.data_dir = data_dir
         self.p_muting = float(p_muting)
         self.synthetic = synthetic
         self.synthetic_sizes = synthetic_sizes
+        self.synthetic_learnable = synthetic_learnable
         self._mute_rng = np.random.RandomState(1234)
 
     def setup(self, stage: Optional[str] = None) -> None:
@@ -49,8 +63,10 @@ class AVMnistDataModule(ArrayDataModule):
             return
         if self.synthetic:
             n_train, n_val, n_test = self.synthetic_sizes
-            train = synthetic_avmnist_arrays(n_train + n_val, seed=0)
-            test = synthetic_avmnist_arrays(n_test, seed=1)
+            train = synthetic_avmnist_arrays(n_train + n_val, seed=0,
+                                             learnable=self.synthetic_learnable)
+            test = synthetic_avmnist_arrays(n_test, seed=1,
+                                            learnable=self.synthetic_learnable)
             self.splits["train"] = {k: v[:n_train] for k, v in train.items()}
             self.splits["val"] = {k: v[n_train:] for k, v in train.items()}
             self.splits["test"] = test

@@ -77,7 +77,6 @@ class Trainer:
         use_wandb: bool = False,
         full_cfg: Optional[dict] = None,
         early_stopping_patience: int = 30,
-        enable_progress: bool = True,
     ):
         self.cfg = train_cfg
         self.name = name
@@ -124,7 +123,6 @@ class Trainer:
             self.ckpt_dir, monitor=self.monitor, mode=self.monitor_mode, top_k=5, save_last=True
         )
         self.early_stopping = EarlyStopping(monitor="val_loss", patience=early_stopping_patience, mode="min")
-        self.enable_progress = enable_progress
 
         # populated in fit()
         self.params = None
@@ -359,6 +357,10 @@ class Trainer:
                 consume(loss, aux, flat=False)
                 self.global_step += 1
                 nsteps += 1
+                # step-interval loss logging (parity with the reference's
+                # log_every_n_steps; one scalar fetch every N steps)
+                if self.log_interval and self.global_step % self.log_interval == 0:
+                    self.logger.log({"train_loss_step": float(loss)}, self.global_step)
 
         # one host sync per epoch
         losses = np.concatenate([np.atleast_1d(x) for x in jax.device_get(losses_dev)])
