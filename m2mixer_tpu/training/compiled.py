@@ -14,16 +14,36 @@ DataLoader-worker-feeds-one-step-at-a-time shape: for AV-MNIST it turns
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_train_epoch_fn", "make_eval_epoch_fn"]
 
 
-def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int) -> Callable:
+def _batch_constrainer(mesh: Optional[Mesh]):
+    """On a multi-device mesh the data pool is replicated; constraining the
+    gathered minibatch to the ``data`` axis makes XLA run each step
+    data-parallel (every device gathers its own shard locally)."""
+    if mesh is None or mesh.size == 1:
+        return lambda b: b
+
+    def constrain(batch):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            ),
+            batch,
+        )
+
+    return constrain
+
+
+def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
+                        mesh: Optional[Mesh] = None) -> Callable:
     """Returns jitted ``epoch(params, opt_state, arrays, order, ctx, rngs,
     start_step) -> (params, opt_state, losses, aux)``.
 
@@ -33,13 +53,15 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int) -> Callab
     axis.
     """
 
+    constrain = _batch_constrainer(mesh)
+
     def epoch(params, opt_state, arrays, order, ctx, rngs, start_step):
         n_steps = order.shape[0] // batch_size
 
         def body(carry, i):
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
-            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
+            batch = constrain(jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays))
             step = start_step + i
             step_rngs = {name: jax.random.fold_in(key, step) for name, key in rngs.items()}
 
@@ -66,15 +88,16 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int) -> Callab
     return jax.jit(epoch, donate_argnums=(0, 1))
 
 
-def make_eval_epoch_fn(task, batch_size: int) -> Callable:
+def make_eval_epoch_fn(task, batch_size: int, mesh: Optional[Mesh] = None) -> Callable:
     """Returns jitted ``epoch(params, arrays, order, ctx) -> (losses, aux)``."""
+    constrain = _batch_constrainer(mesh)
 
     def epoch(params, arrays, order, ctx):
         n_steps = order.shape[0] // batch_size
 
         def body(_, i):
             idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
-            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
+            batch = constrain(jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays))
             loss, aux = task.step(params, batch, ctx, {}, train=False)
             return None, (loss, aux)
 

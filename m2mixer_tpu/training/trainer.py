@@ -202,27 +202,34 @@ class Trainer:
             from .compiled import make_eval_epoch_fn, make_train_epoch_fn
 
             bs = self.datamodule.batch_size
-            self._train_epoch_fn = make_train_epoch_fn(task, optimizer, frozen_mask, bs)
-            self._eval_epoch_fn = make_eval_epoch_fn(task, bs)
+            self._train_epoch_fn = make_train_epoch_fn(task, optimizer, frozen_mask, bs,
+                                                       mesh=self.mesh)
+            self._eval_epoch_fn = make_eval_epoch_fn(task, bs, mesh=self.mesh)
 
     # -------------------------------------------------------------- fast path
     @property
     def compiled_epochs(self) -> bool:
         """Epoch-compiled training is used when the config allows it, the
-        mesh is a single device (multi-device batches go through the sharded
-        per-step path), and the datamodule can live device-resident."""
+        datamodule can live device-resident, and (on a multi-device mesh)
+        the batch divides the data axis. The data pool is replicated per
+        device; each minibatch gather is constrained to shard over `data`,
+        so the scan runs data-parallel with XLA-inserted all-reduces."""
         if not bool(self.cfg.get("compiled_epochs", True)):
             return False
-        if self.mesh.size != 1:
-            return False
         dm = self.datamodule
-        return dm is not None and hasattr(dm, "splits") and bool(dm.splits)
+        if dm is None or not hasattr(dm, "splits") or not dm.splits:
+            return False
+        return dm.batch_size % self.mesh.shape["data"] == 0
 
     def _device_split(self, stage: str):
         if not hasattr(self, "_dev_splits"):
             self._dev_splits = {}
         if stage not in self._dev_splits:
-            self._dev_splits[stage] = jax.device_put(self.datamodule.splits[stage])
+            # replicate the pool across the mesh; per-step gathers are then
+            # sharding-constrained onto the data axis inside the scan
+            self._dev_splits[stage] = jax.device_put(
+                self.datamodule.splits[stage], replicated(self.mesh)
+            )
         return self._dev_splits[stage]
 
     # ------------------------------------------------------------------ fit

@@ -74,3 +74,23 @@ def test_compiled_test_artifacts(tmp_path):
     data = np.load(os.path.join(trainer.ckpt_dir, "test_preds.npz"))
     assert data["preds"].shape[0] == 16
     assert data["logits"].shape == (16, 10)
+
+
+def test_compiled_multidevice_matches_single(tmp_path):
+    """Epoch-compiled training over a 4x2 DPxTP mesh must equal the
+    single-device run (same data order, same rng folding)."""
+    from m2mixer_tpu.parallel import MeshConfig as MC
+
+    results = {}
+    for name, mc in (("multi", MC(data=4, model=2, model_min_dim=16)),
+                     ("single", MC(data=1, model=1))):
+        cfg = loads(CFG.format(tmp=tmp_path / name, compiled="true"))
+        task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+        dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        trainer = Trainer(cfg.train, name=f"cem_{name}", full_cfg=cfg, mesh_config=mc)
+        trainer.fit(task, dm)
+        assert trainer.compiled_epochs
+        results[name] = trainer.callback_metrics
+    for key in ("train_loss", "val_loss", "val_acc"):
+        np.testing.assert_allclose(results["multi"][key], results["single"][key],
+                                   rtol=2e-4, atol=1e-5)
