@@ -100,8 +100,10 @@ class TrainTask(abc.ABC):
 
     # -- schedules / context -------------------------------------------------
     def make_ctx(self, epoch: int, mode: str) -> Dict[str, np.ndarray]:
-        """Host-side per-step context; all values are traced arguments."""
-        return {"epoch": np.float32(epoch)}
+        """Host-side per-step context; all values are traced arguments.
+        'frozen' is consumed by the trainer's gradient/update masking even
+        for tasks that never freeze (always 0 here)."""
+        return {"epoch": np.float32(epoch), "frozen": np.float32(0.0)}
 
     def frozen_mask(self, params):
         """Pytree of 1.0 (trainable when frozen-flag set) / 0.0 (frozen).
