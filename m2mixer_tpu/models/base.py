@@ -87,7 +87,14 @@ class TrainTask(abc.ABC):
         for name in self.RNG_COLLECTIONS:
             rng, sub = jax.random.split(rng)
             rngs[name] = sub
-        return self.network.init(rngs, **self.network_inputs(batch), deterministic=True)
+        # jit the whole init: eager init dispatches hundreds of tiny ops,
+        # which is very slow through a remote-device tunnel
+        init = jax.jit(
+            lambda rngs, batch: self.network.init(
+                rngs, **self.network_inputs(batch), deterministic=True
+            )
+        )
+        return init(rngs, batch)
 
     @abc.abstractmethod
     def network_inputs(self, batch) -> Dict[str, Any]:
