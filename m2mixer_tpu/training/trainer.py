@@ -235,6 +235,8 @@ class Trainer:
     # ------------------------------------------------------------------ fit
     def fit(self, task, datamodule, resume_from: Optional[str] = None) -> None:
         self.task = task
+        if datamodule is not self.datamodule:
+            self._dev_splits = {}  # device-resident cache belongs to one module
         self.datamodule = datamodule
         datamodule.setup("fit")
         base_rng = seed_everything(self.seed)
@@ -531,6 +533,8 @@ class Trainer:
     # ------------------------------------------------------------------ test
     def test(self, task, datamodule, ckpt: Optional[str] = "best") -> Dict[str, float]:
         self.task = task
+        if datamodule is not self.datamodule:
+            self._dev_splits = {}
         self.datamodule = datamodule
         datamodule.setup("test")
         if self.params is None:
