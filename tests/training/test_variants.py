@@ -1,0 +1,111 @@
+"""Variant-path e2e tests: GMU fusion, DynaMixer blocks, bf16 precision,
+and reference-quirk order parity."""
+
+import numpy as np
+import pytest
+
+from m2mixer_tpu.config import loads
+from m2mixer_tpu.datasets import get_data_module
+from m2mixer_tpu.models import get_model
+from m2mixer_tpu.training import Trainer
+
+BASE = """
+train:
+  tensorboard_path: {tmp}/logs
+  log_interval_steps: 5
+  epochs: 1
+  optimizer: {{lr: 1e-3, weight_decay: 0.0}}
+  seed: 0
+  monitor: val_loss
+  monitor_mode: min
+dataset:
+  type: AVMnistDataModule
+  params: {{data_dir: unused, batch_size: 16, synthetic: true,
+            synthetic_sizes: [32, 16, 16]}}
+model:
+  type: AVMnistMixerMultiLoss
+  dropout: 0.0
+  {extra}
+  modalities:
+    classification: {{num_classes: 10, classifier: StandardClassifier,
+                      input_shape: [16, 8, 16]}}
+    image: {{block_type: {img_block}, in_channels: 1, hidden_dim: 16, patch_size: {img_patch},
+             image_size: [28, 28], token_dim: 8, channel_dim: 32, num_mixers: 1,
+             num_head: 4, reduced_dim: 2, d_model: 16, d_ffn: 32, n_blocks: 2}}
+    audio: {{block_type: {img_block}, in_channels: 1, hidden_dim: 16, patch_size: {aud_patch},
+             image_size: [112, 112], token_dim: 8, channel_dim: 32, num_mixers: 1,
+             num_head: 4, reduced_dim: 2, d_model: 16, d_ffn: 32, n_blocks: 2}}
+    multimodal: {{{multimodal}}}
+"""
+
+
+def run(tmp_path, **fmt):
+    cfg = loads(BASE.format(tmp=tmp_path, **fmt))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="variant", full_cfg=cfg)
+    trainer.fit(task, dm)
+    return trainer.test(task, dm, ckpt="best")
+
+
+def test_gmu_fusion_e2e(tmp_path):
+    """Parameter-carrying fusion module (BiModalGatedUnit) through the full
+    trainer (the avmnist_gated_4loss topology)."""
+    logs = run(
+        tmp_path, extra="mute: image", img_block="MLPMixer", img_patch=14, aud_patch=56,
+        multimodal=("block_type: FusionMixer, fusion_function: BiModalGatedUnit, "
+                    "mod1_in: 16, mod2_in: 16, out_size: 16, hidden_dim: 16, "
+                    "token_dim: 8, channel_dim: 32, num_mixers: 1"),
+    )
+    assert np.isfinite(logs["test_loss"]) and "test_acc" in logs
+
+
+def test_dynamixer_e2e(tmp_path):
+    """DynaMixer encoders + MaxFusion + FusionDynaMixer (the 3loss_dyna
+    topology) through the full trainer, 2-D token grids end-to-end."""
+    logs = run(
+        tmp_path, extra="", img_block="DynaMixer", img_patch=7, aud_patch=28,
+        multimodal=("block_type: FusionDynaMixer, fusion_function: MaxFusion, "
+                    "hidden_dim: 16, num_mixers: 1, num_head: 4, reduced_dim: 2"),
+    )
+    assert np.isfinite(logs["test_loss"]) and "test_acc" in logs
+
+
+def test_gmlp_e2e(tmp_path):
+    """VisiongMLP encoders + FusiongMLP fusion (stochastic depth active)."""
+    logs = run(
+        tmp_path, extra="", img_block="VisiongMLP", img_patch=14, aud_patch=56,
+        multimodal=("block_type: FusiongMLP, fusion_function: ConcatFusion, "
+                    "d_model: 16, d_ffn: 32, n_blocks: 2, hidden_dim: 16"),
+    )
+    assert np.isfinite(logs["test_loss"]) and "test_acc" in logs
+
+
+def test_bf16_precision_e2e(tmp_path):
+    logs = run(
+        tmp_path, extra="precision: bf16", img_block="MLPMixer", img_patch=14,
+        aud_patch=56,
+        multimodal=("block_type: FusionMixer, fusion_function: ConcatFusion, "
+                    "hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1"),
+    )
+    assert np.isfinite(logs["test_loss"])
+    # bf16 compute should land near the f32 random-init CE ballpark
+    assert logs["test_loss"] < 4 * np.log(10)
+
+
+def test_mimic_shuffle_order_matches_reference_style():
+    """The reference shuffles the sample-tuple LIST with random.seed(10);
+    we shuffle an index list the same way — random.shuffle consumes the RNG
+    identically for any list of equal length, so orders must coincide."""
+    import random
+
+    n = 137
+    objs = [(i, f"sample{i}") for i in range(n)]
+    random.seed(10)
+    random.shuffle(objs)
+    ref_order = [o[0] for o in objs]
+
+    idx = list(range(n))
+    random.seed(10)
+    random.shuffle(idx)
+    assert idx == ref_order
