@@ -9,6 +9,7 @@ by bench_baseline.py — see BASELINE.md for the protocol).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -59,7 +60,7 @@ def main():
     chunk = 256  # steps per dispatch
     rngs = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(params, opt_state, order, start_step):
         def body(carry, i):
             params, opt_state = carry
