@@ -27,6 +27,8 @@ __all__ = [
     "PallasGatingMlpBlock",
     "PallasVisiongMLP",
     "PallasFusiongMLP",
+    "PallasStackedMLPMixer",
+    "PallasStackedFusionMixer",
 ]
 
 
@@ -239,3 +241,107 @@ class PallasFusiongMLP(nn.Module):
                 name=f"block_{i}",
             )(x, deterministic)
         return x
+
+
+class _StackedMixerCore(nn.Module):
+    """K MixerBlocks + final LN as ONE fused kernel (``fused_mixer_stack``).
+    One custom call per encoder keeps XLA's cross-op overlap (per-block
+    kernels in a scan lose it — see TODO.md) and wins ~7% at S geometry."""
+
+    hidden_dim: int
+    num_patch: int
+    token_dim: int
+    channel_dim: int
+    num_mixers: int
+    dropout: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from ..ops.mixer_kernel import (MixerBlockParams, fused_mixer_stack,
+                                        stack_flat_params)
+
+        D, N, T, C = self.hidden_dim, self.num_patch, self.token_dim, self.channel_dim
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        blocks = []
+        for i in range(self.num_mixers):
+            blocks.append(MixerBlockParams(
+                ln1_scale=self.param(f"b{i}_ln1_scale", ones, (D,), jnp.float32),
+                ln1_bias=self.param(f"b{i}_ln1_bias", zeros, (D,), jnp.float32),
+                w1=self.param(f"b{i}_w1", torch_kernel_init, (N, T), jnp.float32),
+                b1=self.param(f"b{i}_b1", torch_bias_init(N), (T,), jnp.float32),
+                w2=self.param(f"b{i}_w2", torch_kernel_init, (T, N), jnp.float32),
+                b2=self.param(f"b{i}_b2", torch_bias_init(T), (N,), jnp.float32),
+                ln2_scale=self.param(f"b{i}_ln2_scale", ones, (D,), jnp.float32),
+                ln2_bias=self.param(f"b{i}_ln2_bias", zeros, (D,), jnp.float32),
+                w3=self.param(f"b{i}_w3", torch_kernel_init, (D, C), jnp.float32),
+                b3=self.param(f"b{i}_b3", torch_bias_init(D), (C,), jnp.float32),
+                w4=self.param(f"b{i}_w4", torch_kernel_init, (C, D), jnp.float32),
+                b4=self.param(f"b{i}_b4", torch_bias_init(C), (D,), jnp.float32),
+            ))
+        ln_s = self.param("ln_out_scale", ones, (D,), jnp.float32)
+        ln_b = self.param("ln_out_bias", zeros, (D,), jnp.float32)
+        flat = stack_flat_params(blocks, ln_s, ln_b)
+        rate = 0.0 if deterministic else float(self.dropout)
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(self.make_rng("dropout"), (1,), 0, 2**31 - 1)
+        return fused_mixer_stack(x.astype(jnp.float32), flat, seed, rate,
+                                 self.dtype or jnp.float32)
+
+
+class PallasStackedMLPMixer(nn.Module):
+    """MLPMixer whose whole block stack runs as one kernel (config parity
+    with ``MLPMixer``; best for S-class dims where all weights fit VMEM)."""
+
+    in_channels: int
+    hidden_dim: int
+    patch_size: int
+    image_size: Tuple[int, int]
+    num_mixers: int
+    token_dim: int
+    channel_dim: int
+    dropout: float = 0.0
+    dtype: Optional[Any] = None
+
+    @property
+    def num_patch(self) -> int:
+        ih, iw = self.image_size
+        assert ih % self.patch_size == 0 and iw % self.patch_size == 0
+        return (ih // self.patch_size) * (iw // self.patch_size)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = PatchEmbed(self.in_channels, self.hidden_dim, self.patch_size,
+                       dtype=self.dtype, name="patch_embed")(x)
+        return _StackedMixerCore(
+            hidden_dim=self.hidden_dim, num_patch=self.num_patch,
+            token_dim=self.token_dim, channel_dim=self.channel_dim,
+            num_mixers=self.num_mixers, dropout=self.dropout, dtype=self.dtype,
+            name="stack",
+        )(x, deterministic)
+
+
+class PallasStackedFusionMixer(nn.Module):
+    """FusionMixer as one fused kernel (config parity with ``FusionMixer``)."""
+
+    hidden_dim: int
+    num_patches: int
+    num_mixers: int
+    token_dim: int
+    channel_dim: int
+    dropout: float = 0.0
+    dtype: Optional[Any] = None
+
+    @property
+    def num_patch(self) -> int:
+        return self.num_patches
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        return _StackedMixerCore(
+            hidden_dim=self.hidden_dim, num_patch=self.num_patches,
+            token_dim=self.token_dim, channel_dim=self.channel_dim,
+            num_mixers=self.num_mixers, dropout=self.dropout, dtype=self.dtype,
+            name="stack",
+        )(x, deterministic)

@@ -282,3 +282,186 @@ def mixer_block_reference(x, params: MixerBlockParams, dropout_rate: float = 0.0
                           compute_dtype=jnp.float32):
     """Pure-jnp reference of the same math (no dropout), for parity tests."""
     return _block_math(x, params, None, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Stacked variant: a whole encoder (K MixerBlocks + final LN) in ONE kernel.
+# Motivation: per-block kernels lose XLA's cross-op overlap when embedded in
+# the epoch scan (see TODO.md); one custom call per encoder internalizes it.
+# Blocks are unrolled in Python (K is static), so in-kernel AD needs no scan.
+# VMEM must hold all K blocks' weights: fine for S-class geometries
+# (<~2 MB); use the per-block kernel for larger stacks.
+# ---------------------------------------------------------------------------
+
+def _stack_math(x, params_list, ln_scale, ln_bias, masks_list, compute_dtype):
+    for p, masks in zip(params_list, masks_list):
+        x = _block_math(x, p, masks, compute_dtype)
+    B, N, D = x.shape
+    x2 = x.reshape(B * N, D)
+    out = _layer_norm(x2.astype(compute_dtype), ln_scale.astype(compute_dtype),
+                      ln_bias.astype(compute_dtype))
+    return out.astype(jnp.float32).reshape(B, N, D)
+
+
+def _stack_masks(n_blocks, dims, rate, seed_ref):
+    tile_b, n, d, t, c = dims
+    if rate == 0.0:
+        return [None] * n_blocks
+    shapes = [(tile_b * d, t), (tile_b * d, n), (tile_b * n, c), (tile_b * n, d)]
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    keep_scale = 1.0 / (1.0 - rate)
+    thresh = jnp.uint32(int(rate * (2**32 - 1)))
+    out = []
+    for _ in range(n_blocks):
+        masks = []
+        for shape in shapes:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            masks.append((bits >= thresh).astype(jnp.float32) * keep_scale)
+        out.append(tuple(masks))
+    return out
+
+
+_N_BLOCK_PARAMS = 12
+
+
+def _unflatten_params(flat):
+    blocks = []
+    for i in range(0, len(flat) - 2, _N_BLOCK_PARAMS):
+        blocks.append(MixerBlockParams(*flat[i : i + _N_BLOCK_PARAMS]))
+    return blocks, flat[-2], flat[-1]
+
+
+def _stack_fwd_kernel(seed_ref, x_ref, *prefs, rate, compute_dtype, dims, n_blocks):
+    param_refs, out_ref = prefs[:-1], prefs[-1]
+    flat = [r[:] for r in param_refs]
+    blocks, ln_s, ln_b = _unflatten_params(flat)
+    masks = _stack_masks(n_blocks, dims, rate, seed_ref)
+    out_ref[:] = _stack_math(x_ref[:], blocks, ln_s, ln_b, masks, compute_dtype)
+
+
+def _stack_bwd_kernel(seed_ref, x_ref, g_ref, *refs, rate, compute_dtype, dims,
+                      n_blocks, n_flat):
+    param_refs = refs[:n_flat]
+    dx_ref = refs[n_flat]
+    dflat_refs = refs[n_flat + 1:]
+    flat = tuple(r[:] for r in param_refs)
+    masks = _stack_masks(n_blocks, dims, rate, seed_ref)
+
+    def f(x, flat_params):
+        blocks, ln_s, ln_b = _unflatten_params(flat_params)
+        return _stack_math(x, blocks, ln_s, ln_b, masks, compute_dtype)
+
+    _, vjp = jax.vjp(f, x_ref[:], flat)
+    dx, dflat = vjp(g_ref[:])
+    dx_ref[:] = dx
+    i = pl.program_id(0)
+    for ref, dp in zip(dflat_refs, dflat):
+        @pl.when(i == 0)
+        def _(ref=ref, dp=dp):
+            ref[:] = dp.astype(jnp.float32)
+
+        @pl.when(i > 0)
+        def _(ref=ref, dp=dp):
+            ref[:] = ref[:] + dp.astype(jnp.float32)
+
+
+def _flat_specs(flat):
+    return [pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+            for p in flat]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_mixer_stack(x, flat_params, seed=None, dropout_rate: float = 0.0,
+                      compute_dtype=jnp.float32):
+    """K MixerBlocks + final LN in one kernel.
+
+    ``flat_params``: tuple = (*block0 12-tuple, *block1 12-tuple, ...,
+    ln_scale, ln_bias) — build with ``stack_flat_params``.
+    """
+    return _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype)
+
+
+def stack_flat_params(blocks, ln_scale, ln_bias):
+    flat = []
+    for b in blocks:
+        flat.extend(tuple(b))
+    flat.extend([ln_scale, ln_bias])
+    return tuple(flat)
+
+
+def _stack_dims(x, flat_params, for_bwd):
+    b, n, d = x.shape
+    n_blocks = (len(flat_params) - 2) // _N_BLOCK_PARAMS
+    t = flat_params[2].shape[1]
+    c = flat_params[8].shape[1]
+    live = (6 if not for_bwd else 18) * n_blocks
+    tile_b = _choose_tile(b, n, c, n_live_bufs=max(live, 4))
+    return (tile_b, n, d, t, c), n_blocks
+
+
+def _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype):
+    b, n, d = x.shape
+    dims, n_blocks = _stack_dims(x, flat_params, for_bwd=False)
+    tile_b = dims[0]
+    seed_arr = jnp.zeros((1,), jnp.int32) if seed is None else jnp.asarray(seed, jnp.int32).reshape(1)
+    kernel = functools.partial(_stack_fwd_kernel, rate=float(dropout_rate),
+                               compute_dtype=compute_dtype, dims=dims, n_blocks=n_blocks)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *_flat_specs(flat_params),
+        ],
+        out_specs=pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed_arr, x, *flat_params)
+
+
+def _stack_fwd_rule(x, flat_params, seed, dropout_rate, compute_dtype):
+    y = _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype)
+    return y, (x, flat_params, seed)
+
+
+def _stack_bwd_rule(dropout_rate, compute_dtype, residuals, g):
+    import numpy as _np
+
+    x, flat_params, seed = residuals
+    b, n, d = x.shape
+    dims, n_blocks = _stack_dims(x, flat_params, for_bwd=True)
+    tile_b = dims[0]
+    n_flat = len(flat_params)
+    seed_arr = jnp.zeros((1,), jnp.int32) if seed is None else jnp.asarray(seed, jnp.int32).reshape(1)
+    kernel = functools.partial(_stack_bwd_kernel, rate=float(dropout_rate),
+                               compute_dtype=compute_dtype, dims=dims,
+                               n_blocks=n_blocks, n_flat=n_flat)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *_flat_specs(flat_params),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *_flat_specs(flat_params),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+            *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat_params],
+        ),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed_arr, x, g, *flat_params)
+    dx = outs[0]
+    dflat = tuple(outs[1:])
+    dseed = None if seed is None else _np.zeros(_np.shape(seed), jax.dtypes.float0)
+    return dx, dflat, dseed
+
+
+fused_mixer_stack.defvjp(_stack_fwd_rule, _stack_bwd_rule)

@@ -88,3 +88,36 @@ def test_pallas_mlp_mixer_registry():
     variables = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(variables, x)
     assert y.shape == (2, 4, 32)
+
+
+def test_stacked_kernel_matches_chained_blocks(setup):
+    """fused_mixer_stack == K sequential blocks + final LN."""
+    from m2mixer_tpu.ops.mixer_kernel import (
+        _layer_norm, fused_mixer_stack, stack_flat_params,
+    )
+
+    x, p = setup
+    blocks = [p, p._replace(w3=p.w3 * 0.5)]
+    flat = stack_flat_params(blocks, jnp.ones(32), jnp.zeros(32))
+    y = fused_mixer_stack(x, flat)
+    ref = x
+    for b in blocks:
+        ref = mixer_block_reference(ref, b)
+    ref = _layer_norm(ref.reshape(-1, 32), jnp.ones(32), jnp.zeros(32)).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=5e-5)
+    # gradients flow
+    g = jax.grad(lambda x, f: jnp.sum(fused_mixer_stack(x, f) ** 2), argnums=1)(x, flat)
+    assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
+
+
+def test_stacked_mlp_mixer_registry():
+    from m2mixer_tpu.modules import get_block_by_name
+
+    m = get_block_by_name(block_type="PallasStackedMLPMixer", in_channels=1,
+                          hidden_dim=32, patch_size=14, image_size=[28, 28],
+                          token_dim=16, channel_dim=64, num_mixers=2, dropout=0.0)
+    x = jnp.ones((2, 1, 28, 28))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(variables, x)
+    assert y.shape == (2, 4, 32)
+    assert np.isfinite(np.asarray(y)).all()
