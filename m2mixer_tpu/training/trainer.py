@@ -111,6 +111,12 @@ class Trainer:
         self.log_interval = int(train_cfg.get("log_interval_steps", 50))
         self.compute_train_metrics = bool(train_cfg.get("compute_train_metrics", True))
         self.seed = int(train_cfg.get("seed", 0))
+        if mesh_config is None:
+            # config-driven mesh (train.mesh_data / train.mesh_model)
+            mesh_config = MeshConfig(
+                data=int(train_cfg.get("mesh_data", -1)),
+                model=int(train_cfg.get("mesh_model", 1)),
+            )
         self.mesh = make_mesh(mesh_config)
         self.logger = ExperimentLogger(
             work_dir or train_cfg.get("tensorboard_path", "./logs"),

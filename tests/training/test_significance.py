@@ -42,8 +42,8 @@ model:
     result = subprocess.run(
         [sys.executable, os.path.join(repo, "run_for_significance.py"),
          "-c", str(cfg), "-r", "2", "-o", str(out),
-         "train.compiled_epochs=false"],
-        capture_output=True, text=True, timeout=500, cwd=repo, env=env,
+         "train.mesh_data=1", "train.mesh_model=1"],
+        capture_output=True, text=True, timeout=900, cwd=repo, env=env,
     )
     assert result.returncode == 0, result.stderr[-2000:]
     scores = np.load(out)
