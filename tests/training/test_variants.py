@@ -109,3 +109,15 @@ def test_mimic_shuffle_order_matches_reference_style():
     random.seed(10)
     random.shuffle(idx)
     assert idx == ref_order
+
+
+def test_stacked_pallas_e2e(tmp_path):
+    """Whole-encoder fused kernels (PallasStacked*) through the full trainer
+    (interpret mode on CPU; compiled Mosaic on TPU)."""
+    logs = run(
+        tmp_path, extra="", img_block="PallasStackedMLPMixer", img_patch=14,
+        aud_patch=56,
+        multimodal=("block_type: PallasStackedFusionMixer, fusion_function: ConcatFusion, "
+                    "hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1"),
+    )
+    assert np.isfinite(logs["test_loss"]) and "test_acc" in logs
