@@ -61,7 +61,7 @@ def main():
     rngs = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, order, start_step):
+    def run_chunk(params, opt_state, arrays, order, start_step):
         def body(carry, i):
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
@@ -79,13 +79,13 @@ def main():
         return params, opt_state, losses[-1]
 
     order = jnp.asarray(np.random.randint(0, pool, (chunk * batch_size,)), jnp.int32)
-    params, opt_state, loss = run_chunk(params, opt_state, order, 0)  # compile
+    params, opt_state, loss = run_chunk(params, opt_state, arrays, order, 0)  # compile
     float(loss)
 
     n_chunks = 8
     t0 = time.perf_counter()
     for c in range(n_chunks):
-        params, opt_state, loss = run_chunk(params, opt_state, order, c * chunk)
+        params, opt_state, loss = run_chunk(params, opt_state, arrays, order, c * chunk)
     float(loss)  # force completion
     dt = time.perf_counter() - t0
     steps = n_chunks * chunk

@@ -257,6 +257,10 @@ class Trainer:
         self.optimizer, lr0 = _make_optimizer(task.optimizer_cfg)
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
+        if resume_from is None and bool(self.cfg.get("auto_resume", False)):
+            # crash/preemption recovery: continue from the newest previous
+            # version of this run name that left a 'last' checkpoint
+            resume_from = self._find_latest_checkpoint()
         if resume_from is not None:
             self.restore(resume_from, with_progress=True)
             print(f"[trainer] resumed from {resume_from} at epoch {self.current_epoch}")
@@ -502,6 +506,28 @@ class Trainer:
         return logs
 
     # ------------------------------------------------------------------ ckpt
+    def _find_latest_checkpoint(self) -> Optional[str]:
+        """Newest prior version of this run name with a 'last' checkpoint."""
+        import json
+
+        base = os.path.join(self.logger.save_dir, self.logger.name)
+        if not os.path.isdir(base):
+            return None
+        versions = sorted(
+            (d for d in os.listdir(base) if d.startswith("version_")),
+            key=lambda d: int(d.split("_")[1]), reverse=True,
+        )
+        for v in versions:
+            index = os.path.join(base, v, "checkpoints", "index.json")
+            if os.path.abspath(os.path.dirname(index)) == self.ckpt_dir:
+                continue  # the current (empty) run
+            if os.path.exists(index):
+                with open(index) as f:
+                    last = json.load(f).get("last")
+                if last and os.path.exists(last):
+                    return last
+        return None
+
     def _state(self):
         return {
             "params": self.params,
@@ -515,9 +541,22 @@ class Trainer:
 
     def restore(self, path: str, with_progress: bool = False) -> None:
         restored = self.checkpoints.restore(path, self._state())
-        self.params = restored["params"]
+
+        def replace(new, old):
+            # keep the live state's MESH placement (the checkpoint may have
+            # been written from a different mesh/version); leave leaves with
+            # plain single-device shardings uncommitted so jit places them
+            from jax.sharding import NamedSharding
+
+            if hasattr(old, "sharding") and isinstance(old.sharding, NamedSharding):
+                return jax.device_put(jnp.asarray(new), old.sharding)
+            # round-trip through host numpy to strip any device commitment
+            # orbax attached, so jit is free to place the leaf
+            return jnp.asarray(np.asarray(new))
+
+        self.params = jax.tree.map(replace, restored["params"], self.params)
         if restored.get("opt_state") is not None and self.opt_state is not None:
-            self.opt_state = restored["opt_state"]
+            self.opt_state = jax.tree.map(replace, restored["opt_state"], self.opt_state)
         if with_progress:
             self.current_epoch = int(restored.get("epoch", 0)) + 1
             self.global_step = int(restored.get("global_step", 0))

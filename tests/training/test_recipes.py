@@ -180,3 +180,29 @@ model:
     logs = trainer.test(task, dm, ckpt="best")
     assert "test_auroc" in logs and "test_f1_micro" in logs
     assert np.isfinite(logs["test_loss"])
+
+
+def test_auto_resume_continues_from_last(tmp_path):
+    """train.auto_resume picks up the newest previous version's 'last'
+    checkpoint (crash/preemption recovery)."""
+    import jax
+
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.train.auto_resume = True
+    cfg.train.epochs = 1
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    t1 = Trainer(cfg.train, name="ar", full_cfg=cfg)
+    t1.fit(task, dm)
+    p1 = jax.device_get(t1.params)
+
+    # a fresh trainer (new version dir) must resume from t1's last ckpt
+    cfg2 = loads(BASE.format(tmp=tmp_path))
+    cfg2.train.auto_resume = True
+    cfg2.train.epochs = 2
+    task2 = get_model(cfg2.model.type)(cfg2.model, cfg2.train.optimizer)
+    t2 = Trainer(cfg2.train, name="ar", full_cfg=cfg2)
+    t2.fit(task2, dm)
+    assert t2.current_epoch >= 1  # continued past the restored epoch
+    # and it really loaded t1's weights before continuing: global step advanced
+    assert t2.global_step > t1.global_step
