@@ -21,7 +21,7 @@ import numpy as np
 from .lazy import LazyDataModule
 from .text_pipeline import TextFeaturizer
 
-__all__ = ["CMUMosiDataModule", "drop_entry", "z_norm"]
+__all__ = ["CMUMosiDataModule", "drop_entry", "z_norm", "download_mosi"]
 
 
 def drop_entry(dataset: dict) -> dict:
@@ -119,6 +119,59 @@ class CMUMosiDataModule(LazyDataModule):
         }
 
 
+def download_mosi(data_path: str = "../data/mosi_raw/"):
+    """CMU-SDK download + word-level alignment, the offline step the
+    reference ships as ``/root/reference/datasets/mosi_data.py:11-57``:
+    fetch the CMU-MOSI highlevel/raw/labels computational sequences, align
+    Facet-4.1 visual + COVAREP acoustic features to timestamped words with
+    mean-collapse, then add and align the opinion labels (no collapse, so
+    temporal sequences are preserved). Returns the aligned ``mmdataset``.
+
+    Requires the optional CMU-MultimodalSDK (``pip install mmsdk`` per
+    https://github.com/A2Zadeh/CMU-MultimodalSDK); gated import so the rest
+    of the framework never depends on it.
+    """
+    import os
+
+    try:
+        from mmsdk import mmdatasdk as md
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise ImportError(
+            "download_mosi requires the CMU-MultimodalSDK (mmsdk). Install it "
+            "per https://github.com/A2Zadeh/CMU-MultimodalSDK, or start from "
+            "an already-aligned export via prepare_mosi_pickle()."
+        ) from e
+
+    for seqs in (md.cmu_mosi.highlevel, md.cmu_mosi.raw, md.cmu_mosi.labels):
+        try:
+            md.mmdataset(seqs, data_path)
+        except RuntimeError:
+            pass  # already downloaded
+
+    visual_field = "CMU_MOSI_Visual_Facet_41"
+    acoustic_field = "CMU_MOSI_COVAREP"
+    text_field = "CMU_MOSI_TimestampedWords"
+    recipe = {
+        feat: os.path.join(data_path, feat) + ".csd"
+        for feat in (text_field, visual_field, acoustic_field)
+    }
+    dataset = md.mmdataset(recipe)
+
+    def avg(intervals, features):
+        try:
+            return np.average(features, axis=0)
+        except Exception:
+            return features
+
+    dataset.align(text_field, collapse_functions=[avg])
+    label_field = "CMU_MOSI_Opinion_Labels"
+    dataset.add_computational_sequences(
+        {label_field: os.path.join(data_path, label_field + ".csd")}, destination=None
+    )
+    dataset.align(label_field)
+    return dataset
+
+
 def prepare_mosi_pickle(sdk_aligned_h5: str, out_pickle: str) -> None:
     """Offline prep analog of the reference's CMU-SDK scripts
     (`mosi_data.py` / `mosi_preprocessing.py`): converts word-aligned h5
@@ -138,3 +191,9 @@ def prepare_mosi_pickle(sdk_aligned_h5: str, out_pickle: str) -> None:
             }
     with open(out_pickle, "wb") as f:
         pickle.dump(folds, f)
+
+
+if __name__ == "__main__":
+    import sys
+
+    download_mosi(sys.argv[1] if len(sys.argv) > 1 else "../data/mosi_raw/")

@@ -225,11 +225,14 @@ class AVMnistMixerMultiLossUQ(AVMnistMixerMultiLoss):
         u = K / (ev + 1).sum(axis=1)
         u_i = K / (ev_i + 1).sum(axis=1)
         u_a = K / (ev_a + 1).sum(axis=1)
-        combined = (
-            preds * ((u < u_i) & (u < u_a)).astype(jnp.int32)
-            + preds_i * ((u_i < u) & (u_i < u_a)).astype(jnp.int32)
-            + preds_a * ((u_a < u) & (u_a < u_i)).astype(jnp.int32)
-        )
+        # least-uncertain branch via argmin (`models/avmnist.py:525-537`);
+        # the reference's three strict-< masks yield class 0 on exact ties —
+        # argmin instead falls back to the fusion branch (index 0) prediction
+        branch_preds = jnp.stack([preds, preds_i, preds_a], axis=0)
+        branch_u = jnp.stack([u, u_i, u_a], axis=0)
+        combined = jnp.take_along_axis(
+            branch_preds, jnp.argmin(branch_u, axis=0)[None, :], axis=0
+        )[0]
         return {
             "preds": combined,
             "preds_image": preds_i,

@@ -208,11 +208,29 @@ def _binary_average_precision(scores: np.ndarray, labels: np.ndarray) -> float:
     return float((precision * (sorted_labels == 1)).sum() / n_pos)
 
 
+def _ovr_average(vals: np.ndarray, labels: np.ndarray, num_classes: int,
+                 average: str) -> float:
+    """torchmetrics multiclass rank-metric averaging: 'macro' (plain mean)
+    or 'weighted' (per-class support weights); 'micro' is not defined for
+    multiclass AUROC/AP in torchmetrics and is rejected the same way."""
+    if average == "macro":
+        return float(vals.mean())
+    if average == "weighted":
+        support = np.bincount(labels, minlength=num_classes).astype(np.float64)
+        total = support.sum()
+        return float((vals * support).sum() / total) if total > 0 else 0.0
+    raise ValueError(f"average={average!r} is not supported for multiclass "
+                     "rank metrics (torchmetrics allows macro/weighted)")
+
+
 class AUROC(_BaseMetric):
     """Exact AUROC. For binary: pass probabilities/logits (monotonic
     invariant). For multiclass: one-vs-rest averaged per ``average``."""
 
     wants_scores = True
+
+    def __init__(self, *args, average: str = "macro", **kwargs):
+        super().__init__(*args, average=average, **kwargs)
 
     def compute(self) -> float:
         scores, labels = self._gather()
@@ -227,13 +245,16 @@ class AUROC(_BaseMetric):
             _binary_auroc(scores[:, k], (labels == k).astype(np.int64))
             for k in range(self.num_classes)
         ])
-        return float(vals.mean())
+        return _ovr_average(vals, labels, self.num_classes, self.average)
 
 
 class AveragePrecision(_BaseMetric):
     """Exact AP; multiclass = one-vs-rest, averaged per ``average``."""
 
     wants_scores = True
+
+    def __init__(self, *args, average: str = "macro", **kwargs):
+        super().__init__(*args, average=average, **kwargs)
 
     def compute(self) -> float:
         scores, labels = self._gather()
@@ -248,4 +269,4 @@ class AveragePrecision(_BaseMetric):
             _binary_average_precision(scores[:, k], (labels == k).astype(np.int64))
             for k in range(self.num_classes)
         ])
-        return float(vals.mean())
+        return _ovr_average(vals, labels, self.num_classes, self.average)

@@ -157,3 +157,63 @@ def test_grain_worker_loading(tmp_path, vocab):
     batches = list(dm.train_batches())
     assert len(batches) == 3  # 6 samples / bs 2
     assert batches[0]["text"].shape == (2, 8, 96)
+
+
+class TestMosi:
+    """CMU-MOSI pickle stack with a tiny synthetic fold fixture
+    (reference layout: `/root/reference/datasets/mosi_dataset.py:98-266`)."""
+
+    def _pickle(self, tmp_path):
+        import pickle
+
+        rng = np.random.RandomState(0)
+
+        def fold(n):
+            vision = rng.rand(n, 60, 35).astype(np.float32)
+            audio = rng.rand(n, 60, 74).astype(np.float32)
+            vision[:, :3] = 0.0  # leading all-zero steps get trimmed
+            audio[0, :, :] = np.where(audio[0] < 0.01, -np.inf, audio[0])
+            text = ["a great movie"] * n
+            text[-1] = ""  # dropped by drop_entry
+            labels = rng.randn(n, 1).astype(np.float32)
+            return {"vision": vision, "audio": audio, "text": text, "labels": labels}
+
+        data = {"train": fold(6), "valid": fold(4), "test": fold(4)}
+        path = tmp_path / "mosi_raw.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+        return str(path)
+
+    def _dm(self, tmp_path, vocab, **kwargs):
+        from m2mixer_tpu.datasets.mosi import CMUMosiDataModule
+
+        train_cfg = DictConfig({"max_seq_len": 8, "task": "classification",
+                                "z_norm": False})
+        return CMUMosiDataModule(
+            data_path=self._pickle(tmp_path), batch_size=2, num_workers=0,
+            vocab_cfg=vocab, train_cfg=train_cfg, proj_cfg=PROJ, **kwargs)
+
+    def test_folds_and_shapes(self, tmp_path, vocab):
+        dm = self._dm(tmp_path, vocab)
+        dm.setup()
+        # one empty-text sample dropped per fold
+        assert dm.split_sizes["train"] == 5
+        assert dm.split_sizes["dev"] == 3 and dm.split_sizes["test"] == 3
+        batch = next(iter(dm.train_batches()))
+        assert batch["vision"].shape == (2, 50, 35)
+        assert batch["audio"].shape == (2, 50, 70)  # COVAREP 70-dim truncation
+        assert batch["text"].shape == (2, 8, 96)
+        assert np.isfinite(batch["audio"]).all()  # -inf scrubbed to 0
+        assert set(np.asarray(batch["label"]).tolist()) <= {0, 1}
+
+    def test_train_only_fold_bug_opt_in(self, tmp_path, vocab):
+        dm = self._dm(tmp_path, vocab, replicate_train_only_folds=True)
+        dm.setup()
+        # reference bug (`mosi_dataset.py:125-138`): all folds = train
+        assert dm.split_sizes["dev"] == dm.split_sizes["train"] == dm.split_sizes["test"]
+
+    def test_download_mosi_gated(self):
+        from m2mixer_tpu.datasets.mosi import download_mosi
+
+        with pytest.raises(ImportError, match="CMU-MultimodalSDK"):
+            download_mosi("/tmp/nowhere")

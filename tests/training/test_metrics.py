@@ -97,3 +97,41 @@ class TestBinaryRank:
             m = metric_cls(task="binary")
             m.update(self.scores, self.labels)  # float -> thresholded at 0.5
             assert abs(m.compute() - sk(self.labels, preds, zero_division=0)) < 1e-9
+
+
+class TestRankMetricAveraging:
+    """`average=` is honored for multiclass AUROC/AP (weighted = support-
+    weighted one-vs-rest, matching torchmetrics/sklearn)."""
+
+    def _data(self):
+        rng = np.random.RandomState(3)
+        probs = rng.rand(300, 4)
+        probs /= probs.sum(-1, keepdims=True)
+        labels = rng.choice(4, 300, p=[0.55, 0.25, 0.15, 0.05])  # skewed support
+        return probs, labels
+
+    def test_multiclass_auroc_weighted(self):
+        probs, labels = self._data()
+        m = AUROC(task="multiclass", num_classes=4, average="weighted")
+        m.update(probs, labels)
+        theirs = skm.roc_auc_score(labels, probs, multi_class="ovr", average="weighted")
+        assert abs(m.compute() - theirs) < 1e-9
+
+    def test_multiclass_ap_weighted(self):
+        probs, labels = self._data()
+        m = AveragePrecision(task="multiclass", num_classes=4, average="weighted")
+        m.update(probs, labels)
+        onehot = np.eye(4)[labels]
+        support = np.bincount(labels, minlength=4)
+        per = np.array([skm.average_precision_score(onehot[:, k], probs[:, k])
+                        for k in range(4)])
+        theirs = float((per * support).sum() / support.sum())
+        assert abs(m.compute() - theirs) < 1e-9
+
+    def test_multiclass_micro_rejected(self):
+        m = AUROC(task="multiclass", num_classes=4, average="micro")
+        m.update(np.eye(4)[[0, 1, 2, 3]], np.arange(4))
+        import pytest
+
+        with pytest.raises(ValueError):
+            m.compute()

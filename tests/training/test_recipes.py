@@ -206,3 +206,30 @@ def test_auto_resume_continues_from_last(tmp_path):
     assert t2.current_epoch >= 1  # continued past the restored epoch
     # and it really loaded t1's weights before continuing: global step advanced
     assert t2.global_step > t1.global_step
+
+
+def test_uq_tie_break_uses_least_uncertain_branch(tmp_path):
+    """Exact uncertainty ties must still yield a branch prediction (argmin
+    -> fusion branch), not class 0 as the reference's strict-< masks do
+    (`/root/reference/models/avmnist.py:525-537`)."""
+    import jax.numpy as jnp
+
+    from m2mixer_tpu.models import get_model
+
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.type = "AVMnistMixerMultiLossUQ"
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+
+    # identical evidence in all 3 branches -> identical uncertainties (tie)
+    logits = jnp.zeros((4, 10)).at[:, 7].set(5.0)
+    outputs = {"logits": logits, "branch_logits": (logits, logits)}
+    batch = {"label": jnp.full((4,), 7, jnp.int32)}
+    preds = task.predictions(outputs, batch)
+    np.testing.assert_array_equal(np.asarray(preds["preds"]), np.full(4, 7))
+
+    # and a clear winner is still selected per-sample
+    lo = jnp.zeros((1, 10)).at[:, 2].set(0.5)   # high uncertainty
+    hi = jnp.zeros((1, 10)).at[:, 3].set(50.0)  # low uncertainty
+    outputs = {"logits": lo, "branch_logits": (hi, lo)}
+    preds = task.predictions(outputs, {"label": jnp.zeros((1,), jnp.int32)})
+    assert int(preds["preds"][0]) == 3

@@ -1,0 +1,111 @@
+"""Sweep-style dotted-override injection, end to end.
+
+wandb sweeps drive training by appending dotted `--a.b.c=value` args to the
+CLI (reference: `/root/reference/sweeps/sweep_config.yaml:1-31` expands its
+nested `parameters:` tree this way, and `/root/reference/run.py:33-40`
+merges them). This exercises the full path: run.build() with sweep args ->
+merged config -> constructed model reflecting the overrides -> short fit.
+"""
+
+import argparse
+import os
+
+import yaml
+
+import run as run_cli
+from m2mixer_tpu.config import loads, todict
+
+CFG = """
+train:
+  tensorboard_path: {tmp}/logs
+  log_interval_steps: 5
+  epochs: 1
+  optimizer: {{lr: 1e-3, betas: [0.9, 0.999], eps: 1e-8, weight_decay: 0.0,
+               scheduler_patience: 2}}
+  seed: 7
+  monitor: val_loss
+  monitor_mode: min
+dataset:
+  type: AVMnistDataModule
+  params: {{data_dir: unused, batch_size: 16, num_workers: 0, synthetic: true,
+            synthetic_sizes: [48, 16, 16]}}
+model:
+  type: AVMnistMixerMultiLoss
+  dropout: 0.1
+  modalities:
+    classification: {{num_classes: 10, classifier: StandardClassifier,
+                      input_shape: [16, 8, 16], hidden_dims: [64, 32]}}
+    image: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 14,
+             image_size: [28, 28], token_dim: 8, channel_dim: 32, num_mixers: 2}}
+    audio: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 56,
+             image_size: [112, 112], token_dim: 8, channel_dim: 32, num_mixers: 2}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 2}}
+"""
+
+
+def _write_cfg(tmp_path):
+    path = os.path.join(tmp_path, "sweep_base.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(todict(loads(CFG.format(tmp=tmp_path))), f, sort_keys=False)
+    return path
+
+
+def test_sweep_overrides_reach_model_and_train(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg_path = _write_cfg(str(tmp_path))
+    args = argparse.Namespace(cfg=cfg_path, name="sweep_trial", ckpt=None,
+                              mode="train", disable_wandb=True)
+    # exactly what a wandb agent appends for sweep_config.yaml's parameters
+    sweep_args = [
+        "--model.modalities.image.num_mixers=1",
+        "--model.modalities.audio.num_mixers=1",
+        "--model.modalities.multimodal.num_mixers=1",
+        "--model.dropout=0.3",
+        "--train.optimizer.lr=0.002",
+    ]
+    cfg, task, dm, trainer = run_cli.build(args, sweep_args)
+
+    assert cfg.model.modalities.image.num_mixers == 1
+    assert cfg.model.dropout == 0.3
+    assert cfg.train.optimizer.lr == 0.002
+
+    trainer.fit(task, dm)
+    # override depth 1 -> exactly one mixer block in the image encoder params
+    img = trainer.params["params"]["encoders_0"]
+    blocks = [k for k in img if k.startswith("block_")]
+    assert len(blocks) == 1, blocks
+    assert "val_loss" in trainer.callback_metrics
+    trainer.logger.close()
+
+
+def test_shipped_sweep_files_expand_to_valid_overrides():
+    """Both shipped sweep files' parameter trees map onto live config keys."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def flatten(tree, prefix=""):
+        # wandb nested-`parameters:` -> dotted names
+        out = []
+        for k, v in tree.items():
+            if isinstance(v, dict) and "parameters" in v:
+                out += flatten(v["parameters"], f"{prefix}{k}.")
+            else:
+                out.append(f"{prefix}{k}")
+        return out
+
+    for fname in ("sweep_config.yaml", "avmnist_mixer.yaml"):
+        with open(os.path.join(repo, "sweeps", fname)) as f:
+            sweep = yaml.safe_load(f)
+        dotted = flatten(sweep["parameters"])
+        assert dotted, fname
+        cfg_arg = sweep["command"][sweep["command"].index("-c") + 1]
+        from m2mixer_tpu.config import load
+
+        cfg = load(os.path.join(repo, cfg_arg))
+        for name in dotted:
+            # every parent node must already exist in the target config;
+            # the leaf itself may be a new optional key (deep_update adds it)
+            node = cfg
+            for part in name.split(".")[:-1]:
+                assert part in node, (fname, name)
+                node = node[part]
