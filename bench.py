@@ -1,10 +1,15 @@
 """Benchmark: AVMnistMixerMultiLoss (M2-Mixer-B) train-step throughput.
 
-Prints ONE JSON line: samples/sec/chip for full training steps (forward +
-3-head loss + backward + Adam) at the reference's config geometry
+Prints ONE JSON line. Headline: samples/sec/chip for full training steps
+(forward + 3-head loss + backward + Adam) at the reference's config geometry
 (`cfg/avmnist/avmnist_m2-mixer_B.yml`, batch 32), compared against the
-measured PyTorch-CPU reference throughput (BASELINE_MEASURED.json, produced
-by bench_baseline.py — see BASELINE.md for the protocol).
+measured PyTorch-CPU reference throughput — both the all-cores run
+(``vs_baseline``, the honest comparison) and the 1-thread run
+(``vs_baseline_1t``); see bench_baseline.py / BASELINE.md for the protocol.
+
+Also reported: analytic MFU (model FLOPs utilization) for the headline and a
+batch-512 datapoint. At this model scale the step is dispatch/sequential-op
+bound, not FLOPs bound — MFU makes that visible rather than hiding it.
 """
 
 from __future__ import annotations
@@ -19,6 +24,50 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+# bf16 MXU peak per chip, by device_kind prefix (jax.Device.device_kind)
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,       # v5p (checked after the 'lite' prefix)
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for prefix in ("TPU v5 lite", "TPU v6 lite", "TPU v5", "TPU v4"):
+        if kind.startswith(prefix):
+            return _PEAK_BF16[prefix]
+    return 197e12  # conservative default: v5e
+
+
+def analytic_train_flops_per_sample(cfg) -> float:
+    """Model FLOPs per TRAINING sample for the M2-Mixer geometry: GEMM FLOPs
+    (2*M*N*K) of patch-embed + token/channel FFs + fusion stack + heads, x3
+    for forward+backward (weight grads + input grads each re-do the GEMMs)."""
+    m = cfg.model.modalities
+    D = int(m.multimodal.hidden_dim)
+    ncls = int(m.classification.num_classes)
+    fwd = 0.0
+    total_patches = 0
+    for name in ("image", "audio"):
+        mc = m[name]
+        p = int(mc.patch_size)
+        h, w = (mc.image_size if isinstance(mc.image_size, (list, tuple))
+                else (mc.image_size, mc.image_size))
+        patches = (int(h) // p) * (int(w) // p)
+        total_patches += patches
+        in_feat = int(mc.in_channels) * p * p
+        fwd += 2 * patches * in_feat * D  # patch embed GEMM
+        T, C, L = int(mc.token_dim), int(mc.channel_dim), int(mc.num_mixers)
+        fwd += L * (4 * D * patches * T + 4 * patches * D * C)
+        fwd += 2 * D * ncls  # branch head
+    mm = m.multimodal
+    T, C, L = int(mm.token_dim), int(mm.channel_dim), int(mm.num_mixers)
+    fwd += L * (4 * D * total_patches * T + 4 * total_patches * D * C)
+    fwd += 2 * D * ncls  # fusion head
+    return 3.0 * fwd  # bwd ~= 2x fwd
+
 
 def main():
     from m2mixer_tpu.config import load
@@ -30,23 +79,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = load(os.path.join(repo, "cfg", "avmnist", "avmnist_m2-mixer_B.yml"))
     cfg.model.precision = "bf16"  # framework mixed-precision policy (params stay f32)
-    batch_size = int(cfg.dataset.params.batch_size)
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
 
     rng = jax.random.PRNGKey(0)
-    batch = {
-        "image": jnp.asarray(np.random.rand(batch_size, 1, 28, 28), jnp.float32),
-        "audio": jnp.asarray(np.random.rand(batch_size, 1, 112, 112), jnp.float32),
-        "label": jnp.asarray(np.random.randint(0, 10, (batch_size,)), jnp.int32),
+    init_batch = {
+        "image": jnp.asarray(np.random.rand(32, 1, 28, 28), jnp.float32),
+        "audio": jnp.asarray(np.random.rand(32, 1, 112, 112), jnp.float32),
+        "label": jnp.asarray(np.random.randint(0, 10, (32,)), jnp.int32),
     }
-    params = task.init_params(rng, batch)
+    params0 = task.init_params(rng, init_batch)
     lr = float(cfg.train.optimizer.lr)
     betas = cfg.train.optimizer.get("betas", [0.9, 0.999])
     opt = optax.adam(lr, b1=float(betas[0]), b2=float(betas[1]),
                      eps=float(cfg.train.optimizer.get("eps", 1e-8)))
-    opt_state = opt.init(params)
     ctx = {k: jnp.asarray(v) for k, v in task.make_ctx(0, "train").items()}
     rng_d, rng_s, rng_m = jax.random.split(rng, 3)
+    rngs = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
 
     # epoch-compiled runner: an entire chunk of optimizer steps per device
     # dispatch (the per-step dispatch round trip otherwise dominates at this
@@ -57,51 +105,71 @@ def main():
         "audio": jnp.asarray(np.random.rand(pool, 1, 112, 112), jnp.float32),
         "label": jnp.asarray(np.random.randint(0, 10, (pool,)), jnp.int32),
     }
-    chunk = 256  # steps per dispatch
-    rngs = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, arrays, order, start_step):
-        def body(carry, i):
-            params, opt_state = carry
-            idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
-            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
-            step_rngs = {k: jax.random.fold_in(v, start_step + i) for k, v in rngs.items()}
-            (loss, _), grads = jax.value_and_grad(
-                lambda p: task.step(p, batch, ctx, step_rngs, train=True), has_aux=True
-            )(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
+    def measure(batch_size: int, chunk: int, n_chunks: int) -> float:
+        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
+        def run_chunk(params, opt_state, arrays, order, start_step, bs):
+            def body(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(order, i * bs, bs)
+                batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
+                step_rngs = {k: jax.random.fold_in(v, start_step + i) for k, v in rngs.items()}
+                (loss, _), grads = jax.value_and_grad(
+                    lambda p: task.step(p, batch, ctx, step_rngs, train=True), has_aux=True
+                )(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(chunk)
-        )
-        return params, opt_state, losses[-1]
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(chunk)
+            )
+            return params, opt_state, losses[-1]
 
-    order = jnp.asarray(np.random.randint(0, pool, (chunk * batch_size,)), jnp.int32)
-    params, opt_state, loss = run_chunk(params, opt_state, arrays, order, 0)  # compile
-    float(loss)
+        params = jax.tree.map(jnp.copy, params0)
+        opt_state = opt.init(params)
+        order = jnp.asarray(np.random.randint(0, pool, (chunk * batch_size,)), jnp.int32)
+        params, opt_state, loss = run_chunk(params, opt_state, arrays, order, 0, batch_size)
+        float(loss)  # compile + warm
+        t0 = time.perf_counter()
+        for c in range(n_chunks):
+            params, opt_state, loss = run_chunk(
+                params, opt_state, arrays, order, c * chunk, batch_size)
+        float(loss)  # force completion
+        dt = time.perf_counter() - t0
+        return n_chunks * chunk * batch_size / dt
 
-    n_chunks = 8
-    t0 = time.perf_counter()
-    for c in range(n_chunks):
-        params, opt_state, loss = run_chunk(params, opt_state, arrays, order, c * chunk)
-    float(loss)  # force completion
-    dt = time.perf_counter() - t0
-    steps = n_chunks * chunk
-    sps = steps * batch_size / dt
+    sps = measure(batch_size=32, chunk=256, n_chunks=8)
+    sps_512 = measure(batch_size=512, chunk=32, n_chunks=6)
+
+    flops_per_sample = analytic_train_flops_per_sample(cfg)
+    peak = peak_flops(jax.devices()[0])
+    mfu = sps * flops_per_sample / peak
+    mfu_512 = sps_512 * flops_per_sample / peak
 
     baseline_path = os.path.join(repo, "BASELINE_MEASURED.json")
-    vs = None
+    vs = vs_1t = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            vs = sps / float(json.load(f)["torch_cpu_samples_per_sec"])
+            base = json.load(f)
+        all_t = base.get("torch_cpu_samples_per_sec_all_threads",
+                         base.get("torch_cpu_samples_per_sec"))
+        one_t = base.get("torch_cpu_samples_per_sec_1t",
+                         base.get("torch_cpu_samples_per_sec"))
+        vs = sps / float(all_t)
+        vs_1t = sps / float(one_t)
 
     print(json.dumps({
         "metric": "avmnist_m2mixer_B_train_samples_per_sec_per_chip",
         "value": round(sps, 1),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "vs_baseline_1t": round(vs_1t, 2) if vs_1t is not None else None,
+        "mfu": round(mfu, 4),
+        "batch512_samples_per_sec": round(sps_512, 1),
+        "batch512_mfu": round(mfu_512, 4),
+        "train_flops_per_sample": round(flops_per_sample),
+        "device": jax.devices()[0].device_kind,
+        "peak_bf16_flops": peak,
     }))
 
 

@@ -5,8 +5,12 @@ self-measured: a plain-torch reimplementation of the AVMnistMixerMultiLoss
 hot loop (M2-Mixer-B geometry: `/root/reference/cfg/avmnist/
 avmnist_m2-mixer_B.yml`, forward math of `/root/reference/modules/mixer.py`
 and `/root/reference/models/avmnist.py:236-312`), timed as full training
-steps (forward + 3 CE losses + backward + Adam) on CPU at batch 32. The
-result is cached in BASELINE_MEASURED.json for bench.py.
+steps (forward + 3 CE losses + backward + Adam) on CPU at batch 32.
+
+Both a 1-thread and an all-cores run are recorded (the honest comparison
+point is the all-cores number; bench.py reports vs_baseline against it and
+vs_baseline_1t against the single-thread run). Results are cached in
+BASELINE_MEASURED.json for bench.py.
 
 Run once: python bench_baseline.py
 """
@@ -73,7 +77,7 @@ class M2MixerB(nn.Module):
         return self.head_i(ti.mean(1)), self.head_a(ta.mean(1)), self.head_f(tf.mean(1))
 
 
-def main(batch=32, steps=30, warmup=5):
+def measure(batch=32, steps=30, warmup=5):
     torch.manual_seed(0)
     model = M2MixerB()
     opt = torch.optim.Adam(model.parameters(), lr=1e-2)
@@ -96,13 +100,23 @@ def main(batch=32, steps=30, warmup=5):
     for _ in range(steps):
         step()
     dt = time.perf_counter() - t0
-    sps = steps * batch / dt
+    return steps * batch / dt
+
+
+def main(batch=32, steps=30):
+    all_threads = torch.get_num_threads()
+    sps_all = measure(batch, steps)
+    torch.set_num_threads(1)
+    sps_1t = measure(batch, steps)
     out = {
-        "torch_cpu_samples_per_sec": sps,
+        # legacy key kept = the HONEST (all-cores) baseline
+        "torch_cpu_samples_per_sec": sps_all,
+        "torch_cpu_samples_per_sec_all_threads": sps_all,
+        "torch_cpu_samples_per_sec_1t": sps_1t,
         "batch_size": batch,
         "steps": steps,
         "config": "avmnist_m2-mixer_B",
-        "threads": torch.get_num_threads(),
+        "threads": all_threads,
     }
     with open("BASELINE_MEASURED.json", "w") as f:
         json.dump(out, f, indent=2)

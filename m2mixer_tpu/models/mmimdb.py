@@ -15,14 +15,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..config import DictConfig
+from ..config import DictConfig, todict
 from ..modules.common import Dropout, Linear, torch_bias_init
 from ..modules.losses import bce_with_logits_loss
 from ..training import metrics as tm
 from .base import MultiLossTask, TrainTask
 from .nets import build_multimodal_net
 
-__all__ = ["MMIMDBMixerMultiLoss", "MMIDB_GMLP", "MMIDB_GMLP_ext"]
+__all__ = ["MMIMDBMixerMultiLoss", "MMIDB_GMLP", "MMIDB_GMLP_ext", "VGG19BN",
+           "load_torch_state", "load_torch_vgg19_bn"]
 
 
 def _multilabel_scores(num_labels: int):
@@ -148,6 +149,65 @@ class VGG19BN(nn.Module):
         x = nn.relu(x)
         x = Dropout(0.5)(x, deterministic)
         return Linear(4096, self.num_classes, name="fc3")(x)
+
+
+def load_torch_state(variables: dict, state_dict) -> dict:
+    """torchvision ``vgg19_bn`` state_dict -> ``VGG19BN`` flax variables.
+
+    Reproduces the reference baseline's weight provenance
+    (`/root/reference/models/mmimdb_gmlp.py:19-28`): it loads torchvision's
+    pretrained ``vgg19_bn`` and swaps ``classifier[6]`` for a fresh 23-class
+    Linear. Accordingly, conv/BN stacks and fc1/fc2 are always imported
+    (including BN running statistics into ``batch_stats``); the final head
+    is imported only when its width matches the flax head (e.g. a saved
+    fine-tuned 23-class state_dict) and otherwise keeps the fresh
+    random-initialized head, exactly like the reference's swap.
+
+    ``variables``: the tree from ``VGG19BN().init(...)``; returns a new tree
+    of the same structure with imported values (numpy leaves).
+    """
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in state_dict.items()}
+    params = jax.tree.map(np.asarray, todict(variables["params"]))
+    stats = jax.tree.map(np.asarray, todict(variables["batch_stats"]))
+
+    fidx = 0  # index into torchvision's features Sequential
+    for i, spec in enumerate(_VGG19_PLAN):
+        if spec == "M":
+            fidx += 1  # MaxPool2d occupies one slot
+            continue
+        w = sd[f"features.{fidx}.weight"]  # torch conv (out, in, kh, kw)
+        params[f"conv_{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),  # HWIO
+            "bias": sd[f"features.{fidx}.bias"],
+        }
+        params[f"bn_{i}"] = {
+            "scale": sd[f"features.{fidx + 1}.weight"],
+            "bias": sd[f"features.{fidx + 1}.bias"],
+        }
+        stats[f"bn_{i}"] = {
+            "mean": sd[f"features.{fidx + 1}.running_mean"],
+            "var": sd[f"features.{fidx + 1}.running_var"],
+        }
+        fidx += 3  # Conv2d, BatchNorm2d, ReLU
+    for name, tidx in (("fc1", 0), ("fc2", 3), ("fc3", 6)):
+        w = sd[f"classifier.{tidx}.weight"]
+        if name == "fc3" and w.shape[0] != params["fc3"]["linear"]["bias"].shape[0]:
+            continue  # ImageNet 1000-way head: keep the swapped fresh head
+        params[name] = {"linear": {
+            "kernel": np.ascontiguousarray(w.T),
+            "bias": sd[f"classifier.{tidx}.bias"],
+        }}
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_vgg19_bn(variables: dict, path: str) -> dict:
+    """Convenience wrapper: load a ``.pth``/``.ckpt`` torchvision vgg19_bn
+    state_dict from disk and convert via ``load_torch_state``."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return load_torch_state(variables, ckpt.get("state_dict", ckpt))
 
 
 class _UnimodalMultilabelTask(TrainTask):

@@ -244,9 +244,14 @@ class PallasFusiongMLP(nn.Module):
 
 
 class _StackedMixerCore(nn.Module):
-    """K MixerBlocks + final LN as ONE fused kernel (``fused_mixer_stack``).
-    One custom call per encoder keeps XLA's cross-op overlap (per-block
-    kernels in a scan lose it — see TODO.md) and wins ~7% at S geometry."""
+    """K MixerBlocks + final LN as one (or a few) fused kernels.
+
+    ``group_size=0``: whole encoder in ONE ``fused_mixer_stack`` call — one
+    custom call keeps XLA's cross-op overlap (per-block kernels in a scan
+    lose it, see TODO.md) and wins ~7% at S geometry. ``group_size=G``:
+    kernels of G blocks each (final LN folded into the last) so B-class
+    geometries, whose whole-encoder weights+grads exceed VMEM, still run
+    fused (``fused_mixer_stack_grouped``)."""
 
     hidden_dim: int
     num_patch: int
@@ -254,12 +259,12 @@ class _StackedMixerCore(nn.Module):
     channel_dim: int
     num_mixers: int
     dropout: float = 0.0
+    group_size: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        from ..ops.mixer_kernel import (MixerBlockParams, fused_mixer_stack,
-                                        stack_flat_params)
+        from ..ops.mixer_kernel import MixerBlockParams, fused_mixer_stack_grouped
 
         D, N, T, C = self.hidden_dim, self.num_patch, self.token_dim, self.channel_dim
         ones, zeros = nn.initializers.ones, nn.initializers.zeros
@@ -281,13 +286,13 @@ class _StackedMixerCore(nn.Module):
             ))
         ln_s = self.param("ln_out_scale", ones, (D,), jnp.float32)
         ln_b = self.param("ln_out_bias", zeros, (D,), jnp.float32)
-        flat = stack_flat_params(blocks, ln_s, ln_b)
         rate = 0.0 if deterministic else float(self.dropout)
         seed = None
         if rate > 0.0:
             seed = jax.random.randint(self.make_rng("dropout"), (1,), 0, 2**31 - 1)
-        return fused_mixer_stack(x.astype(jnp.float32), flat, seed, rate,
-                                 self.dtype or jnp.float32)
+        return fused_mixer_stack_grouped(
+            x.astype(jnp.float32), blocks, ln_s, ln_b, seed, rate,
+            self.dtype or jnp.float32, group_size=int(self.group_size))
 
 
 class PallasStackedMLPMixer(nn.Module):
@@ -302,6 +307,7 @@ class PallasStackedMLPMixer(nn.Module):
     token_dim: int
     channel_dim: int
     dropout: float = 0.0
+    stack_group_size: int = 0
     dtype: Optional[Any] = None
 
     @property
@@ -318,7 +324,7 @@ class PallasStackedMLPMixer(nn.Module):
             hidden_dim=self.hidden_dim, num_patch=self.num_patch,
             token_dim=self.token_dim, channel_dim=self.channel_dim,
             num_mixers=self.num_mixers, dropout=self.dropout, dtype=self.dtype,
-            name="stack",
+            group_size=int(self.stack_group_size), name="stack",
         )(x, deterministic)
 
 
@@ -331,6 +337,7 @@ class PallasStackedFusionMixer(nn.Module):
     token_dim: int
     channel_dim: int
     dropout: float = 0.0
+    stack_group_size: int = 0
     dtype: Optional[Any] = None
 
     @property
@@ -343,5 +350,5 @@ class PallasStackedFusionMixer(nn.Module):
             hidden_dim=self.hidden_dim, num_patch=self.num_patches,
             token_dim=self.token_dim, channel_dim=self.channel_dim,
             num_mixers=self.num_mixers, dropout=self.dropout, dtype=self.dtype,
-            name="stack",
+            group_size=int(self.stack_group_size), name="stack",
         )(x, deterministic)

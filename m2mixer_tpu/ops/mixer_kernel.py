@@ -324,23 +324,35 @@ def _stack_masks(n_blocks, dims, rate, seed_ref):
 _N_BLOCK_PARAMS = 12
 
 
-def _unflatten_params(flat):
+def _unflatten_params(flat, has_ln: bool = True):
+    end = len(flat) - 2 if has_ln else len(flat)
     blocks = []
-    for i in range(0, len(flat) - 2, _N_BLOCK_PARAMS):
+    for i in range(0, end, _N_BLOCK_PARAMS):
         blocks.append(MixerBlockParams(*flat[i : i + _N_BLOCK_PARAMS]))
-    return blocks, flat[-2], flat[-1]
+    if has_ln:
+        return blocks, flat[-2], flat[-1]
+    return blocks, None, None
 
 
-def _stack_fwd_kernel(seed_ref, x_ref, *prefs, rate, compute_dtype, dims, n_blocks):
+def _stack_apply(x, flat, masks, compute_dtype, final_ln: bool):
+    blocks, ln_s, ln_b = _unflatten_params(flat, has_ln=final_ln)
+    if final_ln:
+        return _stack_math(x, blocks, ln_s, ln_b, masks, compute_dtype)
+    for p, m in zip(blocks, masks):
+        x = _block_math(x, p, m, compute_dtype)
+    return x
+
+
+def _stack_fwd_kernel(seed_ref, x_ref, *prefs, rate, compute_dtype, dims,
+                      n_blocks, final_ln):
     param_refs, out_ref = prefs[:-1], prefs[-1]
     flat = [r[:] for r in param_refs]
-    blocks, ln_s, ln_b = _unflatten_params(flat)
     masks = _stack_masks(n_blocks, dims, rate, seed_ref)
-    out_ref[:] = _stack_math(x_ref[:], blocks, ln_s, ln_b, masks, compute_dtype)
+    out_ref[:] = _stack_apply(x_ref[:], flat, masks, compute_dtype, final_ln)
 
 
 def _stack_bwd_kernel(seed_ref, x_ref, g_ref, *refs, rate, compute_dtype, dims,
-                      n_blocks, n_flat):
+                      n_blocks, n_flat, final_ln):
     param_refs = refs[:n_flat]
     dx_ref = refs[n_flat]
     dflat_refs = refs[n_flat + 1:]
@@ -348,8 +360,7 @@ def _stack_bwd_kernel(seed_ref, x_ref, g_ref, *refs, rate, compute_dtype, dims,
     masks = _stack_masks(n_blocks, dims, rate, seed_ref)
 
     def f(x, flat_params):
-        blocks, ln_s, ln_b = _unflatten_params(flat_params)
-        return _stack_math(x, blocks, ln_s, ln_b, masks, compute_dtype)
+        return _stack_apply(x, flat_params, masks, compute_dtype, final_ln)
 
     _, vjp = jax.vjp(f, x_ref[:], flat)
     dx, dflat = vjp(g_ref[:])
@@ -370,74 +381,106 @@ def _flat_specs(flat):
             for p in flat]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_mixer_stack(x, flat_params, seed=None, dropout_rate: float = 0.0,
-                      compute_dtype=jnp.float32):
-    """K MixerBlocks + final LN in one kernel.
+                      compute_dtype=jnp.float32, final_ln: bool = True):
+    """K MixerBlocks (+ optionally the final LN) in one kernel.
 
-    ``flat_params``: tuple = (*block0 12-tuple, *block1 12-tuple, ...,
-    ln_scale, ln_bias) — build with ``stack_flat_params``.
+    ``flat_params``: tuple = (*block0 12-tuple, *block1 12-tuple, ...[,
+    ln_scale, ln_bias]) — build with ``stack_flat_params``; pass
+    ``final_ln=False`` for a blocks-only group (used by the grouped variant
+    that splits large stacks into VMEM-sized kernels, e.g. block pairs at
+    B geometry where whole-encoder weights+grads exceed ~16 MB VMEM).
+
+    When ``compute_dtype`` is narrower than f32 the weights are cast OUTSIDE
+    the kernel, so kernel VMEM holds only the narrow copies — this halves
+    the weight footprint for bf16 and is what lets B-geometry groups fit.
+    Parameter gradients are always accumulated and returned in f32.
     """
-    return _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype)
+    return _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype,
+                           final_ln)
 
 
-def stack_flat_params(blocks, ln_scale, ln_bias):
+def stack_flat_params(blocks, ln_scale=None, ln_bias=None):
     flat = []
     for b in blocks:
         flat.extend(tuple(b))
-    flat.extend([ln_scale, ln_bias])
+    if ln_scale is not None:
+        flat.extend([ln_scale, ln_bias])
     return tuple(flat)
 
 
-def _stack_dims(x, flat_params, for_bwd):
+def _stack_dims(x, flat_params, for_bwd, compute_dtype, final_ln=True):
     b, n, d = x.shape
-    n_blocks = (len(flat_params) - 2) // _N_BLOCK_PARAMS
+    n_params = len(flat_params) - (2 if final_ln else 0)
+    n_blocks = n_params // _N_BLOCK_PARAMS
     t = flat_params[2].shape[1]
     c = flat_params[8].shape[1]
     live = (6 if not for_bwd else 18) * n_blocks
+    if compute_dtype != jnp.float32:
+        live = max(live // 2, 4)  # narrow weights/activations halve VMEM
     tile_b = _choose_tile(b, n, c, n_live_bufs=max(live, 4))
     return (tile_b, n, d, t, c), n_blocks
 
 
-def _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype):
+def _castable(p) -> bool:
+    """Only large lane-friendly matrices are stored narrow in VMEM: the
+    channel-FF weights (D x C / C x D) dominate the footprint, and Mosaic's
+    bf16 tiling needs >= (16, 128) tiles — tiny token weights/biases/LN
+    vectors stay f32 (their VMEM share is negligible anyway)."""
+    return p.ndim == 2 and p.shape[0] >= 16 and p.shape[1] >= 128
+
+
+def _cast_params(flat_params, compute_dtype):
+    if compute_dtype == jnp.float32:
+        return tuple(flat_params)
+    return tuple(p.astype(compute_dtype) if _castable(p) else p for p in flat_params)
+
+
+def _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype, final_ln):
     b, n, d = x.shape
-    dims, n_blocks = _stack_dims(x, flat_params, for_bwd=False)
+    dims, n_blocks = _stack_dims(x, flat_params, for_bwd=False,
+                                 compute_dtype=compute_dtype, final_ln=final_ln)
     tile_b = dims[0]
     seed_arr = jnp.zeros((1,), jnp.int32) if seed is None else jnp.asarray(seed, jnp.int32).reshape(1)
     kernel = functools.partial(_stack_fwd_kernel, rate=float(dropout_rate),
-                               compute_dtype=compute_dtype, dims=dims, n_blocks=n_blocks)
+                               compute_dtype=compute_dtype, dims=dims,
+                               n_blocks=n_blocks, final_ln=final_ln)
+    cast = _cast_params(flat_params, compute_dtype)
     return pl.pallas_call(
         kernel,
         grid=(b // tile_b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *_flat_specs(flat_params),
+            *_flat_specs(cast),
         ],
         out_specs=pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), jnp.float32),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(seed_arr, x, *flat_params)
+    )(seed_arr, x, *cast)
 
 
-def _stack_fwd_rule(x, flat_params, seed, dropout_rate, compute_dtype):
-    y = _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype)
+def _stack_fwd_rule(x, flat_params, seed, dropout_rate, compute_dtype, final_ln):
+    y = _stack_fwd_call(x, flat_params, seed, dropout_rate, compute_dtype, final_ln)
     return y, (x, flat_params, seed)
 
 
-def _stack_bwd_rule(dropout_rate, compute_dtype, residuals, g):
+def _stack_bwd_rule(dropout_rate, compute_dtype, final_ln, residuals, g):
     import numpy as _np
 
     x, flat_params, seed = residuals
     b, n, d = x.shape
-    dims, n_blocks = _stack_dims(x, flat_params, for_bwd=True)
+    dims, n_blocks = _stack_dims(x, flat_params, for_bwd=True,
+                                 compute_dtype=compute_dtype, final_ln=final_ln)
     tile_b = dims[0]
     n_flat = len(flat_params)
     seed_arr = jnp.zeros((1,), jnp.int32) if seed is None else jnp.asarray(seed, jnp.int32).reshape(1)
     kernel = functools.partial(_stack_bwd_kernel, rate=float(dropout_rate),
                                compute_dtype=compute_dtype, dims=dims,
-                               n_blocks=n_blocks, n_flat=n_flat)
+                               n_blocks=n_blocks, n_flat=n_flat, final_ln=final_ln)
+    cast = _cast_params(flat_params, compute_dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(b // tile_b,),
@@ -445,7 +488,7 @@ def _stack_bwd_rule(dropout_rate, compute_dtype, residuals, g):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *_flat_specs(flat_params),
+            *_flat_specs(cast),
         ],
         out_specs=(
             pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -457,7 +500,7 @@ def _stack_bwd_rule(dropout_rate, compute_dtype, residuals, g):
         ),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(seed_arr, x, g, *flat_params)
+    )(seed_arr, x, g, *cast)
     dx = outs[0]
     dflat = tuple(outs[1:])
     dseed = None if seed is None else _np.zeros(_np.shape(seed), jax.dtypes.float0)
@@ -465,3 +508,39 @@ def _stack_bwd_rule(dropout_rate, compute_dtype, residuals, g):
 
 
 fused_mixer_stack.defvjp(_stack_fwd_rule, _stack_bwd_rule)
+
+
+def fused_mixer_stack_grouped(x, blocks, ln_scale, ln_bias, seed=None,
+                              dropout_rate: float = 0.0,
+                              compute_dtype=jnp.float32,
+                              group_size: int = 0):
+    """K MixerBlocks + final LN as ceil(K/group_size) fused kernels.
+
+    ``group_size=0`` (or >= K) = the single whole-stack kernel. Groups keep
+    each kernel's weights+grads inside VMEM for large geometries (B-class:
+    pairs of blocks ~= 3.2 MB bf16 weights + 6.3 MB f32 grads per kernel)
+    while still collapsing ~14 HLO ops per block into one custom call per
+    group. Dropout seeds are decorrelated per group by folding the group
+    index into the seed.
+    """
+    k = len(blocks)
+    if group_size <= 0 or group_size >= k:
+        return fused_mixer_stack(x, stack_flat_params(blocks, ln_scale, ln_bias),
+                                 seed, dropout_rate, compute_dtype, True)
+    start = 0
+    gi = 0
+    while start < k:
+        group = blocks[start : start + group_size]
+        last = start + len(group) >= k
+        gseed = None
+        if seed is not None:
+            gseed = jnp.asarray(seed, jnp.int32).reshape(1) + jnp.int32(7919 * gi)
+        if last:
+            flat = stack_flat_params(group, ln_scale, ln_bias)
+            x = fused_mixer_stack(x, flat, gseed, dropout_rate, compute_dtype, True)
+        else:
+            flat = stack_flat_params(group)
+            x = fused_mixer_stack(x, flat, gseed, dropout_rate, compute_dtype, False)
+        start += len(group)
+        gi += 1
+    return x

@@ -121,3 +121,60 @@ def test_stacked_mlp_mixer_registry():
     y = m.apply(variables, x)
     assert y.shape == (2, 4, 32)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_grouped_stack_matches_single_kernel(setup):
+    """fused_mixer_stack_grouped(group_size=g) == whole-stack kernel, for
+    every group size, in both values and gradients (the B-geometry path
+    splits stacks into VMEM-sized groups; math must not change)."""
+    from m2mixer_tpu.ops.mixer_kernel import (
+        fused_mixer_stack, fused_mixer_stack_grouped, stack_flat_params,
+    )
+
+    x, p = setup
+    blocks = [p, p._replace(w3=p.w3 * 0.5), p._replace(w1=p.w1 * 2.0)]
+    ln_s, ln_b = jnp.ones(32), jnp.zeros(32)
+    want = fused_mixer_stack(x, stack_flat_params(blocks, ln_s, ln_b))
+    for g in (1, 2, 3, 0):
+        got = fused_mixer_stack_grouped(x, blocks, ln_s, ln_b, group_size=g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-6, err_msg=f"group_size={g}")
+
+    def loss(xx, g):
+        return jnp.sum(fused_mixer_stack_grouped(xx, blocks, ln_s, ln_b,
+                                                 group_size=g) ** 2)
+
+    g_ref = jax.grad(lambda xx: jnp.sum(
+        fused_mixer_stack(xx, stack_flat_params(blocks, ln_s, ln_b)) ** 2))(x)
+    for g in (1, 2):
+        np.testing.assert_allclose(np.asarray(jax.grad(loss)(x, g)),
+                                   np.asarray(g_ref), atol=1e-4)
+
+
+def test_grouped_stack_bf16_weights_close(setup):
+    """bf16 compute casts weights OUTSIDE the kernel; result stays within
+    bf16 tolerance of the f32 path."""
+    from m2mixer_tpu.ops.mixer_kernel import fused_mixer_stack_grouped
+
+    x, p = setup
+    blocks = [p, p._replace(w3=p.w3 * 0.5)]
+    ln_s, ln_b = jnp.ones(32), jnp.zeros(32)
+    f32 = fused_mixer_stack_grouped(x, blocks, ln_s, ln_b, group_size=2)
+    bf16 = fused_mixer_stack_grouped(x, blocks, ln_s, ln_b, group_size=2,
+                                     compute_dtype=jnp.bfloat16)
+    assert np.asarray(bf16).dtype == np.float32  # outputs stay f32
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32), atol=0.1, rtol=0.05)
+
+
+def test_stacked_mixer_registry_group_size():
+    from m2mixer_tpu.modules import get_block_by_name
+
+    m = get_block_by_name(block_type="PallasStackedMLPMixer", in_channels=1,
+                          hidden_dim=32, patch_size=14, image_size=[28, 28],
+                          token_dim=16, channel_dim=64, num_mixers=3,
+                          stack_group_size=2, dropout=0.0)
+    x = jnp.ones((2, 1, 28, 28))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(variables, x)
+    assert y.shape == (2, 4, 32)
+    assert np.isfinite(np.asarray(y)).all()

@@ -125,8 +125,8 @@ def test_gradblend_estimates_weights(tmp_path):
 
     orig = gb_mod.GradBlend.__init__
 
-    def fast_init(self, fns, params, epochs=1, learning_rate=1e-3):
-        orig(self, fns, params, epochs=1, learning_rate=learning_rate)
+    def fast_init(self, fns, epochs=20, learning_rate=1e-3):
+        orig(self, fns, epochs=1, learning_rate=learning_rate)
 
     gb_mod.GradBlend.__init__ = fast_init
     try:
@@ -233,3 +233,68 @@ def test_uq_tie_break_uses_least_uncertain_branch(tmp_path):
     outputs = {"logits": lo, "branch_logits": (hi, lo)}
     preds = task.predictions(outputs, {"label": jnp.zeros((1,), jnp.int32)})
     assert int(preds["preds"][0]) == 3
+
+
+def test_gradblend_reuses_jitted_steps_across_invocations(tmp_path):
+    """gb_update_freq=1 re-estimates every epoch; the estimator (and its
+    jitted sub-steps) must be built once and only parameter values refreshed
+    — no per-invocation recompile churn."""
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.gradblend = True
+    cfg.model.gb_update_freq = 1
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="gb_reuse", full_cfg=cfg)
+
+    import m2mixer_tpu.modules.gradblend as gb_mod
+
+    orig = gb_mod.GradBlend.__init__
+    builds = []
+
+    def counting_init(self, fns, epochs=20, learning_rate=1e-3):
+        builds.append(1)
+        orig(self, fns, epochs=1, learning_rate=learning_rate)
+
+    gb_mod.GradBlend.__init__ = counting_init
+    try:
+        cfg.train.epochs = 2
+        trainer.max_epochs = 2
+        trainer.fit(task, dm)
+    finally:
+        gb_mod.GradBlend.__init__ = orig
+    assert len(builds) == 1  # built once, reused at epoch 1
+    assert task.gb_weights is not None
+    # the cached estimator's train_step saw exactly one batch shape across
+    # BOTH invocations; eval_loss sees at most two (the full-batch train
+    # shape plus this fixture's 4-sample val split, smaller than one batch)
+    for _, train_step, eval_loss in task._gb_estimator._steps:
+        assert train_step._cache_size() == 1, train_step._cache_size()
+        assert eval_loss._cache_size() <= 2
+
+
+def test_gradblend_batches_are_uniform_shape(tmp_path):
+    """48-sample synthetic train split, bs=16, 10% cut=4 -> val smaller than
+    a batch stays one (ragged) batch; train yields full batches only."""
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.model.gradblend = True
+    cfg.model.gb_update_freq = 10
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="gb_shapes", full_cfg=cfg)
+
+    import m2mixer_tpu.modules.gradblend as gb_mod
+
+    orig = gb_mod.GradBlend.__init__
+
+    def fast_init(self, fns, epochs=20, learning_rate=1e-3):
+        orig(self, fns, epochs=1, learning_rate=learning_rate)
+
+    gb_mod.GradBlend.__init__ = fast_init
+    try:
+        cfg.train.epochs = 1
+        trainer.max_epochs = 1
+        trainer.fit(task, dm)
+    finally:
+        gb_mod.GradBlend.__init__ = orig
+    for _, train_step, _ in task._gb_estimator._steps:
+        assert train_step._cache_size() == 1
