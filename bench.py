@@ -79,6 +79,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = load(os.path.join(repo, "cfg", "avmnist", "avmnist_m2-mixer_B.yml"))
     cfg.model.precision = "bf16"  # framework mixed-precision policy (params stay f32)
+    # measured levers at this geometry (TODO.md, round 2): hardware-RNG
+    # dropout keys (+62% over threefry at dropout 0.5) and the paired
+    # dual-modality encoder chain (+17%); both are framework config options
+    # (train.prng_impl / model.paired_encoders)
+    jax.config.update("jax_default_prng_impl", "rbg")
+    cfg.model.paired_encoders = True
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
 
     rng = jax.random.PRNGKey(0)

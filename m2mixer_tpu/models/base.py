@@ -297,10 +297,15 @@ class MultiLossTask(TrainTask):
     def frozen_param_prefixes(self) -> Tuple[str, ...]:
         """Top-level param subtrees frozen at the freeze epoch: the modality
         encoders and their heads (`/root/reference/models/avmnist.py:314-324`).
-        Matches the ``MultimodalNet`` field naming (encoders_i / heads_i)."""
-        names = []
+        Matches the ``MultimodalNet`` field naming (encoders_i / heads_i);
+        with ``model.paired_encoders`` the batched encoder chain lives under
+        one ``paired_encoder`` subtree instead."""
+        paired = getattr(self.network, "paired_encoder", None) is not None
+        names = ["paired_encoder"] if paired else []
         for i, _ in enumerate(self.modalities):
-            names += [f"encoders_{i}", f"heads_{i}"]
+            if not paired:
+                names.append(f"encoders_{i}")
+            names.append(f"heads_{i}")
         return tuple(names)
 
     def frozen_mask(self, params):

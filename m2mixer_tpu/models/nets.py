@@ -56,6 +56,23 @@ def build_multimodal_net(model_cfg, modality_keys, head_pool: bool = True,
     for _, cfg_key in extra_encoders:
         cfg_keys.append(cfg_key)
 
+    # opt-in perf path: identical-geometry MLPMixer encoder pairs run as ONE
+    # modality-batched GEMM chain (see modules/paired.py; +17% at B geometry)
+    paired_encoder = None
+    if (bool(model_cfg.get("paired_encoders", False)) and len(cfg_keys) == 2):
+        from ..modules.paired import PairedMLPMixer, can_pair
+
+        c0, c1 = mc[cfg_keys[0]], mc[cfg_keys[1]]
+        if can_pair(c0, c1):
+            paired_encoder = PairedMLPMixer(
+                in_channels=(int(c0.in_channels), int(c1.in_channels)),
+                hidden_dim=int(c0.hidden_dim),
+                patch_sizes=(int(c0.patch_size), int(c1.patch_size)),
+                image_sizes=(tuple(c0.image_size), tuple(c1.image_size)),
+                num_mixers=int(c0.num_mixers), token_dim=int(c0.token_dim),
+                channel_dim=int(c0.channel_dim), dropout=dropout, dtype=dtype,
+            )
+
     encoders = tuple(
         get_block_by_name(**mc[k], dropout=dropout, dtype=dtype) for k in cfg_keys
     )
@@ -72,7 +89,7 @@ def build_multimodal_net(model_cfg, modality_keys, head_pool: bool = True,
     classifier = get_classifier_by_name(**cls_cfg, dtype=dtype)
     return MultimodalNet(
         encoders=encoders, heads=heads, fusion=fusion, fusion_mixer=fusion_mixer,
-        classifier=classifier, head_pool=head_pool,
+        classifier=classifier, head_pool=head_pool, paired_encoder=paired_encoder,
     )
 
 
@@ -93,6 +110,10 @@ class MultimodalNet(nn.Module):
     fusion_mixer: nn.Module
     classifier: nn.Module
     head_pool: bool = True  # pool tokens before the per-modality heads
+    #: when set (model.paired_encoders), replaces the sequential per-modality
+    #: encoder calls with one modality-batched chain (modules/paired.py);
+    #: the unused `encoders` modules then carry only static shape metadata
+    paired_encoder: Optional[nn.Module] = None
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True, mute_code=-1):
@@ -101,7 +122,10 @@ class MultimodalNet(nn.Module):
             x * (mute_code != i).astype(x.dtype)
             for i, x in enumerate(inputs)
         ]
-        encs = [enc(x, deterministic) for enc, x in zip(self.encoders, xs)]
+        if self.paired_encoder is not None:
+            encs = list(self.paired_encoder(xs[0], xs[1], deterministic))
+        else:
+            encs = [enc(x, deterministic) for enc, x in zip(self.encoders, xs)]
         fused = self.fusion(*encs)
         fusion_tokens = self.fusion_mixer(fused, deterministic)
 

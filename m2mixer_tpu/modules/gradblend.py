@@ -116,6 +116,13 @@ def estimate_gradblend_weights(task, trainer) -> Optional[np.ndarray]:
     if datamodule is None or trainer.params is None:
         return None
     net = task.network
+    if getattr(net, "paired_encoder", None) is not None:
+        # the paired-encoder perf path stacks both encoders' params in one
+        # subtree; GradBlend's per-modality sub-trainings need the modular
+        # layout — run with model.paired_encoders=false when using gradblend
+        print("[gradblend] paired_encoders is enabled; per-modality weight "
+              "estimation is unavailable — keeping previous weights")
+        return None
     params = trainer.params["params"]
     n_mod = len(task.modalities)
 
