@@ -18,10 +18,67 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_train_epoch_fn", "make_eval_epoch_fn"]
+__all__ = ["make_train_epoch_fn", "make_eval_epoch_fn", "shard_align_order",
+           "make_sharded_gather"]
+
+
+def shard_align_order(order: np.ndarray, batch_size: int, n_shards: int,
+                      shard_size: int):
+    """Rearrange a global index order so every batch draws ``batch_size /
+    n_shards`` items from each pool shard (required by the sharded
+    device-resident pool: each device gathers its batch shard from its LOCAL
+    pool shard, no cross-device traffic). Returns ``(aligned, leftover)``:
+    ``aligned`` is laid out per step as [shard0 items.., shard1 items..] so
+    position k of a batch lives on device k // (batch/n_shards); ``leftover``
+    are indices that couldn't fill a balanced step (ragged tails / shard
+    imbalance) and go through the per-step host path."""
+    order = np.asarray(order)
+    per = batch_size // n_shards
+    shard_of = order // shard_size
+    buckets = [order[shard_of == d] for d in range(n_shards)]
+    n_steps = min(len(b) // per for b in buckets) if buckets else 0
+    if n_steps == 0:
+        return np.zeros((0,), order.dtype), order
+    aligned = np.empty((n_steps, n_shards, per), dtype=order.dtype)
+    leftovers = []
+    for d, b in enumerate(buckets):
+        aligned[:, d, :] = b[: n_steps * per].reshape(n_steps, per)
+        leftovers.append(b[n_steps * per:])
+    return aligned.reshape(-1), np.concatenate(leftovers)
+
+
+def make_sharded_gather(mesh: Mesh):
+    """Per-device local gather over a ``data``-sharded pool via shard_map:
+    each device takes its batch shard from its local pool shard (indices are
+    shard-aligned by ``shard_align_order``; globals are localized with the
+    device's axis index). The result is already batch-sharded over ``data``."""
+    try:
+        from jax import shard_map  # jax >= 0.4.35 canonical location
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    def gather(arrays, idx):
+        def local(arrs, idx_l):
+            d = jax.lax.axis_index("data")
+
+            def take(a):
+                # a is the LOCAL shard here: shape[0] == pool // n_shards
+                return jnp.take(a, idx_l - d * a.shape[0], axis=0)
+
+            return jax.tree.map(take, arrs)
+
+        data_spec = lambda a: P("data", *([None] * (a.ndim - 1)))
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(jax.tree.map(data_spec, arrays), P("data")),
+            out_specs=jax.tree.map(data_spec, arrays),
+        )(arrays, idx)
+
+    return gather
 
 
 def _batch_constrainer(mesh: Optional[Mesh]):
@@ -43,17 +100,22 @@ def _batch_constrainer(mesh: Optional[Mesh]):
 
 
 def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
-                        mesh: Optional[Mesh] = None) -> Callable:
+                        mesh: Optional[Mesh] = None,
+                        sharded_pool: bool = False) -> Callable:
     """Returns jitted ``epoch(params, opt_state, arrays, order, ctx, rngs,
     start_step) -> (params, opt_state, losses, aux)``.
 
     ``arrays``: the full split as device-resident arrays; ``order``: flat
     index array of length ``n_steps * batch_size`` (shuffled or not);
     ``aux`` is the per-step task aux pytree stacked along a leading steps
-    axis.
+    axis. With ``sharded_pool`` the arrays are ``data``-axis sharded (1/Nth
+    of the pool per device) and ``order`` must be shard-aligned
+    (``shard_align_order``); gathers then stay device-local.
     """
 
     constrain = _batch_constrainer(mesh)
+    gather = (make_sharded_gather(mesh) if sharded_pool and mesh is not None
+              else None)
 
     def epoch(params, opt_state, arrays, order, ctx, rngs, start_step):
         n_steps = order.shape[0] // batch_size
@@ -61,7 +123,10 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
         def body(carry, i):
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
-            batch = constrain(jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays))
+            if gather is not None:
+                batch = gather(arrays, idx)
+            else:
+                batch = constrain(jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays))
             step = start_step + i
             step_rngs = {name: jax.random.fold_in(key, step) for name, key in rngs.items()}
 
@@ -88,16 +153,22 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
     return jax.jit(epoch, donate_argnums=(0, 1))
 
 
-def make_eval_epoch_fn(task, batch_size: int, mesh: Optional[Mesh] = None) -> Callable:
+def make_eval_epoch_fn(task, batch_size: int, mesh: Optional[Mesh] = None,
+                       sharded_pool: bool = False) -> Callable:
     """Returns jitted ``epoch(params, arrays, order, ctx) -> (losses, aux)``."""
     constrain = _batch_constrainer(mesh)
+    gather = (make_sharded_gather(mesh) if sharded_pool and mesh is not None
+              else None)
 
     def epoch(params, arrays, order, ctx):
         n_steps = order.shape[0] // batch_size
 
         def body(_, i):
             idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
-            batch = constrain(jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays))
+            if gather is not None:
+                batch = gather(arrays, idx)
+            else:
+                batch = constrain(jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays))
             loss, aux = task.step(params, batch, ctx, {}, train=False)
             return None, (loss, aux)
 

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from ..config import DictConfig, todict
 from ..parallel import MeshConfig, batch_sharding, make_mesh, replicated, shard_params
 from .callbacks import CheckpointManager, EarlyStopping, ReduceLROnPlateau
@@ -93,14 +95,27 @@ class Trainer:
             except Exception:
                 pass
         # multi-host: bring up the jax distributed runtime before the mesh
-        # (DCN process group; per-host data feeding is the pipeline's job)
+        # (DCN process group; per-host data feeding goes through _put_batch's
+        # make_array_from_process_local_data path). A failed initialize is
+        # FATAL when distributed is requested: silently training single-host
+        # on a misconfigured cluster is the worst possible failure mode.
         if bool(train_cfg.get("distributed", False)):
             import jax.distributed
 
+            kwargs = {}
+            for k in ("coordinator_address", "num_processes", "process_id",
+                      "initialization_timeout"):
+                if train_cfg.get(k) is not None:
+                    kwargs[k] = train_cfg.get(k)
             try:
-                jax.distributed.initialize()
+                jax.distributed.initialize(**kwargs)
             except Exception as e:
-                print(f"[trainer] jax.distributed.initialize failed/skipped: {e}")
+                raise RuntimeError(
+                    "train.distributed=true but jax.distributed.initialize "
+                    f"failed ({e}); refusing to fall back to single-host "
+                    "training. Check coordinator_address/num_processes/"
+                    "process_id (or the cluster auto-detection environment)."
+                ) from e
         # debugging analog of sanitizers: raise on NaN grads/activations
         if bool(train_cfg.get("debug_nans", False)):
             jax.config.update("jax_debug_nans", True)
@@ -155,6 +170,16 @@ class Trainer:
     # ------------------------------------------------------------------ utils
     def _put_batch(self, batch: Dict[str, np.ndarray]):
         data_size = self.mesh.shape["data"]
+
+        if jax.process_count() > 1:
+            # multi-host: each process feeds ITS slice of the global batch
+            # (per-host data sharding over DCN); the global array is
+            # assembled from the process-local shards without any transfer
+            def put_local(x):
+                sharding = batch_sharding(self.mesh, np.ndim(x) or 1)
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+            return jax.tree.map(put_local, batch)
 
         def put(x):
             n = np.shape(x)[0] if np.ndim(x) else 0
@@ -211,15 +236,24 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
 
-        # epoch-compiled fast path: many steps per dispatch (see compiled.py)
+        # epoch-compiled fast path: many steps per dispatch (see compiled.py);
+        # both pool placements are built (a split uses the sharded variant iff
+        # train.sharded_pool is on and its size divides the data axis)
         self._step_rng_keys = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
         if self.compiled_epochs:
             from .compiled import make_eval_epoch_fn, make_train_epoch_fn
 
             bs = self.datamodule.batch_size
-            self._train_epoch_fn = make_train_epoch_fn(task, optimizer, frozen_mask, bs,
-                                                       mesh=self.mesh)
-            self._eval_epoch_fn = make_eval_epoch_fn(task, bs, mesh=self.mesh)
+            self._train_epoch_fns = {
+                sharded: make_train_epoch_fn(task, optimizer, frozen_mask, bs,
+                                             mesh=self.mesh, sharded_pool=sharded)
+                for sharded in ((False, True) if self._sharding_pools() else (False,))
+            }
+            self._eval_epoch_fns = {
+                sharded: make_eval_epoch_fn(task, bs, mesh=self.mesh,
+                                            sharded_pool=sharded)
+                for sharded in ((False, True) if self._sharding_pools() else (False,))
+            }
 
     # -------------------------------------------------------------- fast path
     @property
@@ -236,15 +270,50 @@ class Trainer:
             return False
         return dm.batch_size % self.mesh.shape["data"] == 0
 
+    def _sharding_pools(self) -> bool:
+        """train.sharded_pool is on and the mesh has a data axis to shard
+        over — pools then hold 1/Nth of the data per device (HBM-scaling for
+        datasets larger than one device's memory; see compiled.py)."""
+        return bool(self.cfg.get("sharded_pool", False)) and self.mesh.shape["data"] > 1
+
+    def _pool_sharded(self, stage: str) -> bool:
+        if not self._sharding_pools():
+            return False
+        dd = self.mesh.shape["data"]
+        n = self.datamodule.split_size(stage)
+        bs = self.datamodule.batch_size
+        # each device needs whole batch shards from its whole pool shard
+        return n % dd == 0 and bs % dd == 0
+
+    def _split_order(self, order, stage: str, bs: int):
+        """Split an epoch order into (device_path, tail_path) index arrays.
+        Sharded pools additionally realign the device part so each batch
+        draws bs/N items per pool shard (compiled.shard_align_order)."""
+        order = np.asarray(order)
+        if self._pool_sharded(stage):
+            from .compiled import shard_align_order
+
+            dd = self.mesh.shape["data"]
+            shard_size = self.datamodule.split_size(stage) // dd
+            return shard_align_order(order, bs, dd, shard_size)
+        n_full = (len(order) // bs) * bs
+        return order[:n_full], order[n_full:]
+
     def _device_split(self, stage: str):
         if not hasattr(self, "_dev_splits"):
             self._dev_splits = {}
         if stage not in self._dev_splits:
-            # replicate the pool across the mesh; per-step gathers are then
-            # sharding-constrained onto the data axis inside the scan
-            self._dev_splits[stage] = jax.device_put(
-                self.datamodule.splits[stage], replicated(self.mesh)
-            )
+            if self._pool_sharded(stage):
+                # shard the pool over the data axis: each device holds 1/Nth
+                shard = lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, P("data", *([None] * (np.ndim(x) - 1)))))
+                self._dev_splits[stage] = jax.tree.map(shard, self.datamodule.splits[stage])
+            else:
+                # replicate the pool across the mesh; per-step gathers are
+                # then sharding-constrained onto the data axis inside the scan
+                self._dev_splits[stage] = jax.device_put(
+                    self.datamodule.splits[stage], replicated(self.mesh)
+                )
         return self._dev_splits[stage]
 
     # ------------------------------------------------------------------ fit
@@ -353,20 +422,21 @@ class Trainer:
             arrays = self._device_split("train")
             order = datamodule.epoch_order("train", datamodule.train_shuffle_enabled())
             bs = datamodule.batch_size
-            n_full = (len(order) // bs) * bs
-            if n_full:
-                self.params, self.opt_state, losses, aux = self._train_epoch_fn(
+            device_order, tail_order = self._split_order(order, "train", bs)
+            sharded = self._pool_sharded("train")
+            if len(device_order):
+                self.params, self.opt_state, losses, aux = self._train_epoch_fns[sharded](
                     self.params, self.opt_state, arrays,
-                    jnp.asarray(order[:n_full], jnp.int32), ctx,
+                    jnp.asarray(device_order, jnp.int32), ctx,
                     self._step_rng_keys, self.global_step,
                 )
                 consume(losses, aux, flat=True)
-                steps = n_full // bs
+                steps = len(device_order) // bs
                 self.global_step += steps
                 nsteps += steps
-            # ragged tail through the per-step path
-            for start in range(n_full, len(order), bs):
-                idx = order[start:]
+            # ragged/unbalanced tail through the per-step path
+            for start in range(0, len(tail_order), bs):
+                idx = tail_order[start : start + bs]
                 batch = self._put_batch(
                     {k: v[idx] for k, v in datamodule.splits["train"].items()}
                 )
@@ -451,19 +521,23 @@ class Trainer:
 
         split_key = "val" if prefix == "val" else "test"
         dm = self.datamodule
+        processed_order = None  # non-natural sample order -> host unpermute
         if (self.compiled_epochs and dm is not None and batches is None
                 and dm.device_resident_ok(split_key)):
             arrays = self._device_split(split_key)
             order = np.arange(dm.split_size(split_key))
             bs = dm.batch_size
-            n_full = (len(order) // bs) * bs
-            if n_full:
-                losses, aux = self._eval_epoch_fn(
-                    self.params, arrays, jnp.asarray(order[:n_full], jnp.int32), ctx
+            device_order, tail_order = self._split_order(order, split_key, bs)
+            sharded = self._pool_sharded(split_key)
+            if sharded:
+                processed_order = np.concatenate([device_order, tail_order])
+            if len(device_order):
+                losses, aux = self._eval_epoch_fns[sharded](
+                    self.params, arrays, jnp.asarray(device_order, jnp.int32), ctx
                 )
                 consume(losses, aux, flat=True)
-            for start in range(n_full, len(order), bs):
-                idx = order[start:]
+            for start in range(0, len(tail_order), bs):
+                idx = tail_order[start : start + bs]
                 batch = self._put_batch({k: v[idx] for k, v in dm.splits[split_key].items()})
                 loss, aux = self._eval_step(self.params, batch, ctx)
                 consume(loss, aux, flat=False)
@@ -487,6 +561,21 @@ class Trainer:
         preds = np.concatenate(jax.device_get(preds_dev)) if preds_dev else np.zeros((0,))
         labels = np.concatenate(jax.device_get(labels_dev)) if labels_dev else np.zeros((0,))
         probs = np.concatenate(jax.device_get(probs_dev)) if probs_dev else None
+
+        def unpermute(a):
+            # sharded pools process samples in shard-aligned (non-natural)
+            # order; restore dataset order so artifacts/confusions match the
+            # replicated path exactly (metrics are order-invariant either way)
+            if processed_order is None or a is None or len(a) != len(processed_order):
+                return a
+            out = np.empty_like(a)
+            out[processed_order] = a
+            return out
+
+        preds, labels, probs = unpermute(preds), unpermute(labels), unpermute(probs)
+        for k in list(artifacts):
+            if artifacts[k]:
+                artifacts[k] = [unpermute(np.concatenate(jax.device_get(artifacts[k])))]
         if scores is not None:
             for mname, metric in scores.items():
                 metric.update(probs if metric.wants_scores and probs is not None else preds, labels)
