@@ -83,8 +83,11 @@ class AVMnistDataModule(ArrayDataModule):
             }
 
         train = load("train")
-        # reference split: train=0:55000, val=55000:60000 (`avmnist.py:174-178`)
-        n_val_start = min(55000, len(train["label"]))
+        # reference split: train=0:55000, val=55000:60000 (`avmnist.py:174-178`);
+        # for train files smaller than 60k (e.g. the make_avmnist surrogate)
+        # keep the same 55/60 proportion so val is never empty
+        n = len(train["label"])
+        n_val_start = 55000 if n >= 60000 else max(1, (n * 55) // 60)
         self.splits["train"] = {k: v[:n_val_start] for k, v in train.items()}
         self.splits["val"] = {k: v[n_val_start:] for k, v in train.items()}
         self.splits["test"] = load("test")

@@ -100,7 +100,7 @@ class Trainer:
         # FATAL when distributed is requested: silently training single-host
         # on a misconfigured cluster is the worst possible failure mode.
         if bool(train_cfg.get("distributed", False)):
-            import jax.distributed
+            import jax.distributed as _jax_distributed  # noqa: F401 (binds jax.distributed)
 
             kwargs = {}
             for k in ("coordinator_address", "num_processes", "process_id",
