@@ -24,8 +24,10 @@ from .mlp import *  # noqa: F401,F403
 from .recurrent import *  # noqa: F401,F403
 from .losses import *  # noqa: F401,F403
 from .pallas_blocks import *  # noqa: F401,F403
+from .paired import *  # noqa: F401,F403
+from .stacked import *  # noqa: F401,F403
 
-from . import mixer, gmlp, dynamixer, fusion, classification, mlp, recurrent, losses, pallas_blocks  # noqa: F401
+from . import mixer, gmlp, dynamixer, fusion, classification, mlp, recurrent, losses, pallas_blocks, paired, stacked  # noqa: F401
 
 
 def _tuplify(v):

@@ -101,7 +101,8 @@ def _batch_constrainer(mesh: Optional[Mesh]):
 
 def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
                         mesh: Optional[Mesh] = None,
-                        sharded_pool: bool = False) -> Callable:
+                        sharded_pool: bool = False,
+                        watch_gradients: bool = False) -> Callable:
     """Returns jitted ``epoch(params, opt_state, arrays, order, ctx, rngs,
     start_step) -> (params, opt_state, losses, aux)``.
 
@@ -134,6 +135,10 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
                 return task.step(p, batch, ctx, step_rngs, train=True)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if watch_gradients:
+                # wandb.watch analog (`/root/reference/run.py:53`): global
+                # gradient norm per step, logged as train_grad_norm
+                aux = dict(aux, grad_norm=optax.global_norm(grads))
             frozen = ctx["frozen"]
 
             def mask(g, m):

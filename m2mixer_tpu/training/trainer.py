@@ -134,6 +134,9 @@ class Trainer:
         self.monitor_mode = train_cfg.get("monitor_mode", "min")
         self.log_interval = int(train_cfg.get("log_interval_steps", 50))
         self.compute_train_metrics = bool(train_cfg.get("compute_train_metrics", True))
+        # wandb.watch analog (`/root/reference/run.py:53`): track gradient
+        # magnitudes (global norm per step, epoch-mean logged)
+        self.watch_gradients = bool(train_cfg.get("watch_gradients", False))
         self.seed = int(train_cfg.get("seed", 0))
         if mesh_config is None:
             # config-driven mesh (train.mesh_data / train.mesh_model)
@@ -219,6 +222,8 @@ class Trainer:
                 return task.step(p, batch, ctx, rngs, train=True)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if self.watch_gradients:
+                aux = dict(aux, grad_norm=optax.global_norm(grads))
             frozen = ctx["frozen"]
 
             def mask(g, m):
@@ -246,7 +251,8 @@ class Trainer:
             bs = self.datamodule.batch_size
             self._train_epoch_fns = {
                 sharded: make_train_epoch_fn(task, optimizer, frozen_mask, bs,
-                                             mesh=self.mesh, sharded_pool=sharded)
+                                             mesh=self.mesh, sharded_pool=sharded,
+                                             watch_gradients=self.watch_gradients)
                 for sharded in ((False, True) if self._sharding_pools() else (False,))
             }
             self._eval_epoch_fns = {
@@ -393,7 +399,10 @@ class Trainer:
         ctx = self._put_ctx(task.make_ctx(epoch, "train"))
         losses_dev, preds_dev, labels_dev, probs_dev = [], [], [], []
         extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
-        scalar_dev: Dict[str, list] = {k: [] for k in task.epoch_scalar_keys()}
+        scalar_keys = list(task.epoch_scalar_keys())
+        if self.watch_gradients:
+            scalar_keys.append("grad_norm")
+        scalar_dev: Dict[str, list] = {k: [] for k in scalar_keys}
         t0 = time.time()
         nsteps = 0
 

@@ -217,3 +217,69 @@ class TestMosi:
 
         with pytest.raises(ImportError, match="CMU-MultimodalSDK"):
             download_mosi("/tmp/nowhere")
+
+
+def test_make_mmimdb_builder(tmp_path):
+    """Offline MM-IMDB builder on a tiny raw corpus: per-sample file layout,
+    stratified disjoint splits, text normalization."""
+    import json
+
+    from m2mixer_tpu.datasets.make_mmimdb import build, normalize_text
+
+    raw = tmp_path / "raw"
+    os.makedirs(raw)
+    genres = [["Drama"], ["Comedy"], ["Drama", "Comedy"], ["Drama"],
+              ["Comedy"], ["Drama"], ["Comedy", "Drama"], ["Drama"]]
+    for i, g in enumerate(genres):
+        with open(raw / f"{i}.json", "w") as f:
+            json.dump({"genres": g,
+                       "plot": [f"A {'great ' * (i + 1)}movie, #{i}!"]}, f)
+        _img(str(raw / f"{i}.jpeg"), size=(64, 80))
+    # one broken entry (no image) is skipped
+    with open(raw / "broken.json", "w") as f:
+        json.dump({"genres": ["Drama"], "plot": ["x"]}, f)
+
+    out = tmp_path / "out"
+    build(str(raw), str(out), img_size=(32, 20), n_classes=2)
+
+    sizes = {}
+    all_texts = set()
+    for split in ("train", "dev", "test"):
+        labels = sorted(os.listdir(out / split / "labels"))
+        images = sorted(os.listdir(out / split / "images"))
+        texts = sorted(os.listdir(out / split / "text"))
+        assert len(labels) == len(images) == len(texts)
+        sizes[split] = len(labels)
+        lab = np.load(out / split / "labels" / "label_0.npy")
+        assert lab.shape == (2,) and set(lab.tolist()) <= {0, 1}
+        for t in texts:
+            all_texts.add((out / split / "text" / t).read_text())
+    assert sum(sizes.values()) == 8  # every valid movie lands in exactly one split
+    assert sizes["train"] > 0 and sizes["test"] > 0
+    # punctuation stripped, lowercased
+    assert normalize_text("Hello, World! <br />#3") == ["hello", "world", "3"]
+    assert all("#" not in t and "," not in t for t in all_texts)
+
+
+def test_imagenet_datamodule_folder_layout(tmp_path):
+    from m2mixer_tpu.datasets.imagenet import ImagenetDataModule
+
+    for split in ("train", "val"):
+        for cls in ("n01", "n02"):
+            d = tmp_path / split / cls
+            os.makedirs(d)
+            for i in range(3):
+                _img(str(d / f"{i}.jpeg"), size=(80, 60))
+
+    dm = ImagenetDataModule(data_dir=str(tmp_path), batch_size=4,
+                            num_workers=0, image_size=32)
+    dm.setup()
+    assert dm.split_sizes["train"] == 6 and dm.split_sizes["test"] == 6
+    assert dm.class_to_idx == {"n01": 0, "n02": 1}
+    batch = next(iter(dm.train_batches()))
+    assert batch["image"].shape == (4, 3, 32, 32)
+    assert set(np.asarray(batch["label"]).tolist()) <= {0, 1}
+    # eval path: deterministic center-crop pipeline
+    test_batch = next(iter(dm.test_batches()))
+    assert test_batch["image"].shape == (4, 3, 32, 32)
+    assert np.isfinite(test_batch["image"]).all()

@@ -116,3 +116,41 @@ def test_paired_freeze_mask(tmp_path):
     live = jax.tree.leaves(mask["params"]["fusion_mixer"])
     assert all(float(v) == 0.0 for v in froz)
     assert all(float(v) == 1.0 for v in live)
+
+
+def test_stacked_fusion_mixer_matches_modular():
+    """StackedFusionMixer with converted weights == modular FusionMixer."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 8, 16), jnp.float32)
+    modular = get_block_by_name(block_type="FusionMixer", hidden_dim=16,
+                                num_patches=8, token_dim=8, channel_dim=32,
+                                num_mixers=3, dropout=0.0)
+    v = modular.init(jax.random.PRNGKey(0), x)
+    want = modular.apply(v, x)
+
+    from m2mixer_tpu.modules.stacked import (StackedFusionMixer,
+                                             stack_fusion_mixer_params)
+
+    stacked = StackedFusionMixer(hidden_dim=16, num_patches=8, token_dim=8,
+                                 channel_dim=32, num_mixers=3, dropout=0.0)
+    sv = {"params": stack_fusion_mixer_params(v["params"])}
+    fresh = stacked.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(fresh["params"])
+            == jax.tree_util.tree_structure(sv["params"]))
+    got = stacked.apply(sv, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    assert stacked.num_patch == 8  # fusion shape-inference protocol
+
+
+def test_stacked_fusion_mixer_registry_and_e2e(tmp_path):
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.models import get_model
+    from m2mixer_tpu.training import Trainer
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    cfg.model.modalities.multimodal.block_type = "StackedFusionMixer"
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="stackedfuse", full_cfg=cfg)
+    trainer.fit(task, dm)
+    assert np.isfinite(trainer.callback_metrics["val_loss"])

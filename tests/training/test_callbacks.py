@@ -77,3 +77,47 @@ class TestCheckpointManager:
         for epoch, v in enumerate([0.3, 0.7, 0.5]):
             mgr.save(epoch, state, {"val_f1": v})
         assert mgr.best_path().endswith("epoch_1")
+
+
+def test_watch_gradients_logs_grad_norm(tmp_path):
+    """train.watch_gradients (wandb.watch analog, reference run.py:53)
+    surfaces an epoch-mean global gradient norm in the metrics."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.models import get_model
+    from m2mixer_tpu.training import Trainer
+
+    cfg = loads(f"""
+train:
+  tensorboard_path: {tmp_path}/logs
+  epochs: 1
+  watch_gradients: true
+  optimizer: {{lr: 1e-3}}
+  seed: 0
+  monitor: val_loss
+  monitor_mode: min
+dataset:
+  type: AVMnistDataModule
+  params: {{data_dir: unused, batch_size: 16, num_workers: 0, synthetic: true,
+            synthetic_sizes: [32, 16, 16]}}
+model:
+  type: AVMnistMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 10, classifier: StandardClassifier, input_shape: [16, 8, 16]}}
+    image: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 14,
+             image_size: [28, 28], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    audio: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 56,
+             image_size: [112, 112], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1}}
+""")
+    import numpy as np
+
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="watch", full_cfg=cfg)
+    trainer.fit(task, dm)
+    assert "train_grad_norm" in trainer.callback_metrics
+    assert np.isfinite(trainer.callback_metrics["train_grad_norm"])
+    assert trainer.callback_metrics["train_grad_norm"] > 0

@@ -298,3 +298,59 @@ def test_gradblend_batches_are_uniform_shape(tmp_path):
         gb_mod.GradBlend.__init__ = orig
     for _, train_step, _ in task._gb_estimator._steps:
         assert train_step._cache_size() == 1
+
+
+def test_auto_resume_scans_multiple_prior_versions(tmp_path):
+    """With several prior versions, auto_resume must pick the NEWEST one
+    that actually left a 'last' checkpoint (older and ckpt-less versions
+    are skipped)."""
+    import os
+    import shutil
+
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.train.auto_resume = True
+    cfg.train.epochs = 1
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+
+    # version_0: trained, has checkpoints
+    t0 = Trainer(cfg.train, name="arm", full_cfg=cfg)
+    t0.fit(get_model(cfg.model.type)(cfg.model, cfg.train.optimizer), dm)
+    # version_1: trained further (2 epochs), has checkpoints — the newest good one
+    cfg1 = loads(BASE.format(tmp=tmp_path))
+    cfg1.train.auto_resume = True
+    cfg1.train.epochs = 2
+    t1 = Trainer(cfg1.train, name="arm", full_cfg=cfg1)
+    t1.fit(get_model(cfg1.model.type)(cfg1.model, cfg1.train.optimizer), dm)
+    # version_2: a crashed run that left NO checkpoint (empty dir)
+    base = os.path.join(t1.logger.save_dir, "arm")
+    os.makedirs(os.path.join(base, "version_2", "checkpoints"), exist_ok=True)
+
+    cfg3 = loads(BASE.format(tmp=tmp_path))
+    cfg3.train.auto_resume = True
+    cfg3.train.epochs = 3
+    t3 = Trainer(cfg3.train, name="arm", full_cfg=cfg3)
+    found = t3._find_latest_checkpoint()
+    assert found is not None
+    # must come from version_1 (newest WITH a last ckpt), not 0 or 2
+    assert f"{os.sep}version_1{os.sep}" in found, found
+    t3.fit(get_model(cfg3.model.type)(cfg3.model, cfg3.train.optimizer), dm)
+    assert t3.current_epoch >= 2  # resumed at epoch 2 after v1's two epochs
+    shutil.rmtree(os.path.join(base, "version_2"))
+
+
+def test_p_muting_trains_end_to_end(tmp_path):
+    """p_muting>0 blocks the device-resident train path (host-side batch
+    muting); training must fall through to the per-step path and still
+    produce finite metrics, with val/test staying device-resident."""
+    cfg = loads(BASE.format(tmp=tmp_path))
+    cfg.dataset.params.p_muting = 0.5
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="mute_e2e", full_cfg=cfg)
+    trainer.fit(task, dm)
+    assert not dm.device_resident_ok("train")
+    assert dm.device_resident_ok("val")
+    assert np.isfinite(trainer.callback_metrics["train_loss"])
+    assert np.isfinite(trainer.callback_metrics["val_loss"])
+    logs = trainer.test(task, dm, ckpt="best")
+    assert np.isfinite(logs["test_loss"])
