@@ -153,15 +153,19 @@ class PairedMLPMixer(nn.Module):
                     + b.reshape(sh).astype(y.dtype))
 
         def pdot(y, k):  # (2,B,a,in) @ (2,in,out), modality-batched
-            return jax.lax.dot_general(
+            # f32 accumulation on the MXU, result carried in the compute
+            # dtype (the modular path's bf16 residual stream — halves the
+            # elementwise bytes between GEMMs)
+            out = jax.lax.dot_general(
                 y.astype(dt), k.astype(dt),
                 (((y.ndim - 1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
+            return out.astype(dt)
 
         def ff(y, k1, b1, k2, b2):
-            y = pdot(y, k1) + b1[:, None, None, :]
+            y = pdot(y, k1) + b1[:, None, None, :].astype(dt)
             y = drop(gelu(y), deterministic)
-            y = pdot(y, k2) + b2[:, None, None, :]
+            y = pdot(y, k2) + b2[:, None, None, :].astype(dt)
             return drop(y, deterministic)
 
         for i in range(L):
