@@ -12,11 +12,12 @@ Select with ``block_type: StackedFusionMixer`` (config keys identical to
 ``FusionMixer``; parity: `/root/reference/modules/mixer.py:112-132`).
 ``stack_fusion_mixer_params`` converts a modular tree for checkpoints.
 
-Measured caveat (kbench8): at the B fusion geometry (L=2 blocks) this LOSES
-~10% in-scan vs the modular FusionMixer — with only 2 layers the leaf-count
-saving doesn't cover the sliced-parameter indexing. Use for DEEP fusion
-stacks (L >= 4) or heavily leaf-bound setups; the benched default keeps the
-modular fusion block.
+Measured caveat (kbench8/8b): at the B fusion geometry (L=2 blocks) this
+LOSES ~8% in-scan vs the modular FusionMixer (71.6k vs 77.9k samples/s,
+bf16 stream in both) — with only 2 layers the leaf-count saving doesn't
+cover the sliced-parameter indexing. Use for DEEP fusion stacks (L >= 4)
+or heavily leaf-bound setups; the benched default keeps the modular fusion
+block.
 """
 
 from __future__ import annotations
@@ -89,12 +90,14 @@ class StackedFusionMixer(nn.Module):
             return (y - m) * jax.lax.rsqrt(v + 1e-5) * s.astype(y.dtype) + b.astype(y.dtype)
 
         def mm(a, w):
+            # f32 MXU accumulation, result carried in the compute dtype
+            # (bf16 residual stream, same as the modular Dense path)
             return jnp.dot(a.astype(dt), w.astype(dt),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32).astype(dt)
 
         def ff(y, k1, b1, k2, b2):
-            y = drop(gelu(mm(y, k1) + b1), deterministic)
-            return drop(mm(y, k2) + b2, deterministic)
+            y = drop(gelu(mm(y, k1) + b1.astype(dt)), deterministic)
+            return drop(mm(y, k2) + b2.astype(dt), deterministic)
 
         for i in range(L):
             y = ln(x, ln1_s[i], ln1_b[i])
