@@ -80,11 +80,14 @@ def main():
     cfg = load(os.path.join(repo, "cfg", "avmnist", "avmnist_m2-mixer_B.yml"))
     cfg.model.precision = "bf16"  # framework mixed-precision policy (params stay f32)
     # measured levers at this geometry (TODO.md, round 2): hardware-RNG
-    # dropout keys (+62% over threefry at dropout 0.5) and the paired
-    # dual-modality encoder chain (+17%); both are framework config options
-    # (train.prng_impl / model.paired_encoders)
+    # dropout keys (+62% over threefry at dropout 0.5), the paired
+    # dual-modality encoder chain (+17%), and bf16 first-moment Adam state
+    # (+7.4%; the optimizer pass is HBM-traffic bound at this model size).
+    # All are framework config options (train.prng_impl /
+    # model.paired_encoders / train.optimizer.moment_dtype).
     jax.config.update("jax_default_prng_impl", "rbg")
     cfg.model.paired_encoders = True
+    cfg.train.optimizer.moment_dtype = "bf16"
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
 
     rng = jax.random.PRNGKey(0)
@@ -97,7 +100,8 @@ def main():
     lr = float(cfg.train.optimizer.lr)
     betas = cfg.train.optimizer.get("betas", [0.9, 0.999])
     opt = optax.adam(lr, b1=float(betas[0]), b2=float(betas[1]),
-                     eps=float(cfg.train.optimizer.get("eps", 1e-8)))
+                     eps=float(cfg.train.optimizer.get("eps", 1e-8)),
+                     mu_dtype=jnp.bfloat16)
     ctx = {k: jnp.asarray(v) for k, v in task.make_ctx(0, "train").items()}
     rng_d, rng_s, rng_m = jax.random.split(rng, 3)
     rngs = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
