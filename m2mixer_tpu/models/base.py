@@ -62,6 +62,11 @@ class TrainTask(abc.ABC):
     """Contract between task models and the Trainer."""
 
     RNG_COLLECTIONS = ("dropout", "stochastic", "mute")
+    #: flax variable collections updated in-step during training (e.g.
+    #: ("batch_stats",) for true-BN fine-tuning). When non-empty, ``step``
+    #: returns the refreshed collections under ``aux["_mutable_state"]`` and
+    #: the trainer threads them into the variables for the next step.
+    mutable_collections: Tuple[str, ...] = ()
 
     def __init__(self, model_cfg: DictConfig, optimizer_cfg: DictConfig, **kwargs):
         self.model_cfg = model_cfg
@@ -116,6 +121,36 @@ class TrainTask(abc.ABC):
         """Pytree of 1.0 (trainable when frozen-flag set) / 0.0 (frozen).
         Default: nothing freezes."""
         return jax.tree.map(lambda _: 1.0, params)
+
+    def trainable_mask(self, variables) -> Optional[Any]:
+        """Static 0/1 pytree zeroing gradients/updates of NON-parameter
+        collections (BN running stats etc.). Only the ``params`` collection
+        is gradient-trained; returns None (no masking needed) when the
+        variables hold nothing else. Without this, frozen-statistics BN
+        means/vars would receive loss gradients and be silently
+        Adam-updated as if they were weights."""
+        if isinstance(variables, dict) and set(variables) == {"params"}:
+            return None
+
+        def mask(path, _):
+            top = getattr(path[0], "key", None) if path else None
+            return 1.0 if top in (None, "params") else 0.0
+
+        return jax.tree_util.tree_map_with_path(mask, variables)
+
+    def apply_network(self, params, kwargs, rngs, train: bool):
+        """``network.apply`` with the task's rng/mutable plumbing: returns
+        ``(outputs, new_state)`` where ``new_state`` is the refreshed
+        mutable-collection dict (None unless training a task with
+        ``mutable_collections``)."""
+        apply_rngs = {k: v for k, v in rngs.items() if k != "mute"} if train else None
+        if train and self.mutable_collections:
+            out, new_state = self.network.apply(
+                params, **kwargs, rngs=apply_rngs,
+                mutable=list(self.mutable_collections),
+            )
+            return out, dict(new_state)
+        return self.network.apply(params, **kwargs, rngs=apply_rngs), None
 
     # -- host hooks ----------------------------------------------------------
     def on_train_epoch_start(self, trainer, epoch: int) -> None:
@@ -275,13 +310,11 @@ class MultiLossTask(TrainTask):
 
     def step(self, params, batch, ctx, rngs, train: bool):
         mute_code = self.resolve_mute_code(ctx, rngs) if train else jnp.int32(MUTE_NONE)
-        apply_rngs = {k: v for k, v in rngs.items() if k != "mute"}
-        outputs = self.network.apply(
+        outputs, new_state = self.apply_network(
             params,
-            **self.network_inputs(batch),
-            deterministic=not train,
-            mute_code=mute_code,
-            rngs=apply_rngs if train else None,
+            dict(self.network_inputs(batch), deterministic=not train,
+                 mute_code=mute_code),
+            rngs, train,
         )
         losses = self.branch_losses(outputs, batch, ctx)
         vec = jnp.stack([losses[n] for n in self.loss_names])
@@ -291,6 +324,8 @@ class MultiLossTask(TrainTask):
             # backprops (`/root/reference/models/avmnist.py:292-293`)
             total = jnp.where(ctx["frozen"] > 0, losses["fusion"], total)
         aux = {"losses": losses, **self.predictions(outputs, batch)}
+        if new_state is not None:
+            aux["_mutable_state"] = new_state
         return total, aux
 
     # -- freezing ------------------------------------------------------------

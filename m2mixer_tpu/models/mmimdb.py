@@ -120,6 +120,12 @@ class VGG19BN(nn.Module):
 
     num_classes: int = 23
     dtype: Optional[type] = None
+    #: True = torch-style training BN (batch statistics in train mode,
+    #: running stats updated through the 'batch_stats' mutable collection,
+    #: threaded by the trainer when the task sets mutable_collections).
+    #: False (default) = frozen-statistics BN — standard for fine-tuning a
+    #: pretrained VGG, and a pure params->grads train step.
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -131,11 +137,9 @@ class VGG19BN(nn.Module):
             x = nn.Conv(spec, (3, 3), padding=1, dtype=self.dtype,
                         kernel_init=nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
                         name=f"conv_{i}")(x)
-            # frozen-statistics BN (affine only): keeps the train step a pure
-            # params->grads function (no mutable collections); the reference
-            # fine-tunes a pretrained VGG where frozen BN is standard anyway
-            x = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=(deterministic if self.train_bn else True),
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}")(x)
             x = nn.relu(x)
         # adaptive pool to 7x7 like torchvision, then the swapped classifier
         b, h, w, c = x.shape
@@ -218,28 +222,37 @@ class _UnimodalMultilabelTask(TrainTask):
 
     def step(self, params, batch, ctx, rngs, train: bool):
         kwargs = dict(self.network_inputs(batch), deterministic=not train)
-        if train and rngs:
-            logits = self.network.apply(
-                params, **kwargs, rngs={k: v for k, v in rngs.items() if k != "mute"}
-            )
-        else:
-            logits = self.network.apply(params, **kwargs)
+        logits, new_state = self.apply_network(params, kwargs, rngs, train)
         labels = batch["label"].astype(jnp.float32)
         loss = bce_with_logits_loss(logits, labels, jnp.asarray(self.pos_weight))
         preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int32)
-        return loss, {"losses": {"loss": loss}, "preds": preds, "labels": batch["label"]}
+        aux = {"losses": {"loss": loss}, "preds": preds, "labels": batch["label"]}
+        if new_state is not None:
+            aux["_mutable_state"] = new_state
+        return loss, aux
 
     def setup_scores(self):
         return [_multilabel_scores(23) for _ in range(3)]
 
 
 class MMIDB_GMLP(_UnimodalMultilabelTask):
-    """VGG19-bn image-only baseline (parity: `mmimdb_gmlp.py:14-67`)."""
+    """VGG19-bn image-only baseline (parity: `mmimdb_gmlp.py:14-67`).
+
+    ``model.train_bn: true`` enables torch-training-mode BatchNorm (batch
+    statistics in train mode + running-stat updates threaded through the
+    trainer's mutable-state path), matching the reference's un-frozen
+    fine-tune exactly; the default keeps frozen statistics."""
 
     pos_weight = _VGG_POS_WEIGHT
 
+    def __init__(self, model_cfg, optimizer_cfg, **kwargs):
+        self._train_bn = bool(model_cfg.get("train_bn", False))
+        super().__init__(model_cfg, optimizer_cfg, **kwargs)
+        if self._train_bn:
+            self.mutable_collections = ("batch_stats",)
+
     def build_network(self):
-        return VGG19BN(num_classes=23)
+        return VGG19BN(num_classes=23, train_bn=self._train_bn)
 
 
 class MMIDB_GMLP_ext(_UnimodalMultilabelTask):

@@ -102,7 +102,8 @@ def _batch_constrainer(mesh: Optional[Mesh]):
 def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
                         mesh: Optional[Mesh] = None,
                         sharded_pool: bool = False,
-                        watch_gradients: bool = False) -> Callable:
+                        watch_gradients: bool = False,
+                        trainable_mask=None) -> Callable:
     """Returns jitted ``epoch(params, opt_state, arrays, order, ctx, rngs,
     start_step) -> (params, opt_state, losses, aux)``.
 
@@ -112,6 +113,11 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
     axis. With ``sharded_pool`` the arrays are ``data``-axis sharded (1/Nth
     of the pool per device) and ``order`` must be shard-aligned
     (``shard_align_order``); gathers then stay device-local.
+
+    ``trainable_mask``: static 0/1 pytree (``task.trainable_mask``) zeroing
+    updates to non-parameter collections (BN running stats); those are
+    instead refreshed from ``aux['_mutable_state']`` when the task declares
+    ``mutable_collections``.
     """
 
     constrain = _batch_constrainer(mesh)
@@ -141,13 +147,24 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
                 aux = dict(aux, grad_norm=optax.global_norm(grads))
             frozen = ctx["frozen"]
 
-            def mask(g, m):
-                return g * (1.0 - frozen * (1.0 - m))
+            if trainable_mask is None:
+                def mask(g, m):
+                    return g * (1.0 - frozen * (1.0 - m))
 
-            grads = jax.tree.map(mask, grads, frozen_mask)
+                masks = (frozen_mask,)
+            else:
+                def mask(g, m, t):
+                    return g * t * (1.0 - frozen * (1.0 - m))
+
+                masks = (frozen_mask, trainable_mask)
+
+            grads = jax.tree.map(mask, grads, *masks)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            updates = jax.tree.map(mask, updates, frozen_mask)
+            updates = jax.tree.map(mask, updates, *masks)
             params = optax.apply_updates(params, updates)
+            if isinstance(aux, dict) and "_mutable_state" in aux:
+                aux = dict(aux)
+                params = {**params, **aux.pop("_mutable_state")}
             return (params, opt_state), (loss, aux)
 
         (params, opt_state), (losses, aux) = jax.lax.scan(

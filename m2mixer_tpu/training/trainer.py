@@ -221,6 +221,7 @@ class Trainer:
     def _build_steps(self, task, base_rng):
         optimizer = self.optimizer
         frozen_mask = task.frozen_mask(self.params)
+        trainable_mask = task.trainable_mask(self.params)
         rng_d, rng_s, rng_m = jax.random.split(base_rng, 3)
 
         def train_step(params, opt_state, batch, ctx, step):
@@ -238,13 +239,26 @@ class Trainer:
                 aux = dict(aux, grad_norm=optax.global_norm(grads))
             frozen = ctx["frozen"]
 
-            def mask(g, m):
-                return g * (1.0 - frozen * (1.0 - m))
+            if trainable_mask is None:
+                def mask(g, m):
+                    return g * (1.0 - frozen * (1.0 - m))
 
-            grads = jax.tree.map(mask, grads, frozen_mask)
+                masks = (frozen_mask,)
+            else:
+                # non-parameter collections (BN running stats) must never be
+                # gradient-updated; they refresh via aux['_mutable_state']
+                def mask(g, m, t):
+                    return g * t * (1.0 - frozen * (1.0 - m))
+
+                masks = (frozen_mask, trainable_mask)
+
+            grads = jax.tree.map(mask, grads, *masks)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            updates = jax.tree.map(mask, updates, frozen_mask)
+            updates = jax.tree.map(mask, updates, *masks)
             params = optax.apply_updates(params, updates)
+            if isinstance(aux, dict) and "_mutable_state" in aux:
+                aux = dict(aux)
+                params = {**params, **aux.pop("_mutable_state")}
             return params, opt_state, loss, aux
 
         def eval_step(params, batch, ctx):
@@ -264,7 +278,8 @@ class Trainer:
             self._train_epoch_fns = {
                 sharded: make_train_epoch_fn(task, optimizer, frozen_mask, bs,
                                              mesh=self.mesh, sharded_pool=sharded,
-                                             watch_gradients=self.watch_gradients)
+                                             watch_gradients=self.watch_gradients,
+                                             trainable_mask=trainable_mask)
                 for sharded in ((False, True) if self._sharding_pools() else (False,))
             }
             self._eval_epoch_fns = {
