@@ -16,6 +16,7 @@ from .memotion import *  # noqa: F401,F403
 from .mimic import *  # noqa: F401,F403
 from .mmhs150 import *  # noqa: F401,F403
 from .mmimdb import *  # noqa: F401,F403
+from .mosi import *  # noqa: F401,F403
 from .multioff import *  # noqa: F401,F403
 from .pnlp import *  # noqa: F401,F403
 
