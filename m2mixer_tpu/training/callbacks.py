@@ -161,8 +161,25 @@ class CheckpointManager:
         return self.index.get("last")
 
     def restore(self, path: str, target):
-        """Restore a checkpoint into the structure of ``target``."""
+        """Restore a checkpoint into the structure of ``target``. Explicit
+        per-leaf restore args carry the target's shardings, so orbax places
+        arrays directly onto the current mesh instead of warning and reading
+        sharding metadata from the checkpoint files (which is wrong across
+        topology changes anyway — cross-mesh re-placement happens here)."""
         import orbax.checkpoint as ocp
 
-        restored = self._ckptr.restore(path, item=target)
-        return restored
+        def restore_arg(leaf):
+            # (ocp.checkpoint_utils.construct_restore_args rejects the numpy
+            # scalars in the progress fields, so build args directly)
+            if isinstance(leaf, jax.Array) and hasattr(leaf, "sharding"):
+                return ocp.ArrayRestoreArgs(sharding=leaf.sharding,
+                                            global_shape=leaf.shape,
+                                            dtype=leaf.dtype)
+            return ocp.RestoreArgs()
+
+        try:
+            restore_args = jax.tree.map(restore_arg, target)
+            return self._ckptr.restore(path, item=target,
+                                       restore_args=restore_args)
+        except (TypeError, ValueError):
+            return self._ckptr.restore(path, item=target)

@@ -34,6 +34,21 @@ def parse_args():
 
 
 def build(args, unknown):
+    if not os.path.isfile(args.cfg):
+        import difflib
+        import glob
+        import sys
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        known = glob.glob(os.path.join(repo, "cfg", "*", "*.yml"))
+        close = difflib.get_close_matches(
+            os.path.basename(args.cfg), [os.path.basename(k) for k in known], n=3)
+        hint = ""
+        if close:
+            paths = [os.path.relpath(k, repo) for k in known
+                     if os.path.basename(k) in close]
+            hint = "\nDid you mean: " + ", ".join(sorted(paths))
+        sys.exit(f"error: config file not found: {args.cfg}{hint}")
     cfg = cfg_lib.load(args.cfg)
     overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
     for section in ("model", "train", "dataset"):
