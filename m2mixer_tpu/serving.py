@@ -1,0 +1,317 @@
+"""Model export + serving: AOT artifacts for production inference.
+
+The reference has no deployment story beyond Lightning checkpoints
+(`/root/reference/README.md:105-115` links raw .ckpt files); this module is
+the TPU-native serving path:
+
+- ``export_serving``: package a trained task into a self-contained artifact
+  directory — the forward function serialized ahead of time plus the
+  parameters — loadable WITHOUT any model code.
+- ``load_serving`` -> ``ServedModel``: batch-bucketed, zero-padded inference
+  with static shapes (every bucket compiles once; odd request sizes pad to
+  the next bucket and outputs are sliced back).
+
+Two artifact formats:
+
+- ``stablehlo`` (default, portable): ``jax.export`` with a symbolic batch
+  dimension — one artifact serves every batch size on any backend/topology;
+  XLA compiles per bucket at load/first-use (the persistent compile cache
+  applies).
+- ``executable`` (same-topology fast start): fully compiled XLA executables
+  serialized per bucket — reload skips compilation entirely. Not portable
+  across device kinds or topologies.
+
+The exported function is the task network's eval-mode forward (logits +
+branch logits), i.e. exactly what ``Trainer.test`` evaluates, minus losses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["export_serving", "load_serving", "ServedModel", "pick_bucket"]
+
+_META = "serving.json"
+_PARAMS = "params.pkl"
+_HLO = "model.stablehlo"
+_EXEC = "model.exec.b{bucket}"
+_DEFAULT_BUCKETS = (1, 8, 32, 128, 512)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (requests larger than the top bucket are split
+    by the caller)."""
+    for b in sorted(buckets):
+        if b >= n:
+            return b
+    return max(buckets)
+
+
+def _serve_fn(task):
+    """Eval-mode forward: features dict -> {'logits', 'branch_logits'}."""
+
+    def fn(params, features):
+        outputs = task.network.apply(
+            params, **task.network_inputs(features), deterministic=True
+        )
+        if isinstance(outputs, dict):
+            return {"logits": outputs["logits"],
+                    "branch_logits": tuple(outputs.get("branch_logits", ()))}
+        return {"logits": outputs, "branch_logits": ()}
+
+    return fn
+
+
+def _feature_spec(sample_batch) -> Dict[str, Tuple[Tuple[int, ...], str]]:
+    # shape/dtype only — never np.asarray a leaf (device arrays would pay a
+    # device->host transfer just to read metadata)
+    def spec(v):
+        if hasattr(v, "shape") and hasattr(v, "dtype"):
+            return tuple(v.shape[1:]), str(np.dtype(v.dtype))
+        v = np.asarray(v)
+        return tuple(v.shape[1:]), str(v.dtype)
+
+    return {k: spec(v) for k, v in sample_batch.items() if k != "label"}
+
+
+def export_serving(task, params, sample_batch, out_dir: str,
+                   fmt: str = "stablehlo",
+                   buckets: Sequence[int] = _DEFAULT_BUCKETS) -> str:
+    """Write a self-contained serving artifact for ``task`` to ``out_dir``.
+
+    ``sample_batch``: one training/eval batch (the 'label' key is ignored) —
+    defines the feature names, per-sample shapes, and dtypes the server
+    accepts.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    spec = _feature_spec(sample_batch)
+    fn = _serve_fn(task)
+    params = jax.tree.map(np.asarray, params)
+    p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+
+    with open(os.path.join(out_dir, _PARAMS), "wb") as f:
+        pickle.dump(params, f)
+
+    meta = {"format": fmt, "features": {k: list(v[0]) for k, v in spec.items()},
+            "dtypes": {k: v[1] for k, v in spec.items()},
+            "buckets": sorted(int(b) for b in buckets)}
+
+    if fmt == "stablehlo":
+        from jax import export as jexport
+
+        b = jexport.symbolic_shape("b")[0]
+        f_spec = {k: jax.ShapeDtypeStruct((b, *shp), jnp.dtype(dt))
+                  for k, (shp, dt) in spec.items()}
+        artifact = jexport.export(jax.jit(fn))(p_spec, f_spec)
+        with open(os.path.join(out_dir, _HLO), "wb") as f:
+            f.write(artifact.serialize())
+    elif fmt == "executable":
+        from jax.experimental import serialize_executable as se
+
+        # pin to ONE device: the artifact must match the arrays predict()
+        # feeds (single-chip serving; use 'stablehlo' + jit-under-a-mesh for
+        # sharded serving)
+        dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        pin = lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=dev)
+        for bucket in meta["buckets"]:
+            f_spec = {k: pin(jax.ShapeDtypeStruct((bucket, *shp), jnp.dtype(dt)))
+                      for k, (shp, dt) in spec.items()}
+            compiled = jax.jit(fn).lower(jax.tree.map(pin, p_spec), f_spec).compile()
+            payload, in_tree, out_tree = se.serialize(compiled)
+            with open(os.path.join(out_dir, _EXEC.format(bucket=bucket)), "wb") as f:
+                pickle.dump({"payload": payload, "in_tree": in_tree,
+                             "out_tree": out_tree}, f)
+        meta["device_kind"] = jax.devices()[0].device_kind
+    else:
+        raise ValueError(f"Unknown serving format: {fmt!r} "
+                         "(expected 'stablehlo' or 'executable')")
+
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+class ServedModel:
+    """Loaded serving artifact: batch-bucketed eval-mode inference.
+
+    ``predict(features)`` accepts any request size: inputs are zero-padded
+    to the smallest compiled bucket (oversize requests are processed in
+    top-bucket chunks) and outputs are sliced back to the true size.
+    """
+
+    def __init__(self, out_dir: str):
+        with open(os.path.join(out_dir, _META)) as f:
+            self.meta = json.load(f)
+        with open(os.path.join(out_dir, _PARAMS), "rb") as f:
+            params = pickle.load(f)
+        self.params = jax.device_put(params)
+        self.buckets = list(self.meta["buckets"])
+        self._calls: Dict[int, callable] = {}
+
+        if self.meta["format"] == "stablehlo":
+            from jax import export as jexport
+
+            with open(os.path.join(out_dir, _HLO), "rb") as f:
+                artifact = jexport.deserialize(f.read())
+            call = jax.jit(artifact.call)
+            for b in self.buckets:
+                self._calls[b] = call  # polymorphic: one callable, per-shape jit cache
+        else:
+            from jax.experimental import serialize_executable as se
+
+            kind = jax.devices()[0].device_kind
+            want = self.meta.get("device_kind")
+            if want is not None and want != kind:
+                raise RuntimeError(
+                    f"executable-format artifact was compiled for {want!r} "
+                    f"but this host runs {kind!r}; re-export (or use the "
+                    "portable 'stablehlo' format)")
+            for b in self.buckets:
+                with open(os.path.join(out_dir, _EXEC.format(bucket=b)), "rb") as f:
+                    blob = pickle.load(f)
+                loaded = se.deserialize_and_load(
+                    blob["payload"], blob["in_tree"], blob["out_tree"])
+                self._calls[b] = loaded
+
+    def _run_bucket(self, features: Dict[str, np.ndarray], n: int):
+        bucket = pick_bucket(n, self.buckets)
+        padded = {
+            k: jnp.asarray(np.pad(np.asarray(v),
+                                  [(0, bucket - n)] + [(0, 0)] * (np.ndim(v) - 1)))
+            for k, v in features.items()
+        }
+        out = self._calls[bucket](self.params, padded)
+        return jax.tree.map(lambda a: np.asarray(a)[:n], out)
+
+    def predict(self, features: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        features = {k: v for k, v in features.items() if k != "label"}
+        n = int(np.shape(next(iter(features.values())))[0])
+        top = max(self.buckets)
+        if n <= top:
+            return self._run_bucket(features, n)
+        chunks = [
+            self._run_bucket({k: np.asarray(v)[i:i + top] for k, v in features.items()},
+                             min(top, n - i))
+            for i in range(0, n, top)
+        ]
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+
+
+def load_serving(out_dir: str) -> ServedModel:
+    return ServedModel(out_dir)
+
+
+def _build_task(cfg):
+    from .models import get_model
+
+    return get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    """CLI: export a trained run, or latency-bench an artifact.
+
+    export:  python -m m2mixer_tpu.serving export -c CFG -p CKPT -o DIR
+             [--format stablehlo|executable] [--buckets 1,8,32]
+    bench:   python -m m2mixer_tpu.serving bench -d DIR [--batch 32] [--iters 50]
+    """
+    import argparse
+
+    # persistent compile cache: repeat exports/loads skip XLA compilation
+    cache = os.environ.get(
+        "M2MIXER_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    ex = sub.add_parser("export")
+    ex.add_argument("-c", "--cfg", required=True)
+    ex.add_argument("-p", "--ckpt", help="checkpoint dir (epoch_N); fresh init if omitted")
+    ex.add_argument("-o", "--out", required=True)
+    ex.add_argument("--format", default="stablehlo",
+                    choices=["stablehlo", "executable"])
+    ex.add_argument("--buckets", default="1,8,32,128,512")
+    be = sub.add_parser("bench")
+    be.add_argument("-d", "--dir", required=True)
+    be.add_argument("--batch", type=int, default=32)
+    be.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "export":
+        from .config import load
+        from .datasets import get_data_module
+
+        cfg = load(args.cfg)
+        task = _build_task(cfg)
+        dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        dm.setup("fit")
+        sample = next(iter(dm.train_batches()))
+        params = task.init_params(jax.random.PRNGKey(0), sample)
+        if args.ckpt:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ckpt))
+            params = restored["params"] if "params" in restored else restored
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+        out = export_serving(task, params, sample, args.out,
+                             fmt=args.format, buckets=buckets)
+        print(f"[serving] exported {args.format} artifact to {out}")
+    else:
+        import time
+
+        model = load_serving(args.dir)
+        feats = {
+            k: np.random.rand(args.batch, *shp).astype(model.meta["dtypes"][k])
+            for k, shp in model.meta["features"].items()
+        }
+        model.predict(feats)  # warm / compile
+
+        # end-to-end: host numpy in -> host numpy out, per request. On a
+        # host with a local accelerator this is the serving number; through
+        # a remote-device tunnel (axon) it is transfer/dispatch dominated.
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            model.predict(feats)
+        e2e = (time.perf_counter() - t0) / args.iters
+
+        # device latency: device-resident inputs, pipelined dispatch, one
+        # final block — the model's own compute time per request.
+        bucket = pick_bucket(args.batch, model.buckets)
+        padded = {
+            k: jax.device_put(np.pad(
+                v, [(0, bucket - args.batch)] + [(0, 0)] * (v.ndim - 1)))
+            for k, v in feats.items()
+        }
+        call = model._calls[bucket]
+        call(model.params, padded)  # warm this exact shape
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = call(model.params, padded)
+        jax.block_until_ready(out)
+        dev = (time.perf_counter() - t0) / args.iters
+
+        print(json.dumps({
+            "metric": "serving_latency_ms_device", "value": round(dev * 1e3, 3),
+            "e2e_latency_ms": round(e2e * 1e3, 3),
+            "batch": args.batch,
+            "device_throughput_samples_per_sec": round(args.batch / dev, 1),
+            "format": model.meta["format"],
+            "device": jax.devices()[0].device_kind,
+        }))
+
+
+if __name__ == "__main__":
+    main()

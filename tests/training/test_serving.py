@@ -1,0 +1,159 @@
+"""Serving export/load: AOT artifacts, bucketed inference, format guards."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from m2mixer_tpu.config import loads
+from m2mixer_tpu.models import get_model
+from m2mixer_tpu.serving import export_serving, load_serving, main, pick_bucket
+
+CFG = """
+train:
+  tensorboard_path: {tmp}/logs
+  epochs: 1
+  optimizer: {{lr: 1e-3, weight_decay: 0.0}}
+  seed: 0
+  monitor: val_loss
+  monitor_mode: min
+dataset:
+  type: AVMnistDataModule
+  params: {{data_dir: unused, batch_size: 8, synthetic: true,
+            synthetic_sizes: [16, 8, 8]}}
+model:
+  type: AVMnistMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 10, classifier: StandardClassifier,
+                      input_shape: [16, 8, 16]}}
+    image: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 14,
+             image_size: [28, 28], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    audio: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 56,
+             image_size: [112, 112], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1}}
+"""
+
+
+def _batch(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": rng.rand(n, 1, 28, 28).astype(np.float32),
+        "audio": rng.rand(n, 1, 112, 112).astype(np.float32),
+        "label": rng.randint(0, 10, (n,)).astype(np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def task_and_params(tmp_path_factory):
+    cfg = loads(CFG.format(tmp=tmp_path_factory.mktemp("srv")))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    params = task.init_params(jax.random.PRNGKey(0), _batch(8))
+    return task, params
+
+
+def _direct_logits(task, params, batch):
+    out = task.network.apply(params, **task.network_inputs(batch),
+                             deterministic=True)
+    return np.asarray(out["logits"])
+
+
+def test_pick_bucket():
+    assert pick_bucket(1, (1, 8, 32)) == 1
+    assert pick_bucket(5, (1, 8, 32)) == 8
+    assert pick_bucket(33, (1, 8, 32)) == 32  # top bucket; caller chunks
+
+
+def test_stablehlo_roundtrip_parity(tmp_path, task_and_params):
+    task, params = task_and_params
+    d = export_serving(task, params, _batch(8), str(tmp_path / "art"),
+                       fmt="stablehlo", buckets=(4, 8))
+    assert json.load(open(os.path.join(d, "serving.json")))["format"] == "stablehlo"
+    model = load_serving(d)
+
+    batch = _batch(8, seed=1)
+    out = model.predict(batch)
+    np.testing.assert_allclose(out["logits"], _direct_logits(task, params, batch),
+                               rtol=2e-5, atol=2e-5)
+    assert len(out["branch_logits"]) == 2
+
+    # odd request size: padded to bucket 4, sliced back to 3
+    small = {k: v[:3] for k, v in batch.items()}
+    out3 = model.predict(small)
+    assert out3["logits"].shape == (3, 10)
+    np.testing.assert_allclose(out3["logits"], out["logits"][:3], rtol=2e-5,
+                               atol=2e-5)
+
+    # oversize request: chunked through the top bucket
+    big = _batch(19, seed=2)
+    out19 = model.predict(big)
+    assert out19["logits"].shape == (19, 10)
+    np.testing.assert_allclose(out19["logits"],
+                               _direct_logits(task, params, big),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_executable_roundtrip(tmp_path):
+    """The executable format must round-trip on a NORMAL topology. The
+    virtual 8-device CPU harness breaks XLA's CPU AOT loader (the reloaded
+    executable reports an 8-replica device assignment even for a pinned
+    single-device program), so this runs in a clean single-device
+    subprocess — which is also what a real serving host looks like."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "roundtrip.py"
+    script.write_text(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from m2mixer_tpu.config import loads\n"
+        "from m2mixer_tpu.models import get_model\n"
+        "from m2mixer_tpu.serving import export_serving, load_serving\n"
+        f"from tests.training.test_serving import CFG, _batch, _direct_logits\n"
+        f"cfg = loads(CFG.format(tmp={str(tmp_path)!r}))\n"
+        "task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)\n"
+        "params = task.init_params(jax.random.PRNGKey(0), _batch(8))\n"
+        f"d = export_serving(task, params, _batch(8), {str(tmp_path / 'artx')!r},\n"
+        "                   fmt='executable', buckets=(4,))\n"
+        "model = load_serving(d)\n"
+        "batch = _batch(4, seed=3)\n"
+        "np.testing.assert_allclose(model.predict(batch)['logits'],\n"
+        "                           _direct_logits(task, params, batch),\n"
+        "                           rtol=2e-5, atol=2e-5)\n"
+        "print('EXEC_ROUNDTRIP_OK')\n")
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, str(script)], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=420)
+    assert "EXEC_ROUNDTRIP_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_executable_topology_guard(tmp_path, task_and_params):
+    task, params = task_and_params
+    d = export_serving(task, params, _batch(8), str(tmp_path / "artg"),
+                       fmt="executable", buckets=(4,))
+    meta_path = os.path.join(d, "serving.json")
+    meta = json.load(open(meta_path))
+    meta["device_kind"] = "TPU v9000"
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(RuntimeError, match="compiled for"):
+        load_serving(d)
+
+
+def test_serving_cli(tmp_path, capsys):
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(CFG.format(tmp=tmp_path))
+    out = tmp_path / "cli_art"
+    main(["export", "-c", str(cfg_path), "-o", str(out), "--buckets", "2,4"])
+    assert (out / "serving.json").exists()
+    main(["bench", "-d", str(out), "--batch", "4", "--iters", "2"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "serving_latency_ms_device" and rec["value"] > 0
+    assert rec["e2e_latency_ms"] > 0
