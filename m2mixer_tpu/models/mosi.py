@@ -29,13 +29,28 @@ __all__ = ["MosiMixerMultiLoss"]
 
 
 class MosiMixerMultiLoss(MultiLossTask):
-    """3-modal sentiment classifier over the aligned CMU-MOSI folds
-    (consumes ``CMUMosiDataModule`` batches: vision (B,50,Dv), audio
-    (B,50,70), text (B,T,proj) and binarized labels)."""
+    """3-modal sentiment model over the aligned CMU-MOSI folds (consumes
+    ``CMUMosiDataModule`` batches: vision (B,50,Dv), audio (B,50,70), text
+    (B,T,proj)).
+
+    ``model.task``:
+      - ``classification`` (default): CE branch losses over binarized
+        labels, the Acc-2 protocol.
+      - ``regression``: L1 branch losses on the raw [-3, 3] sentiment
+        scores (heads must have ``num_classes: 1``), scored with
+        MAE / Pearson correlation / sign Acc-2 — the standard CMU-MOSI
+        regression protocol.
+    """
 
     modalities = ("vision", "audio", "text")
     weighting = "fixed"
     anneal_on = "val"
+
+    def __init__(self, model_cfg, optimizer_cfg, **kwargs):
+        super().__init__(model_cfg, optimizer_cfg, **kwargs)
+        self.task_mode = str(model_cfg.get("task", "classification"))
+        if self.task_mode == "regression":
+            self.log_confusion_matrix = False  # float preds have no classes
 
     def build_network(self):
         return build_multimodal_net(self.model_cfg, self.modalities)
@@ -47,30 +62,43 @@ class MosiMixerMultiLoss(MultiLossTask):
     def num_classes(self) -> int:
         return int(self.model_cfg.modalities.classification.num_classes)
 
+    def _branch_loss(self, logits, labels):
+        if str(self.model_cfg.get("task", "classification")) == "regression":
+            return jnp.abs(logits[..., 0] - labels).mean()
+        return cross_entropy_loss(logits, labels)
+
     def branch_losses(self, outputs, batch, ctx) -> Dict[str, jnp.ndarray]:
         labels = batch["label"]
         losses = {
-            name: cross_entropy_loss(logits, labels)
+            name: self._branch_loss(logits, labels)
             for name, logits in zip(self.modalities, outputs["branch_logits"])
         }
-        losses["fusion"] = cross_entropy_loss(outputs["logits"], labels)
+        losses["fusion"] = self._branch_loss(outputs["logits"], labels)
         return losses
 
     def predictions(self, outputs, batch):
-        sm = lambda z: jnp.argmax(jax.nn.softmax(z, axis=1), axis=1)
-        preds = {f"preds_{n}": sm(z)
+        if self.task_mode == "regression":
+            pred = lambda z: z[..., 0]
+        else:
+            pred = lambda z: jnp.argmax(jax.nn.softmax(z, axis=1), axis=1)
+        preds = {f"preds_{n}": pred(z)
                  for n, z in zip(self.modalities, outputs["branch_logits"])}
-        preds.update(preds=sm(outputs["logits"]), labels=batch["label"],
+        preds.update(preds=pred(outputs["logits"]), labels=batch["label"],
                      logits=outputs["logits"])
         return preds
 
     def setup_scores(self):
-        def scores():
-            n = self.num_classes
-            return dict(
-                acc=tm.Accuracy(task="multiclass", num_classes=n),
-                f1m=tm.F1Score(task="multiclass", num_classes=n, average="macro"),
-            )
+        if self.task_mode == "regression":
+            scores = lambda: dict(mae=tm.MeanAbsoluteError(),
+                                  corr=tm.PearsonCorrCoef(),
+                                  acc2=tm.SignAccuracy())
+        else:
+            def scores():
+                n = self.num_classes
+                return dict(
+                    acc=tm.Accuracy(task="multiclass", num_classes=n),
+                    f1m=tm.F1Score(task="multiclass", num_classes=n, average="macro"),
+                )
 
         return [scores() for _ in range(3)]
 

@@ -144,23 +144,54 @@ class ServedModel:
     ``predict(features)`` accepts any request size: inputs are zero-padded
     to the smallest compiled bucket (oversize requests are processed in
     top-bucket chunks) and outputs are sliced back to the true size.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis scales inference
+    over chips — parameters are replicated, request batches shard over
+    ``data`` (stablehlo format only; buckets that don't divide the data
+    axis are dropped at load).
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, mesh=None):
         with open(os.path.join(out_dir, _META)) as f:
             self.meta = json.load(f)
         with open(os.path.join(out_dir, _PARAMS), "rb") as f:
             params = pickle.load(f)
-        self.params = jax.device_put(params)
         self.buckets = list(self.meta["buckets"])
         self._calls: Dict[int, callable] = {}
+
+        if mesh is not None and self.meta["format"] != "stablehlo":
+            raise ValueError("mesh-sharded serving requires the 'stablehlo' "
+                             "format (the 'executable' artifact is pinned to "
+                             "its export-time device assignment)")
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n = mesh.shape["data"]
+            self.buckets = [b for b in self.buckets if b % n == 0]
+            if not self.buckets:
+                raise ValueError(
+                    f"no export bucket divides the mesh data axis ({n}); "
+                    "re-export with divisible buckets")
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+            self._data_sharding = lambda ndim: NamedSharding(
+                mesh, P("data", *([None] * (ndim - 1))))
+        else:
+            self.params = jax.device_put(params)
+            self._data_sharding = None
 
         if self.meta["format"] == "stablehlo":
             from jax import export as jexport
 
             with open(os.path.join(out_dir, _HLO), "rb") as f:
                 artifact = jexport.deserialize(f.read())
-            call = jax.jit(artifact.call)
+            if mesh is None:
+                call = jax.jit(artifact.call)
+            else:
+                p_shard = jax.tree.map(lambda x: x.sharding, self.params)
+                f_shard = {k: self._data_sharding(len(shp) + 1)
+                           for k, shp in self.meta["features"].items()}
+                call = jax.jit(artifact.call, in_shardings=(p_shard, f_shard))
             for b in self.buckets:
                 self._calls[b] = call  # polymorphic: one callable, per-shape jit cache
         else:
@@ -204,8 +235,8 @@ class ServedModel:
         return jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
 
 
-def load_serving(out_dir: str) -> ServedModel:
-    return ServedModel(out_dir)
+def load_serving(out_dir: str, mesh=None) -> ServedModel:
+    return ServedModel(out_dir, mesh=mesh)
 
 
 def _build_task(cfg):

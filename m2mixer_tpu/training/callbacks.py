@@ -58,6 +58,57 @@ class EarlyStopping:
         return self.should_stop
 
 
+class LRSchedule:
+    """Config-driven per-epoch LR schedule with optional linear warmup —
+    the production alternative to the reference's fixed plateau scheduler.
+    Same ``update(val_metric) -> lr`` surface as ``ReduceLROnPlateau`` (the
+    metric is ignored; the schedule is epoch-driven), selected via
+    ``train.optimizer.schedule``:
+
+        schedule: {type: cosine, warmup_epochs: 5, min_lr: 1e-5}
+        schedule: {type: linear, min_lr: 0.0}
+        schedule: {type: step, step_size: 30, gamma: 0.1}
+        schedule: {type: exponential, gamma: 0.97}
+        schedule: {type: constant, warmup_epochs: 3}
+    """
+
+    def __init__(self, initial_lr: float, cfg, max_epochs: int):
+        self.lr0 = float(initial_lr)
+        self.lr = self.lr0
+        self.kind = str(cfg.get("type", "cosine"))
+        if self.kind not in ("cosine", "linear", "step", "exponential", "constant"):
+            raise ValueError(f"Unknown schedule type: {self.kind!r}")
+        self.warmup = int(cfg.get("warmup_epochs", 0))
+        self.min_lr = float(cfg.get("min_lr", 0.0))
+        self.step_size = int(cfg.get("step_size", 30))
+        self.gamma = float(cfg.get("gamma", 0.1))
+        self.max_epochs = max(int(max_epochs), 1)
+        self.epoch = 0  # epochs completed
+
+    def at_epoch(self, epoch: int) -> float:
+        """LR to use DURING ``epoch`` (0-indexed)."""
+        if epoch < self.warmup:
+            return self.lr0 * (epoch + 1) / self.warmup
+        if self.kind == "constant":
+            return self.lr0
+        span = max(self.max_epochs - self.warmup, 1)
+        t = min(max(epoch - self.warmup, 0), span) / span
+        if self.kind == "cosine":
+            return self.min_lr + 0.5 * (self.lr0 - self.min_lr) * (1 + math.cos(math.pi * t))
+        if self.kind == "linear":
+            return self.min_lr + (self.lr0 - self.min_lr) * (1 - t)
+        if self.kind == "step":
+            return max(self.lr0 * self.gamma ** ((epoch - self.warmup) // self.step_size),
+                       self.min_lr)
+        # exponential
+        return max(self.lr0 * self.gamma ** (epoch - self.warmup), self.min_lr)
+
+    def update(self, _value: float) -> float:
+        self.epoch += 1
+        self.lr = self.at_epoch(self.epoch)
+        return self.lr
+
+
 class ReduceLROnPlateau:
     """torch-parity plateau scheduler (factor 0.1, threshold 1e-4 'rel',
     cooldown 0, min_lr 0) driving the optimizer's injected learning rate."""

@@ -103,7 +103,8 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
                         mesh: Optional[Mesh] = None,
                         sharded_pool: bool = False,
                         watch_gradients: bool = False,
-                        trainable_mask=None) -> Callable:
+                        trainable_mask=None,
+                        grad_accum: int = 1) -> Callable:
     """Returns jitted ``epoch(params, opt_state, arrays, order, ctx, rngs,
     start_step) -> (params, opt_state, losses, aux)``.
 
@@ -118,29 +119,57 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
     updates to non-parameter collections (BN running stats); those are
     instead refreshed from ``aux['_mutable_state']`` when the task declares
     ``mutable_collections``.
+
+    ``grad_accum`` K > 1: each scan step consumes K consecutive micro-batches
+    (an inner scan keeps activation memory at micro-batch scale), averages
+    their gradients, and applies ONE optimizer update — large effective
+    batches without the memory. Per-micro-batch losses/aux are flattened so
+    epoch metrics see every sample; ``start_step`` counts optimizer updates
+    (rng folds use update*K + micro for uniqueness). Not combinable with
+    mutable collections.
     """
+    if grad_accum > 1 and getattr(task, "mutable_collections", ()):
+        raise ValueError("grad_accum_steps > 1 is not supported together "
+                         "with mutable collections (BN running stats)")
 
     constrain = _batch_constrainer(mesh)
     gather = (make_sharded_gather(mesh) if sharded_pool and mesh is not None
               else None)
 
     def epoch(params, opt_state, arrays, order, ctx, rngs, start_step):
-        n_steps = order.shape[0] // batch_size
+        n_steps = order.shape[0] // (batch_size * grad_accum)
 
-        def body(carry, i):
-            params, opt_state = carry
-            idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
+        def micro_grads(params, i, j):
+            """One micro-batch: (loss, aux), grads."""
+            idx = jax.lax.dynamic_slice_in_dim(
+                order, (i * grad_accum + j) * batch_size, batch_size)
             if gather is not None:
                 batch = gather(arrays, idx)
             else:
                 batch = constrain(jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays))
-            step = start_step + i
-            step_rngs = {name: jax.random.fold_in(key, step) for name, key in rngs.items()}
+            micro_step = (start_step + i) * grad_accum + j
+            step_rngs = {name: jax.random.fold_in(key, micro_step)
+                         for name, key in rngs.items()}
 
             def loss_fn(p):
                 return task.step(p, batch, ctx, step_rngs, train=True)
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        def body(carry, i):
+            params, opt_state = carry
+            if grad_accum == 1:
+                (loss, aux), grads = micro_grads(params, i, 0)
+            else:
+                def micro(acc, j):
+                    (loss, aux), g = micro_grads(params, i, j)
+                    return jax.tree.map(jnp.add, acc, g), (loss, aux)
+
+                zero = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.result_type(p)), params)
+                grads, (loss, aux) = jax.lax.scan(
+                    micro, zero, jnp.arange(grad_accum))
+                grads = jax.tree.map(lambda g: g / grad_accum, grads)
             if watch_gradients:
                 # wandb.watch analog (`/root/reference/run.py:53`): global
                 # gradient norm per step, logged as train_grad_norm
@@ -170,6 +199,14 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
         (params, opt_state), (losses, aux) = jax.lax.scan(
             body, (params, opt_state), jnp.arange(n_steps)
         )
+        if grad_accum > 1:
+            # flatten the (updates, K, ...) micro axis so epoch metrics see
+            # one (steps, ...) stream; grad_norm is per-update and stays
+            losses = losses.reshape(-1)
+            gn = aux.pop("grad_norm", None) if isinstance(aux, dict) else None
+            aux = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), aux)
+            if gn is not None:
+                aux["grad_norm"] = gn
         return params, opt_state, losses, aux
 
     return jax.jit(epoch, donate_argnums=(0, 1))

@@ -26,6 +26,10 @@ __all__ = [
     "Recall",
     "AUROC",
     "AveragePrecision",
+    "MeanAbsoluteError",
+    "MeanSquaredError",
+    "PearsonCorrCoef",
+    "SignAccuracy",
     "confusion_matrix",
 ]
 
@@ -270,3 +274,75 @@ class AveragePrecision(_BaseMetric):
             for k in range(self.num_classes)
         ])
         return _ovr_average(vals, labels, self.num_classes, self.average)
+
+
+# ---------------------------------------------------------------- regression
+class _RegressionMetric:
+    """Accumulator over float (preds, targets) pairs — torchmetrics
+    regression surface (MeanAbsoluteError / MeanSquaredError /
+    PearsonCorrCoef) for affect-style tasks (e.g. CMU-MOSI scores)."""
+
+    wants_scores = False
+
+    def __init__(self, **kwargs):
+        self._preds: List[np.ndarray] = []
+        self._labels: List[np.ndarray] = []
+
+    def update(self, preds, labels):
+        self._preds.append(np.asarray(preds, np.float64).reshape(-1))
+        self._labels.append(np.asarray(labels, np.float64).reshape(-1))
+
+    def reset(self):
+        self._preds = []
+        self._labels = []
+
+    def _gather(self):
+        if not self._preds:
+            return np.zeros((0,)), np.zeros((0,))
+        return np.concatenate(self._preds), np.concatenate(self._labels)
+
+    def __call__(self, preds, labels):
+        batch = type(self)()
+        batch.update(preds, labels)
+        self.update(preds, labels)
+        return batch.compute()
+
+
+class MeanAbsoluteError(_RegressionMetric):
+    def compute(self) -> float:
+        p, t = self._gather()
+        return float(np.abs(p - t).mean()) if p.size else 0.0
+
+
+class MeanSquaredError(_RegressionMetric):
+    def __init__(self, squared: bool = True, **kwargs):
+        super().__init__(**kwargs)
+        self.squared = squared  # torchmetrics: squared=False -> RMSE
+
+    def compute(self) -> float:
+        p, t = self._gather()
+        if not p.size:
+            return 0.0
+        mse = float(((p - t) ** 2).mean())
+        return mse if self.squared else float(np.sqrt(mse))
+
+
+class PearsonCorrCoef(_RegressionMetric):
+    def compute(self) -> float:
+        p, t = self._gather()
+        if p.size < 2 or p.std() == 0 or t.std() == 0:
+            return 0.0
+        return float(np.corrcoef(p, t)[0, 1])
+
+
+class SignAccuracy(_RegressionMetric):
+    """CMU-MOSI 'Acc-2' from regression outputs: sign agreement with the
+    true score, evaluated over nonzero-labeled samples (the standard
+    binary-sentiment protocol on top of a regression head)."""
+
+    def compute(self) -> float:
+        p, t = self._gather()
+        mask = t != 0
+        if not mask.any():
+            return 0.0
+        return float(((p[mask] > 0) == (t[mask] > 0)).mean())

@@ -149,6 +149,9 @@ class Trainer:
         # wandb.watch analog (`/root/reference/run.py:53`): track gradient
         # magnitudes (global norm per step, epoch-mean logged)
         self.watch_gradients = bool(train_cfg.get("watch_gradients", False))
+        # train.grad_accum_steps K: average grads over K micro-batches per
+        # optimizer update (large effective batch at micro-batch memory)
+        self.grad_accum = max(1, int(train_cfg.get("grad_accum_steps", 1)))
         self.seed = int(train_cfg.get("seed", 0))
         if mesh_config is None:
             # config-driven mesh (train.mesh_data / train.mesh_model)
@@ -222,6 +225,9 @@ class Trainer:
         optimizer = self.optimizer
         frozen_mask = task.frozen_mask(self.params)
         trainable_mask = task.trainable_mask(self.params)
+        if self.grad_accum > 1 and getattr(task, "mutable_collections", ()):
+            raise ValueError("train.grad_accum_steps > 1 is not supported "
+                             "together with mutable collections")
         rng_d, rng_s, rng_m = jax.random.split(base_rng, 3)
 
         def train_step(params, opt_state, batch, ctx, step):
@@ -267,6 +273,41 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
 
+        if self.grad_accum > 1:
+            # per-step gradient accumulation trio (micro-batch grads are
+            # summed across K calls, one masked optimizer update per flush)
+            def grad_step(params, batch, ctx, micro_step):
+                rngs = {
+                    "dropout": jax.random.fold_in(rng_d, micro_step),
+                    "stochastic": jax.random.fold_in(rng_s, micro_step),
+                    "mute": jax.random.fold_in(rng_m, micro_step),
+                }
+                (loss, aux), grads = jax.value_and_grad(
+                    lambda p: task.step(p, batch, ctx, rngs, train=True),
+                    has_aux=True)(params)
+                return grads, loss, aux
+
+            def apply_step(params, opt_state, grads, ctx):
+                frozen = ctx["frozen"]
+                if trainable_mask is None:
+                    mask = lambda g, m: g * (1.0 - frozen * (1.0 - m))
+                    masks = (frozen_mask,)
+                else:
+                    mask = lambda g, m, t: g * t * (1.0 - frozen * (1.0 - m))
+                    masks = (frozen_mask, trainable_mask)
+                gn = optax.global_norm(grads)
+                grads = jax.tree.map(mask, grads, *masks)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                updates = jax.tree.map(mask, updates, *masks)
+                return optax.apply_updates(params, updates), opt_state, gn
+
+            self._grad_step = jax.jit(grad_step)
+            self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1, 2))
+            self._add_grads = jax.jit(
+                lambda a, b: jax.tree.map(jnp.add, a, b), donate_argnums=(0,))
+            self._avg_grads = jax.jit(
+                lambda a, k: jax.tree.map(lambda x: x / k, a), donate_argnums=(0,))
+
         # epoch-compiled fast path: many steps per dispatch (see compiled.py);
         # both pool placements are built (a split uses the sharded variant iff
         # train.sharded_pool is on and its size divides the data axis)
@@ -279,7 +320,8 @@ class Trainer:
                 sharded: make_train_epoch_fn(task, optimizer, frozen_mask, bs,
                                              mesh=self.mesh, sharded_pool=sharded,
                                              watch_gradients=self.watch_gradients,
-                                             trainable_mask=trainable_mask)
+                                             trainable_mask=trainable_mask,
+                                             grad_accum=self.grad_accum)
                 for sharded in ((False, True) if self._sharding_pools() else (False,))
             }
             self._eval_epoch_fns = {
@@ -375,7 +417,17 @@ class Trainer:
         if resume_from is not None:
             self.restore(resume_from, with_progress=True)
             print(f"[trainer] resumed from {resume_from} at epoch {self.current_epoch}")
-        self.plateau = ReduceLROnPlateau(lr0, patience=int(task.scheduler_patience))
+        sched_cfg = task.optimizer_cfg.get("schedule", None)
+        if sched_cfg:
+            from .callbacks import LRSchedule
+
+            self.plateau = LRSchedule(lr0, DictConfig(sched_cfg), self.max_epochs)
+            self.plateau.epoch = self.current_epoch  # resume-aligned
+            # warmup applies from the FIRST epoch, not after it
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                self.plateau.at_epoch(self.current_epoch), jnp.float32)
+        else:
+            self.plateau = ReduceLROnPlateau(lr0, patience=int(task.scheduler_patience))
         self._build_steps(task, step_rng)
 
         train_scores, val_scores, _ = task.setup_scores()
@@ -454,11 +506,53 @@ class Trainer:
                 if k in aux:
                     scalar_dev[k].append(aux[k])
 
+        K = self.grad_accum
+        acc = {"g": None, "n": 0}
+
+        def flush_accum():
+            """Apply one optimizer update from the pending micro-grads."""
+            if acc["n"] == 0:
+                return
+            grads = self._avg_grads(acc["g"], float(acc["n"]))
+            self.params, self.opt_state, gn = self._apply_step(
+                self.params, self.opt_state, grads, ctx)
+            if self.watch_gradients:
+                scalar_dev.setdefault("grad_norm", []).append(gn)
+            acc["g"] = None
+            acc["n"] = 0
+            self.global_step += 1
+
+        def train_one(batch):
+            """One micro-batch through the per-step path (direct update at
+            K=1, accumulate-then-flush otherwise)."""
+            if K == 1:
+                self.params, self.opt_state, loss, aux = self._train_step(
+                    self.params, self.opt_state, batch, ctx, self.global_step)
+                self.global_step += 1
+            else:
+                grads, loss, aux = self._grad_step(
+                    self.params, batch, ctx, self.global_step * K + acc["n"])
+                acc["g"] = (grads if acc["g"] is None
+                            else self._add_grads(acc["g"], grads))
+                acc["n"] += 1
+                if acc["n"] == K:
+                    flush_accum()
+            consume(loss, aux, flat=False)
+            return loss
+
         if self.compiled_epochs and datamodule.device_resident_ok("train"):
             arrays = self._device_split("train")
             order = datamodule.epoch_order("train", datamodule.train_shuffle_enabled())
             bs = datamodule.batch_size
             device_order, tail_order = self._split_order(order, "train", bs)
+            if K > 1:
+                # updates consume K consecutive micro-batches; push the
+                # non-multiple remainder through the per-step path
+                quant = bs * K
+                n_full = (len(device_order) // quant) * quant
+                tail_order = np.concatenate(
+                    [device_order[n_full:], tail_order]).astype(device_order.dtype)
+                device_order = device_order[:n_full]
             sharded = self._pool_sharded("train")
             if len(device_order):
                 self.params, self.opt_state, losses, aux = self._train_epoch_fns[sharded](
@@ -467,34 +561,27 @@ class Trainer:
                     self._step_rng_keys, self.global_step,
                 )
                 consume(losses, aux, flat=True)
-                steps = len(device_order) // bs
-                self.global_step += steps
-                nsteps += steps
+                self.global_step += len(device_order) // (bs * K)
+                nsteps += len(device_order) // bs
             # ragged/unbalanced tail through the per-step path
             for start in range(0, len(tail_order), bs):
                 idx = tail_order[start : start + bs]
                 batch = self._put_batch(
                     {k: v[idx] for k, v in datamodule.splits["train"].items()}
                 )
-                self.params, self.opt_state, loss, aux = self._train_step(
-                    self.params, self.opt_state, batch, ctx, self.global_step
-                )
-                consume(loss, aux, flat=False)
-                self.global_step += 1
+                train_one(batch)
                 nsteps += 1
+            flush_accum()
         else:
             for batch in datamodule.train_batches():
                 batch = self._put_batch(batch)
-                self.params, self.opt_state, loss, aux = self._train_step(
-                    self.params, self.opt_state, batch, ctx, self.global_step
-                )
-                consume(loss, aux, flat=False)
-                self.global_step += 1
+                loss = train_one(batch)
                 nsteps += 1
                 # step-interval loss logging (parity with the reference's
                 # log_every_n_steps; one scalar fetch every N steps)
                 if self.log_interval and self.global_step % self.log_interval == 0:
                     self.logger.log({"train_loss_step": float(loss)}, self.global_step)
+            flush_accum()
 
         # one host sync per epoch
         losses = np.concatenate([np.atleast_1d(x) for x in jax.device_get(losses_dev)])

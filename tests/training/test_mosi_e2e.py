@@ -77,6 +77,49 @@ model:
 """
 
 
+def test_regression_metrics_match_numpy():
+    from m2mixer_tpu.training import metrics as tm
+
+    rng = np.random.RandomState(0)
+    p, t = rng.randn(100), rng.randn(100)
+    mae, mse, rmse = (tm.MeanAbsoluteError(), tm.MeanSquaredError(),
+                      tm.MeanSquaredError(squared=False))
+    corr, acc2 = tm.PearsonCorrCoef(), tm.SignAccuracy()
+    for m in (mae, mse, rmse, corr, acc2):
+        m.update(p[:60], t[:60])
+        m.update(p[60:], t[60:])
+    assert np.isclose(mae.compute(), np.abs(p - t).mean())
+    assert np.isclose(mse.compute(), ((p - t) ** 2).mean())
+    assert np.isclose(rmse.compute(), np.sqrt(((p - t) ** 2).mean()))
+    assert np.isclose(corr.compute(), np.corrcoef(p, t)[0, 1])
+    nz = t != 0
+    assert np.isclose(acc2.compute(), ((p[nz] > 0) == (t[nz] > 0)).mean())
+
+
+def test_mosi_regression_trains(tmp_path, vocab):
+    """model.task=regression: L1 heads on raw scores, MAE/corr/Acc-2
+    scoring (the standard CMU-MOSI regression protocol)."""
+    from m2mixer_tpu.datasets.mosi import CMUMosiDataModule
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    cfg.model.task = "regression"
+    cfg.model.modalities.classification.num_classes = 1
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = CMUMosiDataModule(
+        data_path=_mosi_pickle(tmp_path), batch_size=8, num_workers=0,
+        vocab_cfg=DictConfig(vocab),
+        train_cfg=DictConfig({"max_seq_len": 8, "task": "regression",
+                              "z_norm": False}),
+        proj_cfg=DictConfig({"num_hashes": 64, "feature_size": 32,
+                             "window_size": 1}),
+    )
+    trainer = Trainer(cfg.train, name="mosi_reg", full_cfg=cfg)
+    trainer.fit(task, dm)
+    logs = trainer.test(task, dm, ckpt="best")
+    assert np.isfinite(logs["test_mae"])
+    assert logs["test_acc2"] >= 0.7  # sign of the planted vision signal
+
+
 def test_mosi_task_trains(tmp_path, vocab):
     from m2mixer_tpu.datasets.mosi import CMUMosiDataModule
 

@@ -146,6 +146,30 @@ def test_executable_topology_guard(tmp_path, task_and_params):
         load_serving(d)
 
 
+def test_mesh_sharded_serving(tmp_path, task_and_params):
+    """stablehlo artifact jitted over a data-axis mesh: replicated params,
+    batch-sharded requests, same logits."""
+    from m2mixer_tpu.parallel import make_mesh, MeshConfig
+
+    task, params = task_and_params
+    d = export_serving(task, params, _batch(8), str(tmp_path / "artm"),
+                       fmt="stablehlo", buckets=(3, 8, 16))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    model = load_serving(d, mesh=mesh)
+    assert model.buckets == [8, 16]  # bucket 3 dropped (doesn't divide 8)
+
+    batch = _batch(12, seed=7)  # pads to bucket 16, 2 per device
+    out = model.predict(batch)
+    assert out["logits"].shape == (12, 10)
+    np.testing.assert_allclose(out["logits"], _direct_logits(task, params, batch),
+                               rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(ValueError, match="stablehlo"):
+        dx = export_serving(task, params, _batch(8), str(tmp_path / "artm2"),
+                            fmt="executable", buckets=(8,))
+        load_serving(dx, mesh=mesh)
+
+
 def test_serving_cli(tmp_path, capsys):
     cfg_path = tmp_path / "cfg.yml"
     cfg_path.write_text(CFG.format(tmp=tmp_path))
