@@ -230,7 +230,9 @@ class CheckpointManager:
 
         try:
             restore_args = jax.tree.map(restore_arg, target)
+        except (TypeError, ValueError):
+            restore_args = None  # exotic leaf in the target tree only
+        if restore_args is not None:
             return self._ckptr.restore(path, item=target,
                                        restore_args=restore_args)
-        except (TypeError, ValueError):
-            return self._ckptr.restore(path, item=target)
+        return self._ckptr.restore(path, item=target)

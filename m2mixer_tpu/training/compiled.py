@@ -23,7 +23,25 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_train_epoch_fn", "make_eval_epoch_fn", "shard_align_order",
-           "make_sharded_gather"]
+           "make_sharded_gather", "make_grad_masker"]
+
+
+def make_grad_masker(frozen_mask, trainable_mask=None):
+    """Shared grads/updates masking for every train path (per-step,
+    accumulation, epoch-compiled): multiplies by the DYNAMIC frozen gate
+    (``1 - frozen*(1-m)``: leaf trains unless the traced ``frozen`` flag is
+    set and its frozen_mask entry is 0) and, when present, the STATIC
+    trainable mask zeroing non-parameter collections unconditionally."""
+    if trainable_mask is None:
+        def masker(tree, frozen):
+            return jax.tree.map(
+                lambda g, m: g * (1.0 - frozen * (1.0 - m)), tree, frozen_mask)
+    else:
+        def masker(tree, frozen):
+            return jax.tree.map(
+                lambda g, m, t: g * t * (1.0 - frozen * (1.0 - m)),
+                tree, frozen_mask, trainable_mask)
+    return masker
 
 
 def shard_align_order(order: np.ndarray, batch_size: int, n_shards: int,
@@ -135,6 +153,7 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
     constrain = _batch_constrainer(mesh)
     gather = (make_sharded_gather(mesh) if sharded_pool and mesh is not None
               else None)
+    masker = make_grad_masker(frozen_mask, trainable_mask)
 
     def epoch(params, opt_state, arrays, order, ctx, rngs, start_step):
         n_steps = order.shape[0] // (batch_size * grad_accum)
@@ -175,21 +194,9 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
                 # gradient norm per step, logged as train_grad_norm
                 aux = dict(aux, grad_norm=optax.global_norm(grads))
             frozen = ctx["frozen"]
-
-            if trainable_mask is None:
-                def mask(g, m):
-                    return g * (1.0 - frozen * (1.0 - m))
-
-                masks = (frozen_mask,)
-            else:
-                def mask(g, m, t):
-                    return g * t * (1.0 - frozen * (1.0 - m))
-
-                masks = (frozen_mask, trainable_mask)
-
-            grads = jax.tree.map(mask, grads, *masks)
+            grads = masker(grads, frozen)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            updates = jax.tree.map(mask, updates, *masks)
+            updates = masker(updates, frozen)
             params = optax.apply_updates(params, updates)
             if isinstance(aux, dict) and "_mutable_state" in aux:
                 aux = dict(aux)

@@ -302,7 +302,10 @@ class _RegressionMetric:
         return np.concatenate(self._preds), np.concatenate(self._labels)
 
     def __call__(self, preds, labels):
-        batch = type(self)()
+        import copy
+
+        batch = copy.copy(self)  # keeps config attrs (e.g. MSE's squared)
+        batch._preds, batch._labels = [], []
         batch.update(preds, labels)
         self.update(preds, labels)
         return batch.compute()

@@ -49,10 +49,15 @@ def seed_everything(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
-def _make_optimizer(optimizer_cfg: DictConfig):
+def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
     """torch.optim.Adam semantics (L2 via grad += wd*p before moments),
     with the learning rate injected so the plateau scheduler can change it
     between steps without recompiling.
+
+    ``trainable_mask`` (``task.trainable_mask``): non-parameter collections
+    (BN running stats) are excluded via ``optax.masked``, so Adam allocates
+    no moments for them and their leaves skip the optimizer pass entirely
+    (they refresh through the mutable-state path instead).
 
     ``optimizer.moment_dtype: bf16`` stores the first Adam moment in
     bfloat16. Measured on TPU v5e at the B-geometry headline (batch 32,
@@ -66,8 +71,13 @@ def _make_optimizer(optimizer_cfg: DictConfig):
     eps = float(optimizer_cfg.get("eps", 1e-8))
     wd = float(optimizer_cfg.get("weight_decay", 0.0))
     moment_dtype = optimizer_cfg.get("moment_dtype", None)
-    mu_dtype = {None: None, "f32": None, "float32": None,
-                "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}[moment_dtype]
+    _mu_dtypes = {None: None, "f32": None, "float32": None,
+                  "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}
+    if moment_dtype not in _mu_dtypes:
+        raise ValueError(
+            f"train.optimizer.moment_dtype={moment_dtype!r} — expected one "
+            f"of {sorted(k for k in _mu_dtypes if k)} (or unset for f32)")
+    mu_dtype = _mu_dtypes[moment_dtype]
 
     def make(learning_rate):
         steps = []
@@ -75,6 +85,11 @@ def _make_optimizer(optimizer_cfg: DictConfig):
             steps.append(optax.add_decayed_weights(wd))
         steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
                                          mu_dtype=mu_dtype))
+        if trainable_mask is not None:
+            # wrap ONLY in the masked case so the common opt_state pytree
+            # (and checkpoints/compile-cache keys) keep the flat layout
+            steps = [optax.masked(optax.chain(*steps),
+                                  jax.tree.map(lambda m: m > 0.5, trainable_mask))]
         steps.append(optax.scale_by_learning_rate(learning_rate))
         return optax.chain(*steps)
 
@@ -229,6 +244,11 @@ class Trainer:
             raise ValueError("train.grad_accum_steps > 1 is not supported "
                              "together with mutable collections")
         rng_d, rng_s, rng_m = jax.random.split(base_rng, 3)
+        from .compiled import make_grad_masker
+
+        # non-parameter collections (BN running stats) must never be
+        # gradient-updated; they refresh via aux['_mutable_state']
+        masker = make_grad_masker(frozen_mask, trainable_mask)
 
         def train_step(params, opt_state, batch, ctx, step):
             rngs = {
@@ -244,23 +264,9 @@ class Trainer:
             if self.watch_gradients:
                 aux = dict(aux, grad_norm=optax.global_norm(grads))
             frozen = ctx["frozen"]
-
-            if trainable_mask is None:
-                def mask(g, m):
-                    return g * (1.0 - frozen * (1.0 - m))
-
-                masks = (frozen_mask,)
-            else:
-                # non-parameter collections (BN running stats) must never be
-                # gradient-updated; they refresh via aux['_mutable_state']
-                def mask(g, m, t):
-                    return g * t * (1.0 - frozen * (1.0 - m))
-
-                masks = (frozen_mask, trainable_mask)
-
-            grads = jax.tree.map(mask, grads, *masks)
+            grads = masker(grads, frozen)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            updates = jax.tree.map(mask, updates, *masks)
+            updates = masker(updates, frozen)
             params = optax.apply_updates(params, updates)
             if isinstance(aux, dict) and "_mutable_state" in aux:
                 aux = dict(aux)
@@ -289,16 +295,11 @@ class Trainer:
 
             def apply_step(params, opt_state, grads, ctx):
                 frozen = ctx["frozen"]
-                if trainable_mask is None:
-                    mask = lambda g, m: g * (1.0 - frozen * (1.0 - m))
-                    masks = (frozen_mask,)
-                else:
-                    mask = lambda g, m, t: g * t * (1.0 - frozen * (1.0 - m))
-                    masks = (frozen_mask, trainable_mask)
-                gn = optax.global_norm(grads)
-                grads = jax.tree.map(mask, grads, *masks)
+                gn = (optax.global_norm(grads) if self.watch_gradients
+                      else jnp.float32(0.0))
+                grads = masker(grads, frozen)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
-                updates = jax.tree.map(mask, updates, *masks)
+                updates = masker(updates, frozen)
                 return optax.apply_updates(params, updates), opt_state, gn
 
             self._grad_step = jax.jit(grad_step)
@@ -407,7 +408,8 @@ class Trainer:
             params = task.init_params(init_rng, sample)
             self.params = shard_params(self.mesh, params)
         self._log_params_once(self.params)
-        self.optimizer, lr0 = _make_optimizer(task.optimizer_cfg)
+        self.optimizer, lr0 = _make_optimizer(task.optimizer_cfg,
+                                              task.trainable_mask(self.params))
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
         if resume_from is None and bool(self.cfg.get("auto_resume", False)):
@@ -578,8 +580,11 @@ class Trainer:
                 loss = train_one(batch)
                 nsteps += 1
                 # step-interval loss logging (parity with the reference's
-                # log_every_n_steps; one scalar fetch every N steps)
-                if self.log_interval and self.global_step % self.log_interval == 0:
+                # log_every_n_steps; one scalar fetch every N steps). With
+                # accumulation, log only at flush boundaries so each
+                # global_step is logged at most once.
+                if (self.log_interval and acc["n"] == 0
+                        and self.global_step % self.log_interval == 0):
                     self.logger.log({"train_loss_step": float(loss)}, self.global_step)
             flush_accum()
 
@@ -792,7 +797,8 @@ class Trainer:
         rng = seed_everything(self.seed)
         params = task.init_params(rng, sample)
         self.params = shard_params(self.mesh, params)
-        self.optimizer, _ = _make_optimizer(task.optimizer_cfg)
+        self.optimizer, _ = _make_optimizer(task.optimizer_cfg,
+                                            task.trainable_mask(self.params))
         self.opt_state = self.optimizer.init(self.params)
         self.restore(os.path.abspath(path))
 
@@ -814,7 +820,8 @@ class Trainer:
         if self._eval_step is None:
             base_rng = seed_everything(self.seed)
             if self.optimizer is None:
-                self.optimizer, _ = _make_optimizer(task.optimizer_cfg)
+                self.optimizer, _ = _make_optimizer(task.optimizer_cfg,
+                                                    task.trainable_mask(self.params))
                 self.opt_state = self.optimizer.init(self.params)
             self._build_steps(task, base_rng)
 

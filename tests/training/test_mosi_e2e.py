@@ -94,6 +94,9 @@ def test_regression_metrics_match_numpy():
     assert np.isclose(corr.compute(), np.corrcoef(p, t)[0, 1])
     nz = t != 0
     assert np.isclose(acc2.compute(), ((p[nz] > 0) == (t[nz] > 0)).mean())
+    # forward (__call__) must honor constructor config (RMSE stays RMSE)
+    assert np.isclose(tm.MeanSquaredError(squared=False)(p, t),
+                      np.sqrt(((p - t) ** 2).mean()))
 
 
 def test_mosi_regression_trains(tmp_path, vocab):
