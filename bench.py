@@ -88,6 +88,10 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
     cfg.model.paired_encoders = True
     cfg.train.optimizer.moment_dtype = "bf16"
+    # tanh GELU: the exact erf lowers to a long VPU polynomial and was the
+    # measured FORWARD bottleneck (2.9x encoder-fwd at batch 512, kbench20);
+    # difference vs erf ~1e-3 ~= one bf16 ulp (model.approximate_gelu)
+    cfg.model.approximate_gelu = True
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
 
     rng = jax.random.PRNGKey(0)

@@ -119,6 +119,32 @@ def test_bf16_moment_adam_e2e(tmp_path):
     assert any(d == jnp.bfloat16 for d in dtypes)  # mu really is stored bf16
 
 
+def test_approximate_gelu_e2e(tmp_path):
+    """model.approximate_gelu: tanh GELU (the measured TPU forward lever,
+    2.9x encoder fwd at batch 512) — must train to ~the same loss as exact
+    erf, and the flag must reset per task build."""
+    import jax.numpy as jnp
+
+    from m2mixer_tpu.modules import common
+
+    x = jnp.linspace(-5, 5, 101)
+    prev = common.set_gelu_approximate(True)
+    tanh_y = common.gelu(x)
+    common.set_gelu_approximate(prev)
+    exact_y = common.gelu(x)
+    assert float(jnp.abs(tanh_y - exact_y).max()) < 3e-3
+
+    kwargs = dict(img_block="MLPMixer", img_patch=14, aud_patch=56,
+                  multimodal=("block_type: FusionMixer, fusion_function: ConcatFusion, "
+                              "hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1"))
+    approx = run(tmp_path / "tanh", extra="approximate_gelu: true", **kwargs)
+    exact = run(tmp_path / "exact", extra="", **kwargs)
+    assert np.isfinite(approx["test_loss"])
+    assert abs(approx["test_loss"] - exact["test_loss"]) < 0.05 * exact["test_loss"] + 0.05
+    # building the exact-gelu task afterwards reset the trace-time flag
+    assert common._GELU_APPROXIMATE is False
+
+
 def test_mimic_shuffle_order_matches_reference_style():
     """The reference shuffles the sample-tuple LIST with random.seed(10);
     we shuffle an index list the same way — random.shuffle consumes the RNG
