@@ -92,6 +92,8 @@ def main():
     # measured FORWARD bottleneck (2.9x encoder-fwd at batch 512, kbench20);
     # difference vs erf ~1e-3 ~= one bf16 ulp (model.approximate_gelu)
     cfg.model.approximate_gelu = True
+    # uint8-bits dropout masks (+13% at batch 512; model.bits_dropout)
+    cfg.model.bits_dropout = True
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
 
     rng = jax.random.PRNGKey(0)

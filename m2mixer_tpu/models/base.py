@@ -74,11 +74,12 @@ class TrainTask(abc.ABC):
         self.scheduler_patience = self.optimizer_cfg.pop("scheduler_patience", 5)
         self.loss_pos_weight = self.optimizer_cfg.pop("loss_pos_weight", None)
         self.log_confusion_matrix = False
-        # trace-time GELU flavor (measured TPU lever; see common.py) — set
-        # before the network builds so every block traces the right one
-        from ..modules.common import set_gelu_approximate
+        # trace-time block flavors (measured TPU levers; see common.py) —
+        # set before the network builds so every block traces the right ones
+        from ..modules.common import set_bits_dropout, set_gelu_approximate
 
         set_gelu_approximate(bool(model_cfg.get("approximate_gelu", False)))
+        set_bits_dropout(bool(model_cfg.get("bits_dropout", False)))
         self.network = self.build_network()
 
     # -- model -------------------------------------------------------------

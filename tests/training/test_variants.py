@@ -145,6 +145,38 @@ def test_approximate_gelu_e2e(tmp_path):
     assert common._GELU_APPROXIMATE is False
 
 
+def test_bits_dropout_e2e(tmp_path):
+    """model.bits_dropout: uint8-random-bits masks (+13% step at batch 512).
+    Mask must keep ~(1-rate) of elements unbiasedly and be identity in eval;
+    and the model must train normally."""
+    import jax
+    import jax.numpy as jnp
+
+    from m2mixer_tpu.modules import common
+
+    prev = common.set_bits_dropout(True)
+    try:
+        drop = common.Dropout(rate=0.5)
+        x = jnp.ones((64, 1024), jnp.bfloat16)
+        y = drop.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+        kept = float((y != 0).mean())
+        assert abs(kept - 0.5) < 0.03
+        # inverse-keep scaling keeps the expectation at 1
+        assert abs(float(y.astype(jnp.float32).mean()) - 1.0) < 0.05
+        assert (drop.apply({}, x, True) == x).all()  # eval = identity
+    finally:
+        common.set_bits_dropout(prev)
+
+    logs = run(
+        tmp_path, extra="bits_dropout: true\n  dropout: 0.3", img_block="MLPMixer",
+        img_patch=14, aud_patch=56,
+        multimodal=("block_type: FusionMixer, fusion_function: ConcatFusion, "
+                    "hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1"),
+    )
+    assert np.isfinite(logs["test_loss"])
+    common.set_bits_dropout(False)  # don't leak trace-time state to other tests
+
+
 def test_mimic_shuffle_order_matches_reference_style():
     """The reference shuffles the sample-tuple LIST with random.seed(10);
     we shuffle an index list the same way — random.shuffle consumes the RNG
