@@ -66,6 +66,12 @@ def _erf(x):
 
 
 def _gelu(x):
+    # follows the framework-wide trace-time GELU flavor (common.py): tanh
+    # when model.approximate_gelu is set, the erf polynomial otherwise
+    from ..modules import common as _common
+
+    if _common._GELU_APPROXIMATE:
+        return jax.nn.gelu(x, approximate=True)
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
