@@ -74,13 +74,24 @@ class TrainTask(abc.ABC):
         self.scheduler_patience = self.optimizer_cfg.pop("scheduler_patience", 5)
         self.loss_pos_weight = self.optimizer_cfg.pop("loss_pos_weight", None)
         self.log_confusion_matrix = False
-        # trace-time block flavors (measured TPU levers; see common.py) —
-        # set before the network builds so every block traces the right ones
+        # trace-time block flavors (measured TPU levers; see common.py).
+        # Stored per task and re-asserted by bind_trace_flavors() at every
+        # trace entry point, so a model's math follows ITS config even when
+        # several tasks with different flavors live in one process.
+        self._gelu_approximate = bool(model_cfg.get("approximate_gelu", False))
+        self._bits_dropout = bool(model_cfg.get("bits_dropout", False))
+        self.bind_trace_flavors()
+        self.network = self.build_network()
+
+    def bind_trace_flavors(self) -> None:
+        """Point the trace-time GELU/dropout flavor switches at THIS task's
+        config. Called at construction and again inside every jitted
+        function right before the network traces (tracing runs this Python,
+        so each compile picks up the owning task's flavors)."""
         from ..modules.common import set_bits_dropout, set_gelu_approximate
 
-        set_gelu_approximate(bool(model_cfg.get("approximate_gelu", False)))
-        set_bits_dropout(bool(model_cfg.get("bits_dropout", False)))
-        self.network = self.build_network()
+        set_gelu_approximate(self._gelu_approximate)
+        set_bits_dropout(self._bits_dropout)
 
     # -- model -------------------------------------------------------------
     @abc.abstractmethod
@@ -94,6 +105,7 @@ class TrainTask(abc.ABC):
         extra arrays the task wants logged or dumped."""
 
     def init_params(self, rng, batch):
+        self.bind_trace_flavors()
         rngs = {"params": rng}
         for name in self.RNG_COLLECTIONS:
             rng, sub = jax.random.split(rng)
@@ -149,6 +161,7 @@ class TrainTask(abc.ABC):
         ``(outputs, new_state)`` where ``new_state`` is the refreshed
         mutable-collection dict (None unless training a task with
         ``mutable_collections``)."""
+        self.bind_trace_flavors()
         apply_rngs = {k: v for k, v in rngs.items() if k != "mute"} if train else None
         if train and self.mutable_collections:
             out, new_state = self.network.apply(

@@ -119,6 +119,12 @@ def set_bits_dropout(flag: bool) -> bool:
     return prev
 
 
+def gelu_is_approximate() -> bool:
+    """Public accessor for the trace-time GELU flavor (used by the Pallas
+    kernels so they compute the same activation as the XLA path)."""
+    return _GELU_APPROXIMATE
+
+
 class Dropout(nn.Module):
     """Dropout keyed on the 'dropout' rng collection. The mask source is
     either flax's f32-uniform bernoulli (default) or uint8 random bits
@@ -133,7 +139,12 @@ class Dropout(nn.Module):
         if _BITS_DROPOUT:
             if deterministic:
                 return x
-            thresh = int(round(self.rate * 256))
+            # drop probability quantized to thresh/256, clamped into
+            # [1, 255] so tiny rates still drop (not silently no-op) and
+            # rate ~1 doesn't wrap the uint8 compare / divide by zero
+            thresh = min(max(int(round(self.rate * 256)), 1), 255)
+            if self.rate >= 255.5 / 256:
+                return jnp.zeros_like(x)  # bernoulli path semantics at rate~1
             bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
             keep = (bits >= thresh).astype(x.dtype)
             return x * keep / jnp.asarray(1.0 - thresh / 256.0, x.dtype)

@@ -68,9 +68,9 @@ def _erf(x):
 def _gelu(x):
     # follows the framework-wide trace-time GELU flavor (common.py): tanh
     # when model.approximate_gelu is set, the erf polynomial otherwise
-    from ..modules import common as _common
+    from ..modules.common import gelu_is_approximate
 
-    if _common._GELU_APPROXIMATE:
+    if gelu_is_approximate():
         return jax.nn.gelu(x, approximate=True)
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 

@@ -58,6 +58,8 @@ def _serve_fn(task):
     """Eval-mode forward: features dict -> {'logits', 'branch_logits'}."""
 
     def fn(params, features):
+        if hasattr(task, "bind_trace_flavors"):
+            task.bind_trace_flavors()  # export traces with the task's flavors
         outputs = task.network.apply(
             params, **task.network_inputs(features), deterministic=True
         )

@@ -156,6 +156,8 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
     masker = make_grad_masker(frozen_mask, trainable_mask)
 
     def epoch(params, opt_state, arrays, order, ctx, rngs, start_step):
+        if hasattr(task, "bind_trace_flavors"):
+            task.bind_trace_flavors()  # trace-time flavor binding
         n_steps = order.shape[0] // (batch_size * grad_accum)
 
         def micro_grads(params, i, j):
@@ -227,6 +229,8 @@ def make_eval_epoch_fn(task, batch_size: int, mesh: Optional[Mesh] = None,
               else None)
 
     def epoch(params, arrays, order, ctx):
+        if hasattr(task, "bind_trace_flavors"):
+            task.bind_trace_flavors()
         n_steps = order.shape[0] // batch_size
 
         def body(_, i):

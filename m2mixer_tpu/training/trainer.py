@@ -251,6 +251,7 @@ class Trainer:
         masker = make_grad_masker(frozen_mask, trainable_mask)
 
         def train_step(params, opt_state, batch, ctx, step):
+            task.bind_trace_flavors()  # trace-time; each compile uses THIS task's flavors
             rngs = {
                 "dropout": jax.random.fold_in(rng_d, step),
                 "stochastic": jax.random.fold_in(rng_s, step),
@@ -274,6 +275,7 @@ class Trainer:
             return params, opt_state, loss, aux
 
         def eval_step(params, batch, ctx):
+            task.bind_trace_flavors()
             return task.step(params, batch, ctx, {}, train=False)
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
@@ -283,6 +285,7 @@ class Trainer:
             # per-step gradient accumulation trio (micro-batch grads are
             # summed across K calls, one masked optimizer update per flush)
             def grad_step(params, batch, ctx, micro_step):
+                task.bind_trace_flavors()
                 rngs = {
                     "dropout": jax.random.fold_in(rng_d, micro_step),
                     "stochastic": jax.random.fold_in(rng_s, micro_step),

@@ -137,12 +137,51 @@ def test_approximate_gelu_e2e(tmp_path):
     kwargs = dict(img_block="MLPMixer", img_patch=14, aud_patch=56,
                   multimodal=("block_type: FusionMixer, fusion_function: ConcatFusion, "
                               "hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1"))
-    approx = run(tmp_path / "tanh", extra="approximate_gelu: true", **kwargs)
-    exact = run(tmp_path / "exact", extra="", **kwargs)
+    try:
+        approx = run(tmp_path / "tanh", extra="approximate_gelu: true", **kwargs)
+        exact = run(tmp_path / "exact", extra="", **kwargs)
+    finally:
+        common.set_gelu_approximate(False)
     assert np.isfinite(approx["test_loss"])
     assert abs(approx["test_loss"] - exact["test_loss"]) < 0.05 * exact["test_loss"] + 0.05
-    # building the exact-gelu task afterwards reset the trace-time flag
-    assert common._GELU_APPROXIMATE is False
+
+
+def test_gelu_flavor_follows_owning_task(tmp_path):
+    """Two live tasks with different GELU flavors in one process: each
+    task's traces must use ITS config (bind_trace_flavors re-asserts the
+    flavor at every trace entry), regardless of construction order."""
+    import jax
+    import jax.numpy as jnp
+
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.modules import common
+
+    def make(approx):
+        cfg = loads(BASE.format(
+            tmp=tmp_path, extra=f"approximate_gelu: {str(approx).lower()}",
+            img_block="MLPMixer", img_patch=14, aud_patch=56,
+            multimodal=("block_type: FusionMixer, fusion_function: ConcatFusion, "
+                        "hidden_dim: 16, token_dim: 8, channel_dim: 32, "
+                        "num_mixers: 1")))
+        return get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+
+    try:
+        t_tanh = make(True)
+        t_exact = make(False)  # built LAST — globals now point at exact
+        batch = {
+            "image": np.random.RandomState(0).rand(4, 1, 28, 28).astype(np.float32),
+            "audio": np.random.RandomState(1).rand(4, 1, 112, 112).astype(np.float32),
+            "label": np.zeros((4,), np.int32),
+        }
+        params = t_exact.init_params(jax.random.PRNGKey(0), batch)
+        ctx = {k: np.asarray(v) for k, v in t_exact.make_ctx(0, "val").items()}
+        # same params, same batch: the tanh task must still trace tanh
+        loss_tanh, _ = jax.jit(lambda p, b: t_tanh.step(p, b, ctx, {}, False))(params, batch)
+        loss_exact, _ = jax.jit(lambda p, b: t_exact.step(p, b, ctx, {}, False))(params, batch)
+        assert float(loss_tanh) != float(loss_exact)  # flavors really differ
+        assert abs(float(loss_tanh) - float(loss_exact)) < 0.05  # ...slightly
+    finally:
+        common.set_gelu_approximate(False)
 
 
 def test_bits_dropout_e2e(tmp_path):
@@ -167,14 +206,40 @@ def test_bits_dropout_e2e(tmp_path):
     finally:
         common.set_bits_dropout(prev)
 
-    logs = run(
-        tmp_path, extra="bits_dropout: true\n  dropout: 0.3", img_block="MLPMixer",
+    # edge rates: ~1 matches the bernoulli path's all-zeros; tiny rates
+    # still drop (thresh clamps to 1/256) instead of silently no-op'ing
+    prev = common.set_bits_dropout(True)
+    try:
+        x = jnp.ones((16, 512), jnp.float32)
+        y1 = common.Dropout(rate=0.999).apply(
+            {}, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+        assert (np.asarray(y1) == 0).all()
+        y2 = common.Dropout(rate=0.001).apply(
+            {}, x, False, rngs={"dropout": jax.random.PRNGKey(2)})
+        dropped = float((np.asarray(y2) == 0).mean())
+        assert 0 < dropped < 0.02
+        assert np.isfinite(np.asarray(y2)).all()
+    finally:
+        common.set_bits_dropout(prev)
+
+    from m2mixer_tpu.config import loads
+
+    cfg = loads(BASE.format(
+        tmp=tmp_path, extra="bits_dropout: true", img_block="MLPMixer",
         img_patch=14, aud_patch=56,
         multimodal=("block_type: FusionMixer, fusion_function: ConcatFusion, "
                     "hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1"),
-    )
+    ))
+    cfg.model.dropout = 0.3  # explicit override, not a duplicate YAML key
+    try:
+        task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+        dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        trainer = Trainer(cfg.train, name="bitsdrop", full_cfg=cfg)
+        trainer.fit(task, dm)
+        logs = trainer.test(task, dm, ckpt="best")
+    finally:
+        common.set_bits_dropout(False)
     assert np.isfinite(logs["test_loss"])
-    common.set_bits_dropout(False)  # don't leak trace-time state to other tests
 
 
 def test_mimic_shuffle_order_matches_reference_style():
