@@ -181,3 +181,30 @@ def test_serving_cli(tmp_path, capsys):
     rec = json.loads(line)
     assert rec["metric"] == "serving_latency_ms_device" and rec["value"] > 0
     assert rec["e2e_latency_ms"] > 0
+
+
+def test_serving_cli_from_checkpoint(tmp_path):
+    """export -p CKPT: the artifact must serve the TRAINED weights (same
+    logits as the trainer's restored params), not a fresh init."""
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.training import Trainer
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="srv_ckpt", full_cfg=cfg)
+    trainer.fit(task, dm)
+    ckpt = trainer.checkpoints.best_path()
+    assert ckpt
+
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(CFG.format(tmp=tmp_path))
+    out = tmp_path / "ckpt_art"
+    main(["export", "-c", str(cfg_path), "-p", ckpt, "-o", str(out),
+          "--buckets", "4"])
+    model = load_serving(str(out))
+    batch = _batch(4, seed=11)
+    trainer.restore(ckpt)
+    want = _direct_logits(task, trainer.params, batch)
+    np.testing.assert_allclose(model.predict(batch)["logits"], want,
+                               rtol=2e-5, atol=2e-5)
