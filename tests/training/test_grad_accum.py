@@ -145,6 +145,61 @@ def test_lr_schedule_math():
         LRSchedule(1.0, {"type": "nope"}, max_epochs=5)
 
 
+def test_accum_with_sharded_pool(tmp_path):
+    """grad_accum_steps over a data-sharded device pool: shard-aligned
+    micro-gathers must still produce the same training as the replicated
+    pool (the K-trim keeps whole shard-aligned batches)."""
+    from m2mixer_tpu.parallel import MeshConfig
+
+    def fit(sharded):
+        cfg = loads(CFG.format(tmp=tmp_path, bs=8, accum=2, compiled="true"))
+        cfg.dataset.params.synthetic_sizes = [64, 16, 16]
+        cfg.train.sharded_pool = sharded
+        task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+        dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        trainer = Trainer(cfg.train, name=f"accshard_{sharded}", full_cfg=cfg,
+                          mesh_config=MeshConfig(data=4, model=1))
+        trainer.fit(task, dm)
+        return trainer
+
+    t_sh = fit(True)
+    t_rep = fit(False)
+    # shard_align_order intentionally recomposes batches (bs/N per shard),
+    # so losses aren't bit-equal to the replicated path; the combination
+    # must still do the same number of updates over the same pool and land
+    # in the same loss ballpark (K=1 bit-parity: test_sharded_pool)
+    assert t_sh.global_step == t_rep.global_step == 4  # 8 micros / K=2
+    a = t_sh.callback_metrics["train_loss"]
+    b = t_rep.callback_metrics["train_loss"]
+    assert np.isfinite(a) and np.isfinite(b) and abs(a - b) < 0.5
+
+
+def test_lr_schedule_resume_alignment(tmp_path):
+    """Resuming mid-run must continue the schedule from the restored epoch,
+    not restart warmup."""
+    cfg = loads(CFG.format(tmp=tmp_path, bs=16, accum=1, compiled="true"))
+    cfg.train.epochs = 2
+    cfg.train.optimizer.schedule = {"type": "linear", "min_lr": 0.0,
+                                    "warmup_epochs": 0}
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="sched_res", full_cfg=cfg)
+    trainer.fit(task, dm)
+    ckpt = trainer.checkpoints.last_path()
+
+    cfg2 = loads(CFG.format(tmp=tmp_path, bs=16, accum=1, compiled="true"))
+    cfg2.train.epochs = 4
+    cfg2.train.optimizer.schedule = {"type": "linear", "min_lr": 0.0,
+                                     "warmup_epochs": 0}
+    task2 = get_model(cfg2.model.type)(cfg2.model, cfg2.train.optimizer)
+    trainer2 = Trainer(cfg2.train, name="sched_res2", full_cfg=cfg2)
+    trainer2.fit(task2, dm, resume_from=ckpt)
+    # resumed at epoch 2 of 4; after epochs 2,3 the linear schedule must be
+    # at at_epoch(4), same as an uninterrupted 4-epoch run would end
+    expect = LRSchedule(1e-2, cfg2.train.optimizer.schedule, 4).at_epoch(4)
+    assert trainer2.callback_metrics["lr"] == pytest.approx(expect)
+
+
 def test_lr_schedule_drives_trainer(tmp_path):
     cfg = loads(CFG.format(tmp=tmp_path, bs=16, accum=1, compiled="true"))
     cfg.train.epochs = 3
