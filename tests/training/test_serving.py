@@ -170,6 +170,34 @@ def test_mesh_sharded_serving(tmp_path, task_and_params):
         load_serving(dx, mesh=mesh)
 
 
+def test_int8_quantized_export(tmp_path, task_and_params):
+    """quantize='int8': weight-only PTQ — the artifact's parameter payload
+    shrinks ~4x and logits stay close to the f32 artifact (dequant is baked
+    into the exported forward, no model code needed at load)."""
+    task, params = task_and_params
+    d32 = export_serving(task, params, _batch(8), str(tmp_path / "f32"),
+                         fmt="stablehlo", buckets=(8,))
+    dq = export_serving(task, params, _batch(8), str(tmp_path / "q8"),
+                        fmt="stablehlo", buckets=(8,), quantize="int8")
+    size32 = os.path.getsize(os.path.join(d32, "params.pkl"))
+    sizeq = os.path.getsize(os.path.join(dq, "params.pkl"))
+    assert sizeq < 0.45 * size32  # big leaves 4x smaller; small leaves stay
+
+    batch = _batch(8, seed=5)
+    ref = load_serving(d32).predict(batch)["logits"]
+    got = load_serving(dq).predict(batch)["logits"]
+    # per-channel symmetric int8 on mixer weights: sub-percent logit error
+    assert np.max(np.abs(got - ref)) < 0.05 * (np.max(np.abs(ref)) + 1.0)
+    assert (np.argmax(got, -1) == np.argmax(ref, -1)).mean() > 0.9
+
+    meta = json.load(open(os.path.join(dq, "serving.json")))
+    assert meta["quantize"] == "int8"
+
+    with pytest.raises(ValueError, match="quantize"):
+        export_serving(task, params, _batch(8), str(tmp_path / "bad"),
+                       quantize="fp4")
+
+
 def test_serving_cli(tmp_path, capsys):
     cfg_path = tmp_path / "cfg.yml"
     cfg_path.write_text(CFG.format(tmp=tmp_path))
