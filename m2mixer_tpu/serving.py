@@ -21,6 +21,10 @@ Two artifact formats:
   serialized per bucket — reload skips compilation entirely. Not portable
   across device kinds or topologies.
 
+Either format can additionally carry weight-only int8 parameters
+(``quantize='int8'`` / ``--quantize int8``): ~4x smaller payload, with the
+per-channel dequantization traced into the artifact itself.
+
 The exported function is the task network's eval-mode forward (logits +
 branch logits), i.e. exactly what ``Trainer.test`` evaluates, minus losses.
 """
