@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["export_serving", "load_serving", "ServedModel", "pick_bucket"]
+__all__ = ["export_serving", "load_serving", "ServedModel", "pick_bucket",
+           "quantize_weights", "dequantize_weights"]
 
 _META = "serving.json"
 _PARAMS = "params.pkl"
@@ -87,10 +88,16 @@ def quantize_weights(params, min_size: int = _Q_MIN_SIZE):
     ~4x smaller artifacts; dequantization happens inside the exported
     forward, so XLA fuses it into the consuming GEMMs."""
 
+    def is_float(dt):
+        # ml_dtypes floats (bfloat16 etc.) report numpy kind 'V'; resolve
+        # through jnp so they quantize too instead of silently passing
+        return jnp.issubdtype(dt, jnp.floating)
+
     def q(leaf):
         a = np.asarray(leaf)
-        if a.dtype.kind != "f" or a.size < min_size or a.ndim < 2:
+        if not is_float(a.dtype) or a.size < min_size or a.ndim < 2:
             return a
+        a = np.asarray(a, np.float32)  # bf16 -> f32 for the scale math
         # reduce over the INPUT axis (-2): per-output-channel scales, kept
         # per leading stack dim for the (L, 2, in, out) layer-stacked leaves
         amax = np.abs(a).max(axis=-2, keepdims=True)
@@ -138,14 +145,24 @@ def export_serving(task, params, sample_batch, out_dir: str,
     (``quantize_weights``) — ~4x smaller parameter payload, dequantization
     baked into the exported forward.
     """
+    # validate before ANY side effect (no half-written artifact dirs, no
+    # pointless device->host parameter pull on the error path)
+    if fmt not in ("stablehlo", "executable"):
+        raise ValueError(f"Unknown serving format: {fmt!r} "
+                         "(expected 'stablehlo' or 'executable')")
+    if quantize not in (None, "int8"):
+        raise ValueError(f"Unknown quantize mode: {quantize!r} (expected 'int8')")
     os.makedirs(out_dir, exist_ok=True)
     spec = _feature_spec(sample_batch)
     base_fn = _serve_fn(task)
     params = jax.tree.map(np.asarray, params)
-    if quantize not in (None, "int8"):
-        raise ValueError(f"Unknown quantize mode: {quantize!r} (expected 'int8')")
     if quantize == "int8":
         params = quantize_weights(params)
+        if not any(_is_q8(x) for x in jax.tree.leaves(params, is_leaf=_is_q8)):
+            import warnings
+
+            warnings.warn("quantize='int8' quantized ZERO leaves (all below "
+                          "the size threshold) — the artifact will not shrink")
         fn = lambda p, feats: base_fn(dequantize_weights(p), feats)
     else:
         fn = base_fn
@@ -186,10 +203,6 @@ def export_serving(task, params, sample_batch, out_dir: str,
                 pickle.dump({"payload": payload, "in_tree": in_tree,
                              "out_tree": out_tree}, f)
         meta["device_kind"] = jax.devices()[0].device_kind
-    else:
-        raise ValueError(f"Unknown serving format: {fmt!r} "
-                         "(expected 'stablehlo' or 'executable')")
-
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=2)
     return out_dir

@@ -118,12 +118,13 @@ def test_executable_roundtrip(tmp_path):
         "task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)\n"
         "params = task.init_params(jax.random.PRNGKey(0), _batch(8))\n"
         f"d = export_serving(task, params, _batch(8), {str(tmp_path / 'artx')!r},\n"
-        "                   fmt='executable', buckets=(4,))\n"
+        "                   fmt='executable', buckets=(4,), quantize='int8')\n"
         "model = load_serving(d)\n"
         "batch = _batch(4, seed=3)\n"
-        "np.testing.assert_allclose(model.predict(batch)['logits'],\n"
-        "                           _direct_logits(task, params, batch),\n"
-        "                           rtol=2e-5, atol=2e-5)\n"
+        "ref = _direct_logits(task, params, batch)\n"
+        "got = model.predict(batch)['logits']\n"
+        "# int8-quantized artifact: quantization error, not fp noise\n"
+        "assert np.max(np.abs(got - ref)) < 0.05 * (np.max(np.abs(ref)) + 1.0)\n"
         "print('EXEC_ROUNDTRIP_OK')\n")
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     env = dict(os.environ, JAX_PLATFORMS="cpu",
@@ -193,9 +194,41 @@ def test_int8_quantized_export(tmp_path, task_and_params):
     meta = json.load(open(os.path.join(dq, "serving.json")))
     assert meta["quantize"] == "int8"
 
+    # validation fires BEFORE any side effect: no half-written artifact dir
     with pytest.raises(ValueError, match="quantize"):
         export_serving(task, params, _batch(8), str(tmp_path / "bad"),
                        quantize="fp4")
+    with pytest.raises(ValueError, match="format"):
+        export_serving(task, params, _batch(8), str(tmp_path / "bad2"),
+                       fmt="stablhlo")
+    assert not os.path.exists(str(tmp_path / "bad"))
+    assert not os.path.exists(str(tmp_path / "bad2"))
+
+
+def test_quantize_weights_per_channel():
+    """Per-output-channel scales on every 2D+ leaf (incl. the (L, 2, in,
+    out) layer-stacked layout) with a tight reconstruction bound, and bf16
+    leaves quantize too (ml_dtypes kind 'V' must not skip them)."""
+    import jax.numpy as jnp
+
+    from m2mixer_tpu.serving import dequantize_weights, quantize_weights
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "stacked": rng.randn(3, 2, 64, 32).astype(np.float32) * 0.1,
+        "kernel": rng.randn(128, 16).astype(np.float32),
+        "kernel_bf16": jnp.asarray(rng.randn(128, 16), jnp.bfloat16),
+        "bias": rng.randn(32).astype(np.float32),  # 1-D: stays float
+    }
+    q = quantize_weights(tree, min_size=64)
+    assert q["stacked"]["scale"].shape == (3, 2, 1, 32)  # per stack+channel
+    assert q["kernel"]["__q8__"].dtype == np.int8
+    assert "__q8__" in q["kernel_bf16"]
+    assert isinstance(q["bias"], np.ndarray)  # untouched
+    deq = dequantize_weights(q)
+    # symmetric int8: error bounded by scale/2 per element
+    err = np.abs(np.asarray(deq["stacked"]) - tree["stacked"])
+    assert (err <= np.asarray(q["stacked"]["scale"]) / 2 + 1e-7).all()
 
 
 def test_serving_cli(tmp_path, capsys):
