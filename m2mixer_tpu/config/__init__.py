@@ -24,6 +24,8 @@ __all__ = [
     "deep_update",
     "todict",
     "merge",
+    "find_new_keys",
+    "warn_unknown_overrides",
 ]
 
 
@@ -155,6 +157,53 @@ def merge(*configs: Mapping) -> DictConfig:
     for cfg in configs:
         deep_update(out, cfg)
     return out
+
+
+def find_new_keys(base: Mapping, overrides: Mapping, prefix: str = "") -> list:
+    """Dotted paths in ``overrides`` that do NOT exist in ``base``.
+
+    A dotted CLI override with a typo (``train.optimzer.lr=...``) silently
+    creates a fresh dead key under OmegaConf-style merge semantics — the run
+    proceeds with the default value and a sweep quietly optimizes nothing
+    (the reference has the same failure mode, `/root/reference/run.py:33-40`).
+    This walks the override tree against the loaded config so the CLI can
+    surface such keys. Returns leaf-most new paths only (once a subtree is
+    new, its children aren't separately listed)."""
+    new = []
+    for k, v in overrides.items():
+        path = f"{prefix}{k}"
+        if not (isinstance(base, Mapping) and k in base):
+            new.append(path)
+        elif isinstance(v, Mapping) and isinstance(base[k], Mapping):
+            new.extend(find_new_keys(base[k], v, path + "."))
+    return new
+
+
+def warn_unknown_overrides(cfg: Mapping, overrides: Mapping) -> list:
+    """Print a stderr warning for override paths that create NEW config keys
+    (legit for switching on optional features; fatal-in-effect when it's a
+    typo), with did-you-mean suggestions from the sibling key names.
+    Returns the list of new dotted paths (for tests/callers)."""
+    import difflib
+    import sys
+
+    new_paths = find_new_keys(cfg, overrides)
+    for path in new_paths:
+        parts = path.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = node[p] if isinstance(node, Mapping) and p in node else None
+            if node is None:
+                break
+        hint = ""
+        if isinstance(node, Mapping):
+            close = difflib.get_close_matches(parts[-1], list(node), n=2)
+            if close:
+                hint = f" (did you mean: {', '.join(close)}?)"
+        print(f"[config] override creates NEW key '{path}'{hint} — "
+              "fine for optional features, a silent no-op if it's a typo",
+              file=sys.stderr)
+    return new_paths
 
 
 def todict(obj: Any) -> Any:

@@ -51,6 +51,9 @@ def build(args, unknown):
         sys.exit(f"error: config file not found: {args.cfg}{hint}")
     cfg = cfg_lib.load(args.cfg)
     overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
+    # typo guard: a mistyped dotted override would otherwise silently create
+    # a dead key and the run (or a whole sweep) would optimize nothing
+    cfg_lib.warn_unknown_overrides(cfg, overrides)
     for section in ("model", "train", "dataset"):
         if section in overrides:
             cfg_lib.deep_update(cfg[section], overrides[section])

@@ -40,6 +40,8 @@ def main():
     for run in range(args.runs):
         cfg = cfg_lib.load(args.cfg)
         overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
+        if run == 0:  # typo guard, once (see run.py)
+            cfg_lib.warn_unknown_overrides(cfg, overrides)
         for section in ("model", "train", "dataset"):
             if section in overrides:
                 cfg_lib.deep_update(cfg[section], overrides[section])

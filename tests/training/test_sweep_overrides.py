@@ -79,6 +79,36 @@ def test_sweep_overrides_reach_model_and_train(tmp_path, monkeypatch):
     trainer.logger.close()
 
 
+def test_override_typo_guard(tmp_path, capsys):
+    """A mistyped dotted override silently creates a dead key (the run then
+    optimizes nothing); the CLI warns with did-you-mean suggestions."""
+    from m2mixer_tpu.config import (find_new_keys, from_cli, loads,
+                                    warn_unknown_overrides)
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    # typo'd section member + a genuinely new optional feature key
+    ovr = from_cli(["train.optimzer.lr=1e-2", "model.paired_encoders=true",
+                    "model.dropout=0.2"])
+    new = find_new_keys(cfg, ovr)
+    assert new == ["train.optimzer", "model.paired_encoders"]  # not dropout
+    # a new subtree is reported once, not per leaf
+    assert "train.optimzer.lr" not in new
+
+    warned = warn_unknown_overrides(cfg, ovr)
+    assert warned == new
+    err = capsys.readouterr().err
+    assert "train.optimzer" in err
+    assert "did you mean: optimizer" in err  # sibling-key suggestion
+
+    # run.py surfaces the warning on its real override path
+    cfg_path = _write_cfg(str(tmp_path))
+    args = argparse.Namespace(cfg=cfg_path, name="typo_trial", ckpt=None,
+                              mode="train", disable_wandb=True)
+    _, _, _, trainer = run_cli.build(args, ["--train.optimzer.lr=1e-2"])
+    trainer.logger.close()
+    assert "train.optimzer" in capsys.readouterr().err
+
+
 def test_shipped_sweep_files_expand_to_valid_overrides():
     """Both shipped sweep files' parameter trees map onto live config keys."""
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
