@@ -1,0 +1,315 @@
+"""Vmapped ensemble training: N seed-members in ONE compiled program.
+
+The reference's significance protocol trains the same config N times
+sequentially and collects ``test_acc`` (`/root/reference/run_for_significance.py`).
+On TPU at M2-Mixer scale the train step is latency-bound, not FLOPs-bound
+(~240 MFLOP/sample ≈ 1.2 us of MXU time vs a ~0.3 ms step), so N independent
+models can train *simultaneously* as one program: every parameter/optimizer
+leaf carries a leading member axis and the whole epoch runs as a
+``lax.scan`` whose body is ``jax.vmap`` over members — N-run significance in
+roughly the wall time of one run.
+
+Protocol fidelity per member (same host logic as the sequential Trainer):
+
+- per-member EarlyStopping(val_loss, patience 30) — a stopped member's
+  parameters and optimizer state FREEZE (updates masked by a traced active
+  vector) while the lockstep program keeps running until all members stop;
+- per-member ReduceLROnPlateau through the injected learning-rate leaf
+  (shape ``(N,)`` after the vmapped optimizer init);
+- per-member best-val parameter capture on device (the stand-in for
+  "test the best checkpoint"); test metrics are computed per member from
+  the best parameters with the task's own metric accumulators;
+- per-member RNG streams (init, dropout, muting) derived by folding the
+  member index — the ensemble analog of independent runs; ``reseed`` gives
+  each member ``PRNGKey(seed + i)`` instead, mirroring ``--reseed``;
+- loss-weight annealing follows the task's epoch hooks (deterministic in
+  epoch, so the shared host state matches every sequential run's own).
+
+Documented divergences from the sequential runner: members share wall-clock
+epochs (early-stopped members finish "early" logically, not temporally);
+the ragged train tail (< one batch) is dropped instead of routed through a
+per-step path; val loss averages over tail-padded batches (identical tiny
+bias for every member/epoch). SoftAdapt/GradBlend (per-member host-side
+weight fitting) and mutable collections are not supported here — use the
+sequential runner for those configs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .callbacks import EarlyStopping, ReduceLROnPlateau
+
+__all__ = ["EnsembleResult", "fit_ensemble", "run_ensemble_significance"]
+
+
+class EnsembleResult:
+    """Per-member outcomes of one ensemble run."""
+
+    def __init__(self, scores, val_losses, stop_epochs, epochs_run):
+        #: list of per-member {metric_name: value} test dicts
+        self.scores = scores
+        #: (N,) best val loss per member
+        self.val_losses = val_losses
+        #: (N,) epoch at which each member's best val was reached
+        self.stop_epochs = stop_epochs
+        #: total lockstep epochs executed
+        self.epochs_run = epochs_run
+
+    def metric(self, name: str) -> np.ndarray:
+        return np.asarray([s.get(name, np.nan) for s in self.scores])
+
+
+def _member_keys(seed: int, n: int, reseed: bool):
+    if reseed:
+        return jnp.stack([jax.random.PRNGKey(seed + i) for i in range(n)])
+    base = jax.random.PRNGKey(seed)
+    return jnp.stack([jax.random.fold_in(base, i) for i in range(n)])
+
+
+def _pad_order(n: int, bs: int) -> np.ndarray:
+    """Natural order padded to a batch multiple by repeating the last index;
+    flattened outputs [:n] are then exactly the split in dataset order."""
+    order = np.arange(n)
+    pad = (-n) % bs
+    if pad:
+        order = np.concatenate([order, np.full((pad,), n - 1)])
+    return order
+
+
+def _make_train_epoch(task, optimizer, frozen_mask, bs: int):
+    def epoch(params, opt_state, arrays, orders, ctx, member_keys, active,
+              start_step):
+        task.bind_trace_flavors()
+        n_steps = orders.shape[1] // bs
+
+        def body(carry, i):
+            params, opt_state = carry
+
+            def member(p, o, key, order_m, act):
+                idx = jax.lax.dynamic_slice_in_dim(order_m, i * bs, bs)
+                batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
+                step_rngs = {
+                    name: jax.random.fold_in(
+                        jax.random.fold_in(key, h), start_step + i)
+                    for h, name in enumerate(task.RNG_COLLECTIONS)
+                }
+                (loss, aux), grads = jax.value_and_grad(
+                    lambda q: task.step(q, batch, ctx, step_rngs, train=True),
+                    has_aux=True)(p)
+                frozen = ctx["frozen"]
+                grads = jax.tree.map(
+                    lambda g, m: g * (1.0 - frozen * (1.0 - m)), grads, frozen_mask)
+                updates, o_new = optimizer.update(grads, o, p)
+                updates = jax.tree.map(
+                    lambda u, m: u * act * (1.0 - frozen * (1.0 - m)),
+                    updates, frozen_mask)
+                # early-stopped member: optimizer state freezes with the params
+                o_new = jax.tree.map(
+                    lambda new, old: jnp.where(act > 0, new, old), o_new, o)
+                return optax.apply_updates(p, updates), o_new, loss
+
+            params, opt_state, losses = jax.vmap(member)(
+                params, opt_state, member_keys, orders, active)
+            return (params, opt_state), losses
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, losses  # losses: (steps, N)
+
+    return jax.jit(epoch, donate_argnums=(0, 1))
+
+
+def _make_eval_epoch(task, bs: int):
+    def epoch(params, arrays, order, ctx):
+        task.bind_trace_flavors()
+        n_steps = order.shape[0] // bs
+
+        def body(_, i):
+            idx = jax.lax.dynamic_slice_in_dim(order, i * bs, bs)
+            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
+            loss, aux = jax.vmap(
+                lambda p: task.step(p, batch, ctx, {}, train=False))(params)
+            return None, (loss, aux)
+
+        _, (losses, aux) = jax.lax.scan(body, None, jnp.arange(n_steps))
+        return losses, aux  # losses: (steps, N); aux leaves: (steps, N, bs, ...)
+
+    return jax.jit(epoch)
+
+
+@jax.jit
+def _select_best(best_params, params, best_val, val):
+    improved = val <= best_val  # (N,)
+
+    def pick(b, p):
+        ix = (slice(None),) + (None,) * (p.ndim - 1)
+        return jnp.where(improved[ix], p, b)
+
+    return (jax.tree.map(pick, best_params, params),
+            jnp.minimum(best_val, val))
+
+
+def fit_ensemble(task, datamodule, train_cfg, n_members: int,
+                 reseed: bool = False, metric_prefix: str = "test",
+                 early_stopping_patience: int = 30,
+                 verbose: bool = True) -> EnsembleResult:
+    """Train ``n_members`` independent seeds of ``task`` simultaneously and
+    return per-member test metrics (see module docstring for semantics)."""
+    if getattr(task, "use_softadapt", False) or getattr(task, "use_gradblend", False):
+        raise ValueError("ensemble training does not support SoftAdapt/"
+                         "GradBlend (per-member host-side weight fitting); "
+                         "use the sequential significance runner")
+    if getattr(task, "mutable_collections", ()):
+        raise ValueError("ensemble training does not support mutable "
+                         "collections (BN running stats)")
+    datamodule.setup("fit")
+    datamodule.setup("test")
+    for stage in ("train", "val", "test"):
+        if not datamodule.device_resident_ok(stage):
+            raise ValueError(f"ensemble training needs a device-resident "
+                             f"'{stage}' split (ArrayDataModule-style)")
+
+    bs = datamodule.batch_size
+    n = int(n_members)
+    seed = int(train_cfg.get("seed", 0))
+    impl = train_cfg.get("prng_impl", None)
+    if impl:
+        jax.config.update("jax_default_prng_impl", str(impl))
+    max_epochs = int(train_cfg.get("epochs", 1))
+
+    sample = next(iter(datamodule.train_batches()))
+    task.bind_trace_flavors()
+    keys = _member_keys(seed, n, reseed)
+
+    def init_one(rng):
+        rngs = {"params": rng}
+        for name in task.RNG_COLLECTIONS:
+            rng, sub = jax.random.split(rng)
+            rngs[name] = sub
+        return task.network.init(
+            rngs, **task.network_inputs(sample), deterministic=True)
+
+    params = jax.jit(jax.vmap(init_one))(keys)
+
+    from .trainer import _make_optimizer
+
+    optimizer, lr0 = _make_optimizer(task.optimizer_cfg)
+    opt_state = jax.jit(jax.vmap(optimizer.init))(params)
+    # member-axis-free mask (leaf scalars broadcast over the stacked leaves)
+    frozen_mask = task.frozen_mask(
+        jax.tree.map(lambda p: p[0], params))
+
+    train_epoch = _make_train_epoch(task, optimizer, frozen_mask, bs)
+    eval_epoch = _make_eval_epoch(task, bs)
+
+    arrays = {s: jax.device_put(datamodule.splits[s]) for s in ("train", "val", "test")}
+    val_order = jnp.asarray(_pad_order(datamodule.split_size("val"), bs), jnp.int32)
+
+    stoppers = [EarlyStopping(monitor="val_loss",
+                              patience=early_stopping_patience, mode="min")
+                for _ in range(n)]
+    plateaus = [ReduceLROnPlateau(lr0, patience=int(task.scheduler_patience))
+                for _ in range(n)]
+    active = np.ones((n,), np.float32)
+    best_params = jax.tree.map(jnp.copy, params)
+    best_val = jnp.full((n,), np.inf, jnp.float32)
+    best_epoch = np.zeros((n,), np.int32)
+    start_step = 0
+    epochs_run = 0
+
+    for epoch in range(max_epochs):
+        epochs_run = epoch + 1
+        task.on_train_epoch_start(None, epoch)
+        ctx = {k: jnp.asarray(v) for k, v in task.make_ctx(epoch, "train").items()}
+        shuffle = datamodule.train_shuffle_enabled()
+        n_full = (datamodule.split_size("train") // bs) * bs
+        orders = np.stack([
+            np.asarray(datamodule.epoch_order("train", shuffle))[:n_full]
+            for _ in range(n)
+        ])
+        params, opt_state, tr_losses = train_epoch(
+            params, opt_state, arrays["train"], jnp.asarray(orders, jnp.int32),
+            ctx, keys, jnp.asarray(active), start_step)
+        start_step += orders.shape[1] // bs
+        task.on_train_epoch_end(None, epoch, {})
+
+        ctx_val = {k: jnp.asarray(v) for k, v in task.make_ctx(epoch, "val").items()}
+        val_losses, _ = eval_epoch(params, arrays["val"], val_order, ctx_val)
+        val_loss = np.asarray(val_losses.mean(axis=0))  # (N,)
+        task.on_validation_epoch_end(None, epoch, {"val_loss": float(val_loss.mean())})
+
+        prev_best = np.asarray(best_val)
+        best_params, best_val = _select_best(best_params, params, best_val,
+                                             jnp.asarray(val_loss))
+        best_epoch = np.where(val_loss <= prev_best, epoch, best_epoch)
+
+        lrs = np.asarray([plateaus[m].update(float(val_loss[m])) for m in range(n)],
+                         np.float32)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lrs)
+        for m in range(n):
+            if active[m] and stoppers[m].update({"val_loss": float(val_loss[m])}):
+                active[m] = 0.0
+        if verbose:
+            live = int(active.sum())
+            print(f"[ensemble] epoch {epoch}: val_loss "
+                  f"mean={val_loss.mean():.4f} min={val_loss.min():.4f} "
+                  f"max={val_loss.max():.4f} active={live}/{n}")
+        if not active.any():
+            break
+
+    # -- test every member from its best-val parameters ----------------------
+    n_test = datamodule.split_size("test")
+    test_order = jnp.asarray(_pad_order(n_test, bs), jnp.int32)
+    ctx_test = {k: jnp.asarray(v) for k, v in task.make_ctx(epochs_run, "test").items()}
+    test_losses, aux = eval_epoch(best_params, arrays["test"], test_order, ctx_test)
+    test_losses = np.asarray(test_losses)
+
+    def per_member(a):
+        # (steps, N, bs, ...) -> member-major flat sample stream, unpadded
+        a = np.asarray(a)
+        a = np.moveaxis(a, 1, 0).reshape(n, -1, *a.shape[3:])
+        return a[:, :n_test]
+
+    preds = per_member(aux["preds"])
+    labels = per_member(aux["labels"])
+    probs = per_member(aux["probs"]) if "probs" in aux else None
+
+    _, _, test_metrics = task.setup_scores()
+    scores = []
+    for m in range(n):
+        out = {f"{metric_prefix}_loss": float(test_losses[:, m].mean())}
+        if test_metrics:
+            for name, metric in test_metrics.items():
+                metric.update(
+                    probs[m] if metric.wants_scores and probs is not None else preds[m],
+                    labels[m])
+                out[f"{metric_prefix}_{name}"] = metric.compute()
+                metric.reset()
+        scores.append(out)
+
+    return EnsembleResult(scores, np.asarray(best_val), best_epoch, epochs_run)
+
+
+def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",
+                              reseed: bool = False,
+                              verbose: bool = True) -> np.ndarray:
+    """Config-level entry: build the task/datamodule and run the vmapped
+    N-member significance protocol; returns the per-member metric values
+    (the ``test_scores`` array of the sequential runner)."""
+    import os
+
+    from .. import datasets, models
+
+    if cfg.dataset.params.get("num_workers", 0) == -1:
+        cfg.dataset.params.num_workers = os.cpu_count()
+    task = models.get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = datasets.get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    result = fit_ensemble(task, dm, cfg.train, runs, reseed=reseed,
+                          verbose=verbose)
+    return result.metric(metric)

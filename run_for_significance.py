@@ -29,6 +29,14 @@ def parse_args():
     parser.add_argument("--metric", type=str, default="test_acc")
     parser.add_argument("--disable-wandb", action="store_true", default=True)
     parser.add_argument("--reseed", action="store_true", default=False)
+    parser.add_argument("--vmap", action="store_true", default=False,
+                        help="train all N seed-members SIMULTANEOUSLY as one "
+                             "compiled program (vmapped member axis) — same "
+                             "protocol per member (early stopping, plateau "
+                             "LR, best-val test), ~N-run results in roughly "
+                             "one run's wall time at M2-Mixer scale; see "
+                             "m2mixer_tpu/training/ensemble.py for the "
+                             "documented divergences")
     parser.add_argument("-o", "--out", type=str, default="test_scores.npy")
     args, unknown = parser.parse_known_args()
     return args, unknown
@@ -36,6 +44,24 @@ def parse_args():
 
 def main():
     args, unknown = parse_args()
+
+    if args.vmap:
+        from m2mixer_tpu.training.ensemble import run_ensemble_significance
+
+        cfg = cfg_lib.load(args.cfg)
+        overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
+        cfg_lib.warn_unknown_overrides(cfg, overrides)
+        for section in ("model", "train", "dataset"):
+            if section in overrides:
+                cfg_lib.deep_update(cfg[section], overrides[section])
+        scores = run_ensemble_significance(
+            cfg, args.runs, metric=args.metric, reseed=args.reseed)
+        np.save(args.out, scores)
+        print(f"[significance] (vmapped x{args.runs}) {args.metric}: "
+              f"mean={np.nanmean(scores):.5f} std={np.nanstd(scores):.5f} "
+              f"-> {args.out}")
+        return
+
     scores = []
     for run in range(args.runs):
         cfg = cfg_lib.load(args.cfg)

@@ -49,3 +49,84 @@ model:
     scores = np.load(out)
     assert scores.shape == (2,)
     assert np.isfinite(scores).all()
+
+
+ENSEMBLE_CFG = """
+train:
+  epochs: {epochs}
+  seed: 5
+  optimizer: {{lr: 3e-3, weight_decay: 0.0, scheduler_patience: 5}}
+dataset:
+  type: AVMnistDataModule
+  params: {{data_dir: unused, batch_size: 32, synthetic: true,
+            synthetic_learnable: {learnable}, synthetic_sizes: [256, 64, 64],
+            shuffle_train: true}}
+model:
+  type: AVMnistMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 10, classifier: StandardClassifier,
+                      input_shape: [16, 8, 32]}}
+    image: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 32, patch_size: 14,
+             image_size: [28, 28], token_dim: 16, channel_dim: 64, num_mixers: 2}}
+    audio: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 32, patch_size: 56,
+             image_size: [112, 112], token_dim: 16, channel_dim: 64, num_mixers: 2}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 32, token_dim: 16, channel_dim: 64, num_mixers: 1}}
+"""
+
+
+def _build(cfg):
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.models import get_model
+
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    return task, dm
+
+
+def test_vmap_ensemble_learns_per_member():
+    """`--vmap` significance: N seed-members trained SIMULTANEOUSLY (vmapped
+    member axis, one compiled program) must each learn the planted signal,
+    with genuine member-to-member seed variance."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=12, learnable="true"))
+    task, dm = _build(cfg)
+    res = fit_ensemble(task, dm, cfg.train, 3, verbose=False)
+
+    accs = res.metric("test_acc")
+    assert accs.shape == (3,)
+    assert (accs > 0.8).all(), (accs, res.scores)
+    # members really are independent seeds, not three copies of one model
+    assert len(np.unique(np.round(res.val_losses, 6))) > 1, res.val_losses
+    losses = res.metric("test_loss")
+    assert np.isfinite(losses).all()
+
+
+def test_vmap_ensemble_early_stop_freezes_members():
+    """Per-member early stopping: with patience 0 on unlearnable data, every
+    member stops long before max_epochs and the lockstep loop exits."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=30, learnable="false"))
+    task, dm = _build(cfg)
+    res = fit_ensemble(task, dm, cfg.train, 2, verbose=False,
+                       early_stopping_patience=0)
+    assert res.epochs_run < 30
+    # best-val bookkeeping points inside the executed range
+    assert (res.stop_epochs < res.epochs_run).all()
+
+
+def test_vmap_ensemble_rejects_unsupported_recipes(tmp_path):
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+    import pytest
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=1, learnable="false"))
+    cfg.model.use_softadapt = True
+    task, dm = _build(cfg)
+    with pytest.raises(ValueError, match="SoftAdapt"):
+        fit_ensemble(task, dm, cfg.train, 2, verbose=False)
