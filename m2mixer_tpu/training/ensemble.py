@@ -158,9 +158,16 @@ def _select_best(best_params, params, best_val, val):
 def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                  reseed: bool = False, metric_prefix: str = "test",
                  early_stopping_patience: int = 30,
+                 member_lrs=None,
                  verbose: bool = True) -> EnsembleResult:
     """Train ``n_members`` independent seeds of ``task`` simultaneously and
-    return per-member test metrics (see module docstring for semantics)."""
+    return per-member test metrics (see module docstring for semantics).
+
+    ``member_lrs``: optional per-member initial learning rates — the member
+    axis then doubles as a SWEEP axis: N learning rates explored in one
+    compiled program (the LR is an injected per-member optimizer-state leaf,
+    so no retrace; each member's plateau scheduler decays from its own
+    starting point)."""
     if getattr(task, "use_softadapt", False) or getattr(task, "use_gradblend", False):
         raise ValueError("ensemble training does not support SoftAdapt/"
                          "GradBlend (per-member host-side weight fitting); "
@@ -201,6 +208,12 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
 
     optimizer, lr0 = _make_optimizer(task.optimizer_cfg)
     opt_state = jax.jit(jax.vmap(optimizer.init))(params)
+    if member_lrs is not None:
+        member_lrs = np.asarray(member_lrs, np.float32)
+        if member_lrs.shape != (n,):
+            raise ValueError(f"member_lrs must have shape ({n},), "
+                             f"got {member_lrs.shape}")
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(member_lrs)
     # member-axis-free mask (leaf scalars broadcast over the stacked leaves)
     frozen_mask = task.frozen_mask(
         jax.tree.map(lambda p: p[0], params))
@@ -214,8 +227,10 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     stoppers = [EarlyStopping(monitor="val_loss",
                               patience=early_stopping_patience, mode="min")
                 for _ in range(n)]
-    plateaus = [ReduceLROnPlateau(lr0, patience=int(task.scheduler_patience))
-                for _ in range(n)]
+    plateaus = [ReduceLROnPlateau(
+                    float(member_lrs[m]) if member_lrs is not None else lr0,
+                    patience=int(task.scheduler_patience))
+                for m in range(n)]
     active = np.ones((n,), np.float32)
     best_params = jax.tree.map(jnp.copy, params)
     best_val = jnp.full((n,), np.inf, jnp.float32)
@@ -297,11 +312,12 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
 
 
 def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",
-                              reseed: bool = False,
+                              reseed: bool = False, member_lrs=None,
                               verbose: bool = True) -> np.ndarray:
     """Config-level entry: build the task/datamodule and run the vmapped
     N-member significance protocol; returns the per-member metric values
-    (the ``test_scores`` array of the sequential runner)."""
+    (the ``test_scores`` array of the sequential runner). ``member_lrs``
+    turns the member axis into a learning-rate sweep (see fit_ensemble)."""
     import os
 
     from .. import datasets, models
@@ -311,5 +327,5 @@ def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",
     task = models.get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
     dm = datasets.get_data_module(cfg.dataset.type)(**cfg.dataset.params)
     result = fit_ensemble(task, dm, cfg.train, runs, reseed=reseed,
-                          verbose=verbose)
+                          member_lrs=member_lrs, verbose=verbose)
     return result.metric(metric)

@@ -37,6 +37,10 @@ def parse_args():
                              "one run's wall time at M2-Mixer scale; see "
                              "m2mixer_tpu/training/ensemble.py for the "
                              "documented divergences")
+    parser.add_argument("--lrs", type=str, default=None,
+                        help="with --vmap: comma-separated learning rates — "
+                             "the member axis becomes a single-program LR "
+                             "sweep (one member per rate; -r is ignored)")
     parser.add_argument("-o", "--out", type=str, default="test_scores.npy")
     args, unknown = parser.parse_known_args()
     return args, unknown
@@ -45,6 +49,9 @@ def parse_args():
 def main():
     args, unknown = parse_args()
 
+    if args.lrs and not args.vmap:
+        raise SystemExit("--lrs requires --vmap (the LR sweep rides the "
+                         "vmapped member axis)")
     if args.vmap:
         from m2mixer_tpu.training.ensemble import run_ensemble_significance
 
@@ -54,10 +61,16 @@ def main():
         for section in ("model", "train", "dataset"):
             if section in overrides:
                 cfg_lib.deep_update(cfg[section], overrides[section])
+        lrs = ([float(x) for x in args.lrs.split(",")] if args.lrs else None)
+        runs = len(lrs) if lrs else args.runs
         scores = run_ensemble_significance(
-            cfg, args.runs, metric=args.metric, reseed=args.reseed)
+            cfg, runs, metric=args.metric, reseed=args.reseed,
+            member_lrs=lrs)
         np.save(args.out, scores)
-        print(f"[significance] (vmapped x{args.runs}) {args.metric}: "
+        if lrs:
+            for lr, s in zip(lrs, scores):
+                print(f"[significance] lr={lr:g}: {args.metric}={s:.5f}")
+        print(f"[significance] (vmapped x{runs}) {args.metric}: "
               f"mean={np.nanmean(scores):.5f} std={np.nanstd(scores):.5f} "
               f"-> {args.out}")
         return

@@ -120,6 +120,22 @@ def test_vmap_ensemble_early_stop_freezes_members():
     assert (res.stop_epochs < res.epochs_run).all()
 
 
+def test_vmap_ensemble_lr_sweep_per_member():
+    """`--vmap --lrs`: the member axis as a learning-rate sweep. A member
+    with lr=0 must stay frozen at chance while its sibling (real lr) learns
+    the planted signal — proving each member really trains with ITS rate."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=10, learnable="true"))
+    task, dm = _build(cfg)
+    res = fit_ensemble(task, dm, cfg.train, 2, verbose=False,
+                       member_lrs=[3e-3, 0.0])
+    accs = res.metric("test_acc")
+    assert accs[0] > 0.8, res.scores
+    assert accs[1] < 0.35, res.scores  # lr=0 member never moved off init
+
+
 def test_vmap_ensemble_rejects_unsupported_recipes(tmp_path):
     from m2mixer_tpu.config import loads
     from m2mixer_tpu.training.ensemble import fit_ensemble
