@@ -51,7 +51,8 @@ __all__ = ["EnsembleResult", "fit_ensemble", "run_ensemble_significance"]
 class EnsembleResult:
     """Per-member outcomes of one ensemble run."""
 
-    def __init__(self, scores, val_losses, stop_epochs, epochs_run):
+    def __init__(self, scores, val_losses, stop_epochs, epochs_run,
+                 best_params=None):
         #: list of per-member {metric_name: value} test dicts
         self.scores = scores
         #: (N,) best val loss per member
@@ -60,6 +61,16 @@ class EnsembleResult:
         self.stop_epochs = stop_epochs
         #: total lockstep epochs executed
         self.epochs_run = epochs_run
+        #: best-val parameters, member axis leading (slice member m with
+        #: ``jax.tree.map(lambda p: p[m], best_params)`` to deploy it)
+        self.best_params = best_params
+
+    def member_params(self, m: int):
+        """Unstacked parameter pytree of member ``m`` (e.g. the argmax-score
+        member, ready for serving export or checkpointing)."""
+        import jax
+
+        return jax.tree.map(lambda p: p[m], self.best_params)
 
     def metric(self, name: str) -> np.ndarray:
         return np.asarray([s.get(name, np.nan) for s in self.scores])
@@ -158,7 +169,7 @@ def _select_best(best_params, params, best_val, val):
 def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                  reseed: bool = False, metric_prefix: str = "test",
                  early_stopping_patience: int = 30,
-                 member_lrs=None,
+                 member_lrs=None, mesh=None,
                  verbose: bool = True) -> EnsembleResult:
     """Train ``n_members`` independent seeds of ``task`` simultaneously and
     return per-member test metrics (see module docstring for semantics).
@@ -167,7 +178,13 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     axis then doubles as a SWEEP axis: N learning rates explored in one
     compiled program (the LR is an injected per-member optimizer-state leaf,
     so no retrace; each member's plateau scheduler decays from its own
-    starting point)."""
+    starting point).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis shards the MEMBER
+    axis across devices — members are embarrassingly parallel (zero
+    cross-member communication), so seed studies scale near-linearly over
+    chips: each device trains ``n / mesh.shape['data']`` members while the
+    data pools stay replicated. Requires ``n % mesh.shape['data'] == 0``."""
     if getattr(task, "use_softadapt", False) or getattr(task, "use_gradblend", False):
         raise ValueError("ensemble training does not support SoftAdapt/"
                          "GradBlend (per-member host-side weight fitting); "
@@ -190,9 +207,26 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
         jax.config.update("jax_default_prng_impl", str(impl))
     max_epochs = int(train_cfg.get("epochs", 1))
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dd = mesh.shape["data"]
+        if n % dd != 0:
+            raise ValueError(f"n_members ({n}) must divide the mesh data "
+                             f"axis ({dd}) for member-sharded ensembles")
+        _member_sharding = lambda x: NamedSharding(
+            mesh, P("data", *([None] * (np.ndim(x) - 1))))
+        _rep = NamedSharding(mesh, P())
+        shard_members = lambda tree: jax.tree.map(
+            lambda x: jax.device_put(x, _member_sharding(x)), tree)
+        replicate = lambda tree: jax.tree.map(
+            lambda x: jax.device_put(x, _rep), tree)
+    else:
+        shard_members = replicate = lambda tree: tree
+
     sample = next(iter(datamodule.train_batches()))
     task.bind_trace_flavors()
-    keys = _member_keys(seed, n, reseed)
+    keys = shard_members(_member_keys(seed, n, reseed))
 
     def init_one(rng):
         rngs = {"params": rng}
@@ -202,18 +236,19 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
         return task.network.init(
             rngs, **task.network_inputs(sample), deterministic=True)
 
-    params = jax.jit(jax.vmap(init_one))(keys)
+    params = shard_members(jax.jit(jax.vmap(init_one))(keys))
 
     from .trainer import _make_optimizer
 
     optimizer, lr0 = _make_optimizer(task.optimizer_cfg)
-    opt_state = jax.jit(jax.vmap(optimizer.init))(params)
+    opt_state = shard_members(jax.jit(jax.vmap(optimizer.init))(params))
     if member_lrs is not None:
         member_lrs = np.asarray(member_lrs, np.float32)
         if member_lrs.shape != (n,):
             raise ValueError(f"member_lrs must have shape ({n},), "
                              f"got {member_lrs.shape}")
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(member_lrs)
+        opt_state.hyperparams["learning_rate"] = shard_members(
+            jnp.asarray(member_lrs))
     # member-axis-free mask (leaf scalars broadcast over the stacked leaves)
     frozen_mask = task.frozen_mask(
         jax.tree.map(lambda p: p[0], params))
@@ -221,8 +256,10 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     train_epoch = _make_train_epoch(task, optimizer, frozen_mask, bs)
     eval_epoch = _make_eval_epoch(task, bs)
 
-    arrays = {s: jax.device_put(datamodule.splits[s]) for s in ("train", "val", "test")}
-    val_order = jnp.asarray(_pad_order(datamodule.split_size("val"), bs), jnp.int32)
+    arrays = {s: replicate(datamodule.splits[s])
+              for s in ("train", "val", "test")}
+    val_order = replicate(
+        jnp.asarray(_pad_order(datamodule.split_size("val"), bs), jnp.int32))
 
     stoppers = [EarlyStopping(monitor="val_loss",
                               patience=early_stopping_patience, mode="min")
@@ -233,7 +270,7 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                 for m in range(n)]
     active = np.ones((n,), np.float32)
     best_params = jax.tree.map(jnp.copy, params)
-    best_val = jnp.full((n,), np.inf, jnp.float32)
+    best_val = shard_members(jnp.full((n,), np.inf, jnp.float32))
     best_epoch = np.zeros((n,), np.int32)
     start_step = 0
     epochs_run = 0
@@ -241,7 +278,8 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     for epoch in range(max_epochs):
         epochs_run = epoch + 1
         task.on_train_epoch_start(None, epoch)
-        ctx = {k: jnp.asarray(v) for k, v in task.make_ctx(epoch, "train").items()}
+        ctx = replicate({k: jnp.asarray(v)
+                         for k, v in task.make_ctx(epoch, "train").items()})
         shuffle = datamodule.train_shuffle_enabled()
         n_full = (datamodule.split_size("train") // bs) * bs
         orders = np.stack([
@@ -249,12 +287,14 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
             for _ in range(n)
         ])
         params, opt_state, tr_losses = train_epoch(
-            params, opt_state, arrays["train"], jnp.asarray(orders, jnp.int32),
-            ctx, keys, jnp.asarray(active), start_step)
+            params, opt_state, arrays["train"],
+            shard_members(jnp.asarray(orders, jnp.int32)),
+            ctx, keys, shard_members(jnp.asarray(active)), start_step)
         start_step += orders.shape[1] // bs
         task.on_train_epoch_end(None, epoch, {})
 
-        ctx_val = {k: jnp.asarray(v) for k, v in task.make_ctx(epoch, "val").items()}
+        ctx_val = replicate({k: jnp.asarray(v)
+                             for k, v in task.make_ctx(epoch, "val").items()})
         val_losses, _ = eval_epoch(params, arrays["val"], val_order, ctx_val)
         val_loss = np.asarray(val_losses.mean(axis=0))  # (N,)
         task.on_validation_epoch_end(None, epoch, {"val_loss": float(val_loss.mean())})
@@ -266,7 +306,7 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
 
         lrs = np.asarray([plateaus[m].update(float(val_loss[m])) for m in range(n)],
                          np.float32)
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lrs)
+        opt_state.hyperparams["learning_rate"] = shard_members(jnp.asarray(lrs))
         for m in range(n):
             if active[m] and stoppers[m].update({"val_loss": float(val_loss[m])}):
                 active[m] = 0.0
@@ -280,8 +320,9 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
 
     # -- test every member from its best-val parameters ----------------------
     n_test = datamodule.split_size("test")
-    test_order = jnp.asarray(_pad_order(n_test, bs), jnp.int32)
-    ctx_test = {k: jnp.asarray(v) for k, v in task.make_ctx(epochs_run, "test").items()}
+    test_order = replicate(jnp.asarray(_pad_order(n_test, bs), jnp.int32))
+    ctx_test = replicate({k: jnp.asarray(v)
+                          for k, v in task.make_ctx(epochs_run, "test").items()})
     test_losses, aux = eval_epoch(best_params, arrays["test"], test_order, ctx_test)
     test_losses = np.asarray(test_losses)
 
@@ -308,7 +349,8 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                 metric.reset()
         scores.append(out)
 
-    return EnsembleResult(scores, np.asarray(best_val), best_epoch, epochs_run)
+    return EnsembleResult(scores, np.asarray(best_val), best_epoch,
+                          epochs_run, best_params=best_params)
 
 
 def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",
@@ -326,6 +368,15 @@ def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",
         cfg.dataset.params.num_workers = os.cpu_count()
     task = models.get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
     dm = datasets.get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    # train.mesh_data > 1 shards the MEMBER axis across devices (members
+    # are independent, so seed studies scale near-linearly over chips)
+    mesh = None
+    if int(cfg.train.get("mesh_data", 1)) not in (0, 1):
+        from ..parallel import MeshConfig, make_mesh
+
+        mesh = make_mesh(MeshConfig(data=int(cfg.train.mesh_data), model=1))
+        if mesh.shape["data"] == 1:
+            mesh = None
     result = fit_ensemble(task, dm, cfg.train, runs, reseed=reseed,
-                          member_lrs=member_lrs, verbose=verbose)
+                          member_lrs=member_lrs, mesh=mesh, verbose=verbose)
     return result.metric(metric)

@@ -136,6 +136,39 @@ def test_vmap_ensemble_lr_sweep_per_member():
     assert accs[1] < 0.35, res.scores  # lr=0 member never moved off init
 
 
+def test_vmap_ensemble_member_sharded_over_mesh():
+    """mesh=: the member axis shards across devices (members are
+    embarrassingly parallel) — 8 members on the 8-device virtual mesh must
+    reproduce the single-device ensemble and actually place one member per
+    device."""
+    import jax
+
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.parallel import MeshConfig, make_mesh
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=5, learnable="true"))
+    task, dm = _build(cfg)
+    ref = fit_ensemble(task, dm, cfg.train, 8, verbose=False)
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    task2, dm2 = _build(cfg)
+    res = fit_ensemble(task2, dm2, cfg.train, 8, verbose=False, mesh=mesh)
+
+    np.testing.assert_allclose(res.val_losses, ref.val_losses,
+                               rtol=1e-4, atol=1e-5)
+    assert res.metric("test_acc").tolist() == ref.metric("test_acc").tolist()
+    # the member axis really is laid out across all 8 devices
+    leaf = jax.tree.leaves(res.best_params)[0]
+    assert len(leaf.sharding.device_set) == 8, leaf.sharding
+    # wrong member count for the axis is rejected up front
+    import pytest
+
+    t3, d3 = _build(cfg)
+    with pytest.raises(ValueError, match="divide the mesh"):
+        fit_ensemble(t3, d3, cfg.train, 3, verbose=False, mesh=mesh)
+
+
 def test_vmap_ensemble_rejects_unsupported_recipes(tmp_path):
     from m2mixer_tpu.config import loads
     from m2mixer_tpu.training.ensemble import fit_ensemble
