@@ -1,0 +1,232 @@
+"""Local hyperparameter-sweep executor for wandb sweep YAMLs.
+
+The reference's sweep workflow needs the wandb cloud: a hosted controller
+proposes trials and `wandb agent` shells out to ``run.py`` with dotted
+overrides (`/root/reference/sweeps/avmnist_mixer.yaml`,
+`run.py:33-40`). This module runs the SAME sweep files entirely locally —
+no service, no network:
+
+    python -m m2mixer_tpu.sweep -f sweeps/avmnist_mixer.yaml --trials 10
+
+It parses the wandb schema (flat or nested ``parameters:`` trees, ``values``
+lists, ``uniform`` / ``log_uniform_values`` / ``int_uniform`` distributions,
+the config path from ``command:``), samples or enumerates trials, runs each
+through the same config-merge + Trainer path as ``run.py``, and ranks them
+by the sweep's metric (best-epoch value from the run summary).
+
+Search strategy: ``grid`` enumerates the cross-product (requires every
+parameter to be a ``values`` list); ``random`` samples; ``bayes`` falls
+back to random search with a note (a hosted Gaussian-process controller is
+wandb infrastructure, not part of this framework). For learning-rate-only
+sweeps on device-resident datasets, ``run_for_significance.py --vmap
+--lrs ...`` explores all rates in ONE compiled program instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import math
+import os
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+import yaml
+
+__all__ = ["parse_sweep", "sample_value", "trial_params", "run_sweep"]
+
+
+def _flatten_parameters(tree: Dict[str, Any], prefix: str = "") -> Dict[str, dict]:
+    """wandb nested-``parameters:`` trees -> {dotted.name: spec}."""
+    out: Dict[str, dict] = {}
+    for key, spec in tree.items():
+        name = f"{prefix}{key}"
+        if isinstance(spec, dict) and "parameters" in spec:
+            out.update(_flatten_parameters(spec["parameters"], name + "."))
+        else:
+            out[name] = dict(spec) if isinstance(spec, dict) else {"value": spec}
+    return out
+
+
+def parse_sweep(path: str) -> Dict[str, Any]:
+    """Load a wandb sweep YAML into {method, metric, goal, cfg, name,
+    parameters: {dotted: spec}}."""
+    with open(path) as f:
+        sweep = yaml.safe_load(f)
+    params = _flatten_parameters(sweep.get("parameters", {}))
+    if not params:
+        raise ValueError(f"sweep file {path} declares no parameters")
+    command = [str(c) for c in sweep.get("command", [])]
+    cfg = None
+    if "-c" in command:
+        cfg = command[command.index("-c") + 1]
+    metric = sweep.get("metric", {}) or {}
+    return {
+        "method": str(sweep.get("method", "random")),
+        "metric": str(metric.get("name", "val_loss")),
+        "goal": str(metric.get("goal", "minimize")),
+        "cfg": cfg,
+        "name": str(sweep.get("name", os.path.splitext(os.path.basename(path))[0])),
+        "parameters": params,
+    }
+
+
+def sample_value(spec: dict, rng: np.random.RandomState):
+    """One draw from a wandb parameter spec."""
+    if "value" in spec:
+        return spec["value"]
+    if "values" in spec:
+        vals = list(spec["values"])
+        return vals[int(rng.randint(len(vals)))]
+    dist = spec.get("distribution", "uniform")
+    lo, hi = float(spec["min"]), float(spec["max"])
+    if dist in ("uniform", "q_uniform"):
+        return float(rng.uniform(lo, hi))
+    if dist in ("log_uniform_values",):
+        return float(math.exp(rng.uniform(math.log(lo), math.log(hi))))
+    if dist in ("log_uniform",):  # wandb legacy: bounds already in log space
+        return float(math.exp(rng.uniform(lo, hi)))
+    if dist in ("int_uniform", "q_uniform_int"):
+        return int(rng.randint(int(lo), int(hi) + 1))
+    raise ValueError(f"Unsupported distribution: {dist!r}")
+
+
+def trial_params(sweep: Dict[str, Any], trials: Optional[int],
+                 seed: int = 0) -> Iterator[Dict[str, Any]]:
+    """Yield {dotted: value} per trial. grid = full cross-product (capped at
+    ``trials`` when given); random/bayes = ``trials`` independent draws."""
+    params = sweep["parameters"]
+    if sweep["method"] == "grid":
+        bad = [k for k, s in params.items()
+               if "values" not in s and "value" not in s]
+        if bad:
+            raise ValueError(f"grid sweeps need 'values' lists; {bad} use "
+                             "distributions (switch method to random)")
+        names = list(params)
+        grids = [params[k].get("values", [params[k].get("value")]) for k in names]
+        combos = itertools.product(*grids)
+        for i, combo in enumerate(combos):
+            if trials is not None and i >= trials:
+                return
+            yield dict(zip(names, combo))
+        return
+    rng = np.random.RandomState(seed)
+    for _ in range(trials or 10):
+        yield {k: sample_value(s, rng) for k, s in params.items()}
+
+
+def _nest(flat: Dict[str, Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for dotted, v in flat.items():
+        node = out
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
+              cfg_path: Optional[str] = None, out_dir: str = "sweep_out",
+              extra_overrides: Optional[Dict[str, Any]] = None,
+              epochs: Optional[int] = None, verbose: bool = True) -> dict:
+    """Execute a sweep locally; returns {'best': {...}, 'results': [...]}
+    and writes ``sweep_results.jsonl`` under ``out_dir``."""
+    from . import config as cfg_lib
+    from . import datasets, models
+    from .training import Trainer
+
+    sweep = parse_sweep(sweep_path)
+    if sweep["method"] == "bayes" and verbose:
+        print("[sweep] method 'bayes' runs as random search locally "
+              "(no hosted controller)")
+    cfg_file = cfg_path or sweep["cfg"]
+    if cfg_file is None:
+        raise ValueError("sweep file has no '-c CFG' in command:; pass cfg_path")
+    os.makedirs(out_dir, exist_ok=True)
+    results_path = os.path.join(out_dir, "sweep_results.jsonl")
+    sign = 1.0 if sweep["goal"] == "minimize" else -1.0
+    results = []
+
+    with open(results_path, "w") as results_f:
+        for i, flat in enumerate(trial_params(sweep, trials, seed)):
+            cfg = cfg_lib.load(cfg_file)
+            merged = _nest(flat)
+            if extra_overrides:
+                cfg_lib.deep_update(merged, _nest(dict(extra_overrides)))
+            for section in ("model", "train", "dataset"):
+                if section in merged:
+                    cfg_lib.deep_update(cfg[section], merged[section])
+            if epochs is not None:
+                cfg.train.epochs = epochs
+            if cfg.dataset.params.get("num_workers", 0) == -1:
+                cfg.dataset.params.num_workers = os.cpu_count()
+
+            task = models.get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+            dm = datasets.get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+            trainer = Trainer(cfg.train, name=f"{sweep['name']}_trial{i}",
+                              work_dir=out_dir, use_wandb=False, full_cfg=cfg)
+            trainer.fit(task, dm)
+            # best-epoch value when the logger tracked it, else final epoch
+            value = trainer.logger.summary.get(
+                f"best_{sweep['metric']}",
+                trainer.callback_metrics.get(sweep["metric"]))
+            trainer.logger.close()
+            if value is None:
+                raise KeyError(
+                    f"metric {sweep['metric']!r} was never logged; "
+                    f"available: {sorted(trainer.callback_metrics)}")
+            row = {"trial": i, "params": flat, "metric": sweep["metric"],
+                   "value": float(value)}
+            results.append(row)
+            results_f.write(json.dumps(row) + "\n")
+            results_f.flush()
+            if verbose:
+                print(f"[sweep] trial {i}: {sweep['metric']}={value:.5f} {flat}")
+
+    best = min(results, key=lambda r: sign * r["value"])
+    if verbose:
+        print(f"[sweep] best trial {best['trial']}: "
+              f"{sweep['metric']}={best['value']:.5f} {best['params']}")
+    summary = {"best": best, "results": results, "metric": sweep["metric"],
+               "goal": sweep["goal"]}
+    with open(os.path.join(out_dir, "sweep_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-f", "--sweep", required=True, help="wandb sweep YAML")
+    ap.add_argument("--trials", type=int, default=None,
+                    help="trial count (default: 10 for random/bayes, the "
+                         "full cross-product for grid)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-c", "--cfg", default=None,
+                    help="override the config path from the sweep's command:")
+    ap.add_argument("-o", "--out", default="sweep_out")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="cap train.epochs per trial (budgeted search)")
+    args, unknown = ap.parse_known_args(argv)
+
+    from .config import from_cli, todict
+
+    extra = todict(from_cli([u.replace("--", "") for u in unknown]))
+
+    def flatten(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flatten(v, f"{prefix}{k}."))
+            else:
+                out[f"{prefix}{k}"] = v
+        return out
+
+    run_sweep(args.sweep, trials=args.trials, seed=args.seed,
+              cfg_path=args.cfg, out_dir=args.out,
+              extra_overrides=flatten(extra), epochs=args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,84 @@ def test_override_typo_guard(tmp_path, capsys):
     assert "train.optimzer" in capsys.readouterr().err
 
 
+def test_local_sweep_parses_shipped_files():
+    """The local executor understands both shipped wandb sweep formats
+    (flat dotted names and nested `parameters:` trees)."""
+    from m2mixer_tpu.sweep import parse_sweep
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    flat = parse_sweep(os.path.join(repo, "sweeps", "avmnist_mixer.yaml"))
+    assert flat["cfg"].endswith("avmnist_m2-mixer_S.yml")
+    assert flat["metric"] == "val_loss" and flat["goal"] == "minimize"
+    assert "train.optimizer.lr" in flat["parameters"]
+    assert flat["parameters"]["model.dropout"]["values"] == [0.0, 0.1, 0.3, 0.5]
+
+    nested = parse_sweep(os.path.join(repo, "sweeps", "sweep_config.yaml"))
+    assert "model.modalities.image.num_mixers" in nested["parameters"]
+    assert nested["cfg"].endswith("mmimdb_3loss.yml")
+
+
+def test_local_sweep_sampling_and_grid():
+    import numpy as np
+    import pytest
+
+    from m2mixer_tpu.sweep import sample_value, trial_params
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        assert sample_value({"values": [1, 2, 3]}, rng) in (1, 2, 3)
+        u = sample_value({"distribution": "uniform", "min": 0.2, "max": 0.9}, rng)
+        assert 0.2 <= u <= 0.9
+        lg = sample_value({"distribution": "log_uniform_values",
+                           "min": 1e-4, "max": 1e-1}, rng)
+        assert 1e-4 <= lg <= 1e-1
+        iu = sample_value({"distribution": "int_uniform", "min": 1, "max": 4}, rng)
+        assert isinstance(iu, int) and 1 <= iu <= 4
+
+    grid_sweep = {"method": "grid", "parameters": {
+        "a": {"values": [1, 2]}, "b": {"values": [10, 20, 30]}}}
+    combos = list(trial_params(grid_sweep, None))
+    assert len(combos) == 6
+    assert {"a": 2, "b": 30} in combos
+    assert len(list(trial_params(grid_sweep, 4))) == 4  # capped
+
+    bad = {"method": "grid", "parameters": {
+        "a": {"distribution": "uniform", "min": 0, "max": 1}}}
+    with pytest.raises(ValueError, match="grid sweeps need"):
+        list(trial_params(bad, None))
+
+    rnd = {"method": "random", "parameters": {"a": {"values": [1, 2]}}}
+    assert len(list(trial_params(rnd, 7))) == 7
+
+
+def test_local_sweep_end_to_end(tmp_path):
+    """Grid sweep over 2 configurations through the real trainer; results
+    ranked by best-epoch val_loss, artifacts written."""
+    import json
+
+    from m2mixer_tpu.sweep import run_sweep
+
+    cfg_path = _write_cfg(str(tmp_path))
+    sweep_path = os.path.join(tmp_path, "sweep.yml")
+    with open(sweep_path, "w") as f:
+        yaml.safe_dump({
+            "method": "grid",
+            "metric": {"name": "val_loss", "goal": "minimize"},
+            "command": ["python", "run.py", "-c", cfg_path],
+            "parameters": {
+                "model": {"parameters": {"dropout": {"values": [0.0, 0.4]}}},
+            },
+        }, f)
+    out = run_sweep(sweep_path, out_dir=os.path.join(tmp_path, "out"),
+                    epochs=1, verbose=False)
+    assert len(out["results"]) == 2
+    assert out["best"] in out["results"]
+    assert out["best"]["value"] == min(r["value"] for r in out["results"])
+    lines = open(os.path.join(tmp_path, "out", "sweep_results.jsonl")).read().splitlines()
+    assert len(lines) == 2 and json.loads(lines[0])["trial"] == 0
+    assert os.path.exists(os.path.join(tmp_path, "out", "sweep_summary.json"))
+
+
 def test_shipped_sweep_files_expand_to_valid_overrides():
     """Both shipped sweep files' parameter trees map onto live config keys."""
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
