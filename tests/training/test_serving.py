@@ -96,6 +96,29 @@ def test_stablehlo_roundtrip_parity(tmp_path, task_and_params):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_export_best_ensemble_member(tmp_path, task_and_params):
+    """The ensemble→serving workflow: train N members simultaneously, pick
+    the best by its score, export that member's parameters as a serving
+    artifact — the artifact must serve exactly that member's forward."""
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    task, _ = task_and_params
+    cfg = loads(CFG.format(tmp=tmp_path))
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    res = fit_ensemble(task, dm, cfg.train, 2, verbose=False)
+    m = int(np.argmax(res.metric("test_acc")))
+    member = res.member_params(m)
+
+    d = export_serving(task, member, _batch(8), str(tmp_path / "best_member"),
+                       fmt="stablehlo", buckets=(8,))
+    model = load_serving(d)
+    batch = _batch(8, seed=3)
+    np.testing.assert_allclose(model.predict(batch)["logits"],
+                               _direct_logits(task, member, batch),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_executable_roundtrip(tmp_path):
     """The executable format must round-trip on a NORMAL topology. The
     virtual 8-device CPU harness breaks XLA's CPU AOT loader (the reloaded
