@@ -60,7 +60,11 @@ def parse_sweep(path: str) -> Dict[str, Any]:
     command = [str(c) for c in sweep.get("command", [])]
     cfg = None
     if "-c" in command:
-        cfg = command[command.index("-c") + 1]
+        i = command.index("-c")
+        if i + 1 >= len(command):
+            raise ValueError(f"sweep file {path}: command has '-c' with no "
+                             "config path after it")
+        cfg = command[i + 1]
     metric = sweep.get("metric", {}) or {}
     return {
         "method": str(sweep.get("method", "random")),
@@ -73,22 +77,33 @@ def parse_sweep(path: str) -> Dict[str, Any]:
 
 
 def sample_value(spec: dict, rng: np.random.RandomState):
-    """One draw from a wandb parameter spec."""
+    """One draw from a wandb parameter spec (wandb semantics: integer
+    min/max without a distribution infer int_uniform; ``q`` quantizes)."""
     if "value" in spec:
         return spec["value"]
     if "values" in spec:
         vals = list(spec["values"])
         return vals[int(rng.randint(len(vals)))]
-    dist = spec.get("distribution", "uniform")
+    dist = spec.get("distribution")
+    if dist is None:
+        # wandb infers int_uniform for int bounds, uniform for floats
+        both_int = isinstance(spec["min"], int) and isinstance(spec["max"], int)
+        dist = "int_uniform" if both_int else "uniform"
     lo, hi = float(spec["min"]), float(spec["max"])
+    q = spec.get("q")
+
+    def quantize(v):
+        return float(np.clip(round(v / q) * q, lo, hi)) if q else float(v)
+
     if dist in ("uniform", "q_uniform"):
-        return float(rng.uniform(lo, hi))
-    if dist in ("log_uniform_values",):
-        return float(math.exp(rng.uniform(math.log(lo), math.log(hi))))
+        return quantize(rng.uniform(lo, hi))
+    if dist in ("log_uniform_values", "q_log_uniform_values"):
+        return quantize(math.exp(rng.uniform(math.log(lo), math.log(hi))))
     if dist in ("log_uniform",):  # wandb legacy: bounds already in log space
-        return float(math.exp(rng.uniform(lo, hi)))
+        return quantize(math.exp(rng.uniform(lo, hi)))
     if dist in ("int_uniform", "q_uniform_int"):
-        return int(rng.randint(int(lo), int(hi) + 1))
+        v = rng.randint(int(lo), int(hi) + 1)
+        return int(quantize(v)) if q else int(v)
     raise ValueError(f"Unsupported distribution: {dist!r}")
 
 
@@ -112,7 +127,7 @@ def trial_params(sweep: Dict[str, Any], trials: Optional[int],
             yield dict(zip(names, combo))
         return
     rng = np.random.RandomState(seed)
-    for _ in range(trials or 10):
+    for _ in range(10 if trials is None else trials):
         yield {k: sample_value(s, rng) for k, s in params.items()}
 
 
@@ -155,6 +170,15 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
             merged = _nest(flat)
             if extra_overrides:
                 cfg_lib.deep_update(merged, _nest(dict(extra_overrides)))
+            if i == 0:
+                # typo guard, once (same contract as run.py): a mistyped
+                # parameter name would otherwise make every trial identical
+                cfg_lib.warn_unknown_overrides(cfg, merged)
+                for section in merged:
+                    if section not in ("model", "train", "dataset"):
+                        print(f"[sweep] WARNING: parameter section "
+                              f"{section!r} is not model/train/dataset — "
+                              "it will be IGNORED by every trial")
             for section in ("model", "train", "dataset"):
                 if section in merged:
                     cfg_lib.deep_update(cfg[section], merged[section])
@@ -185,6 +209,9 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
             if verbose:
                 print(f"[sweep] trial {i}: {sweep['metric']}={value:.5f} {flat}")
 
+    if not results:
+        raise ValueError("sweep produced no trials (was --trials 0, or an "
+                         "empty grid?)")
     best = min(results, key=lambda r: sign * r["value"])
     if verbose:
         print(f"[sweep] best trial {best['trial']}: "
@@ -212,7 +239,9 @@ def main(argv=None):
 
     from .config import from_cli, todict
 
-    extra = todict(from_cli([u.replace("--", "") for u in unknown]))
+    # from_cli lstrips leading dashes itself; replacing '--' globally would
+    # corrupt values that contain it
+    extra = todict(from_cli(unknown))
 
     def flatten(d, prefix=""):
         out = {}

@@ -29,9 +29,12 @@ Documented divergences from the sequential runner: members share wall-clock
 epochs (early-stopped members finish "early" logically, not temporally);
 the ragged train tail (< one batch) is dropped instead of routed through a
 per-step path; val loss averages over tail-padded batches (identical tiny
-bias for every member/epoch). SoftAdapt/GradBlend (per-member host-side
-weight fitting) and mutable collections are not supported here — use the
-sequential runner for those configs.
+bias for every member/epoch). Config-driven LR schedules
+(``train.optimizer.schedule``) are honored exactly as in the sequential
+Trainer (epoch-driven, shared by all members). SoftAdapt/GradBlend
+(per-member host-side weight fitting), mutable collections, and
+``train.grad_accum_steps`` are rejected with an error — use the sequential
+runner for those configs.
 """
 
 from __future__ import annotations
@@ -94,6 +97,10 @@ def _pad_order(n: int, bs: int) -> np.ndarray:
 
 
 def _make_train_epoch(task, optimizer, frozen_mask, bs: int):
+    from .compiled import make_grad_masker
+
+    masker = make_grad_masker(frozen_mask)
+
     def epoch(params, opt_state, arrays, orders, ctx, member_keys, active,
               start_step):
         task.bind_trace_flavors()
@@ -114,12 +121,10 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int):
                     lambda q: task.step(q, batch, ctx, step_rngs, train=True),
                     has_aux=True)(p)
                 frozen = ctx["frozen"]
-                grads = jax.tree.map(
-                    lambda g, m: g * (1.0 - frozen * (1.0 - m)), grads, frozen_mask)
+                grads = masker(grads, frozen)
                 updates, o_new = optimizer.update(grads, o, p)
-                updates = jax.tree.map(
-                    lambda u, m: u * act * (1.0 - frozen * (1.0 - m)),
-                    updates, frozen_mask)
+                updates = jax.tree.map(lambda u: u * act,
+                                       masker(updates, frozen))
                 # early-stopped member: optimizer state freezes with the params
                 o_new = jax.tree.map(
                     lambda new, old: jnp.where(act > 0, new, old), o_new, o)
@@ -192,6 +197,11 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     if getattr(task, "mutable_collections", ()):
         raise ValueError("ensemble training does not support mutable "
                          "collections (BN running stats)")
+    if int(train_cfg.get("grad_accum_steps", 1)) > 1:
+        raise ValueError("ensemble training does not support "
+                         "train.grad_accum_steps > 1; use the sequential "
+                         "runner (silently ignoring it would change the "
+                         "update schedule vs the sequential protocol)")
     datamodule.setup("fit")
     datamodule.setup("test")
     for stage in ("train", "val", "test"):
@@ -212,8 +222,10 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
 
         dd = mesh.shape["data"]
         if n % dd != 0:
-            raise ValueError(f"n_members ({n}) must divide the mesh data "
-                             f"axis ({dd}) for member-sharded ensembles")
+            raise ValueError(
+                f"the mesh data axis ({dd}) must divide n_members ({n}) for "
+                f"member-sharded ensembles — pick a member count that is a "
+                f"multiple of {dd}")
         _member_sharding = lambda x: NamedSharding(
             mesh, P("data", *([None] * (np.ndim(x) - 1))))
         _rep = NamedSharding(mesh, P())
@@ -264,10 +276,30 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     stoppers = [EarlyStopping(monitor="val_loss",
                               patience=early_stopping_patience, mode="min")
                 for _ in range(n)]
-    plateaus = [ReduceLROnPlateau(
-                    float(member_lrs[m]) if member_lrs is not None else lr0,
-                    patience=int(task.scheduler_patience))
-                for m in range(n)]
+    # LR scheduling mirrors the sequential Trainer (trainer.py:425-435):
+    # config-driven schedule when train.optimizer.schedule is set (shared
+    # across members — it's epoch-driven, exactly like each sequential run),
+    # otherwise per-member ReduceLROnPlateau on that member's val loss.
+    sched_cfg = task.optimizer_cfg.get("schedule", None)
+    if sched_cfg and member_lrs is not None:
+        raise ValueError("member_lrs cannot be combined with "
+                         "train.optimizer.schedule (the schedule would "
+                         "overwrite the per-member rates every epoch)")
+    if sched_cfg:
+        from ..config import DictConfig
+        from .callbacks import LRSchedule
+
+        schedule = LRSchedule(lr0, DictConfig(sched_cfg), max_epochs)
+        # warmup applies from the FIRST epoch (trainer.py:431-433)
+        opt_state.hyperparams["learning_rate"] = shard_members(
+            jnp.full((n,), schedule.at_epoch(0), jnp.float32))
+        plateaus = None
+    else:
+        schedule = None
+        plateaus = [ReduceLROnPlateau(
+                        float(member_lrs[m]) if member_lrs is not None else lr0,
+                        patience=int(task.scheduler_patience))
+                    for m in range(n)]
     active = np.ones((n,), np.float32)
     best_params = jax.tree.map(jnp.copy, params)
     best_val = shard_members(jnp.full((n,), np.inf, jnp.float32))
@@ -304,8 +336,12 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                                              jnp.asarray(val_loss))
         best_epoch = np.where(val_loss <= prev_best, epoch, best_epoch)
 
-        lrs = np.asarray([plateaus[m].update(float(val_loss[m])) for m in range(n)],
-                         np.float32)
+        if schedule is not None:
+            lrs = np.full((n,), schedule.update(float(val_loss.mean())),
+                          np.float32)
+        else:
+            lrs = np.asarray([plateaus[m].update(float(val_loss[m]))
+                              for m in range(n)], np.float32)
         opt_state.hyperparams["learning_rate"] = shard_members(jnp.asarray(lrs))
         for m in range(n):
             if active[m] and stoppers[m].update({"val_loss": float(val_loss[m])}):

@@ -165,7 +165,7 @@ def test_vmap_ensemble_member_sharded_over_mesh():
     import pytest
 
     t3, d3 = _build(cfg)
-    with pytest.raises(ValueError, match="divide the mesh"):
+    with pytest.raises(ValueError, match="must divide n_members"):
         fit_ensemble(t3, d3, cfg.train, 3, verbose=False, mesh=mesh)
 
 
@@ -179,3 +179,35 @@ def test_vmap_ensemble_rejects_unsupported_recipes(tmp_path):
     task, dm = _build(cfg)
     with pytest.raises(ValueError, match="SoftAdapt"):
         fit_ensemble(task, dm, cfg.train, 2, verbose=False)
+
+    # grad accumulation would silently change the update schedule -> error
+    cfg2 = loads(ENSEMBLE_CFG.format(epochs=1, learnable="false"))
+    cfg2.train.grad_accum_steps = 2
+    task2, dm2 = _build(cfg2)
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        fit_ensemble(task2, dm2, cfg2.train, 2, verbose=False)
+
+    # schedule + per-member sweep rates conflict -> error
+    cfg3 = loads(ENSEMBLE_CFG.format(epochs=1, learnable="false"))
+    cfg3.train.optimizer.schedule = {"type": "cosine"}
+    task3, dm3 = _build(cfg3)
+    with pytest.raises(ValueError, match="member_lrs"):
+        fit_ensemble(task3, dm3, cfg3.train, 2, verbose=False,
+                     member_lrs=[1e-3, 1e-4])
+
+
+def test_vmap_ensemble_honors_lr_schedule():
+    """train.optimizer.schedule drives the per-member LR leaf exactly like
+    the sequential Trainer (epoch-driven, shared by members)."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.callbacks import LRSchedule
+    from m2mixer_tpu.config import DictConfig
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=4, learnable="true"))
+    cfg.train.optimizer.schedule = {"type": "step", "step_size": 2,
+                                    "gamma": 0.1}
+    task, dm = _build(cfg)
+    res = fit_ensemble(task, dm, cfg.train, 2, verbose=False)
+    assert res.epochs_run == 4
+    assert np.isfinite(res.metric("test_loss")).all()

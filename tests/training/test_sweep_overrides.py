@@ -157,6 +157,33 @@ def test_local_sweep_sampling_and_grid():
 
     rnd = {"method": "random", "parameters": {"a": {"values": [1, 2]}}}
     assert len(list(trial_params(rnd, 7))) == 7
+    assert list(trial_params(rnd, 0)) == []  # --trials 0 really means zero
+
+    # wandb semantics: int min/max without a distribution infer int_uniform
+    for _ in range(10):
+        v = sample_value({"min": 2, "max": 8}, rng)
+        assert isinstance(v, int) and 2 <= v <= 8
+    # q quantizes to multiples (q_uniform)
+    for _ in range(10):
+        v = sample_value({"distribution": "q_uniform", "min": 0, "max": 64,
+                          "q": 8}, rng)
+        assert v % 8 == 0 and 0 <= v <= 64
+
+
+def test_local_sweep_malformed_command():
+    import pytest
+    import yaml as _yaml
+
+    from m2mixer_tpu.sweep import parse_sweep
+
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".yml", delete=False) as f:
+        _yaml.safe_dump({"method": "random",
+                         "parameters": {"a": {"values": [1]}},
+                         "command": ["python", "run.py", "-c"]}, f)
+        path = f.name
+    with pytest.raises(ValueError, match="no config path"):
+        parse_sweep(path)
 
 
 def test_local_sweep_end_to_end(tmp_path):
