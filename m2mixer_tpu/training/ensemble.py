@@ -31,8 +31,11 @@ the ragged train tail (< one batch) is dropped instead of routed through a
 per-step path; val loss averages over tail-padded batches (identical tiny
 bias for every member/epoch). Config-driven LR schedules
 (``train.optimizer.schedule``) are honored exactly as in the sequential
-Trainer (epoch-driven, shared by all members). SoftAdapt/GradBlend
-(per-member host-side weight fitting), mutable collections, and
+Trainer (epoch-driven, shared by all members). SoftAdapt runs PER MEMBER:
+each member's loss-weight vector refits from its own per-branch val-loss
+histories on the task's schedule and enters the step as a traced
+``(N, n_branches)`` override of ``ctx['loss_weights']``. GradBlend
+(per-member nested sub-training), mutable collections, and
 ``train.grad_accum_steps`` are rejected with an error — use the sequential
 runner for those configs.
 """
@@ -96,20 +99,26 @@ def _pad_order(n: int, bs: int) -> np.ndarray:
     return order
 
 
-def _make_train_epoch(task, optimizer, frozen_mask, bs: int):
+def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
+                      per_member_weights: bool = False):
+    """``per_member_weights``: each member trains with ITS OWN traced
+    loss-weight vector (``member_weights`` (N, n_branches) overrides
+    ``ctx['loss_weights']`` inside the vmap) — the per-member SoftAdapt
+    path; the host refits each member's weights from its own val-loss
+    histories between epochs."""
     from .compiled import make_grad_masker
 
     masker = make_grad_masker(frozen_mask)
 
     def epoch(params, opt_state, arrays, orders, ctx, member_keys, active,
-              start_step):
+              member_weights, start_step):
         task.bind_trace_flavors()
         n_steps = orders.shape[1] // bs
 
         def body(carry, i):
             params, opt_state = carry
 
-            def member(p, o, key, order_m, act):
+            def member(p, o, key, order_m, act, w_m):
                 idx = jax.lax.dynamic_slice_in_dim(order_m, i * bs, bs)
                 batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
                 step_rngs = {
@@ -117,8 +126,9 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int):
                         jax.random.fold_in(key, h), start_step + i)
                     for h, name in enumerate(task.RNG_COLLECTIONS)
                 }
+                ctx_m = dict(ctx, loss_weights=w_m) if per_member_weights else ctx
                 (loss, aux), grads = jax.value_and_grad(
-                    lambda q: task.step(q, batch, ctx, step_rngs, train=True),
+                    lambda q: task.step(q, batch, ctx_m, step_rngs, train=True),
                     has_aux=True)(p)
                 frozen = ctx["frozen"]
                 grads = masker(grads, frozen)
@@ -131,7 +141,7 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int):
                 return optax.apply_updates(p, updates), o_new, loss
 
             params, opt_state, losses = jax.vmap(member)(
-                params, opt_state, member_keys, orders, active)
+                params, opt_state, member_keys, orders, active, member_weights)
             return (params, opt_state), losses
 
         (params, opt_state), losses = jax.lax.scan(
@@ -141,16 +151,20 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int):
     return jax.jit(epoch, donate_argnums=(0, 1))
 
 
-def _make_eval_epoch(task, bs: int):
-    def epoch(params, arrays, order, ctx):
+def _make_eval_epoch(task, bs: int, per_member_weights: bool = False):
+    def epoch(params, arrays, order, ctx, member_weights):
         task.bind_trace_flavors()
         n_steps = order.shape[0] // bs
 
         def body(_, i):
             idx = jax.lax.dynamic_slice_in_dim(order, i * bs, bs)
             batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
-            loss, aux = jax.vmap(
-                lambda p: task.step(p, batch, ctx, {}, train=False))(params)
+
+            def member(p, w_m):
+                ctx_m = dict(ctx, loss_weights=w_m) if per_member_weights else ctx
+                return task.step(p, batch, ctx_m, {}, train=False)
+
+            loss, aux = jax.vmap(member)(params, member_weights)
             return None, (loss, aux)
 
         _, (losses, aux) = jax.lax.scan(body, None, jnp.arange(n_steps))
@@ -190,10 +204,10 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     cross-member communication), so seed studies scale near-linearly over
     chips: each device trains ``n / mesh.shape['data']`` members while the
     data pools stay replicated. Requires ``n % mesh.shape['data'] == 0``."""
-    if getattr(task, "use_softadapt", False) or getattr(task, "use_gradblend", False):
-        raise ValueError("ensemble training does not support SoftAdapt/"
-                         "GradBlend (per-member host-side weight fitting); "
-                         "use the sequential significance runner")
+    if getattr(task, "use_gradblend", False):
+        raise ValueError("ensemble training does not support GradBlend "
+                         "(per-member nested sub-training); use the "
+                         "sequential significance runner")
     if getattr(task, "mutable_collections", ()):
         raise ValueError("ensemble training does not support mutable "
                          "collections (BN running stats)")
@@ -265,8 +279,22 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     frozen_mask = task.frozen_mask(
         jax.tree.map(lambda p: p[0], params))
 
-    train_epoch = _make_train_epoch(task, optimizer, frozen_mask, bs)
-    eval_epoch = _make_eval_epoch(task, bs)
+    # per-member SoftAdapt: each member refits ITS loss-weight vector from
+    # ITS OWN per-branch val-loss histories (the sequential protocol,
+    # `models/base.py::on_validation_epoch_end`, independently per member);
+    # the weights enter the step as a traced (N, n_branches) override of
+    # ctx['loss_weights'] inside the member vmap.
+    use_softadapt = bool(getattr(task, "use_softadapt", False))
+    if use_softadapt:
+        n_branches = len(task.loss_names)
+        member_weights = np.full((n, n_branches), 1.0 / n_branches, np.float32)
+        sa_histories = [[[] for _ in range(n_branches)] for _ in range(n)]
+    else:
+        member_weights = np.zeros((n, 1), np.float32)  # unused traced arg
+
+    train_epoch = _make_train_epoch(task, optimizer, frozen_mask, bs,
+                                    per_member_weights=use_softadapt)
+    eval_epoch = _make_eval_epoch(task, bs, per_member_weights=use_softadapt)
 
     arrays = {s: replicate(datamodule.splits[s])
               for s in ("train", "val", "test")}
@@ -318,18 +346,39 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
             np.asarray(datamodule.epoch_order("train", shuffle))[:n_full]
             for _ in range(n)
         ])
+        w_dev = shard_members(jnp.asarray(member_weights))
         params, opt_state, tr_losses = train_epoch(
             params, opt_state, arrays["train"],
             shard_members(jnp.asarray(orders, jnp.int32)),
-            ctx, keys, shard_members(jnp.asarray(active)), start_step)
+            ctx, keys, shard_members(jnp.asarray(active)), w_dev, start_step)
         start_step += orders.shape[1] // bs
         task.on_train_epoch_end(None, epoch, {})
 
         ctx_val = replicate({k: jnp.asarray(v)
                              for k, v in task.make_ctx(epoch, "val").items()})
-        val_losses, _ = eval_epoch(params, arrays["val"], val_order, ctx_val)
+        val_losses, val_aux = eval_epoch(params, arrays["val"], val_order,
+                                         ctx_val, w_dev)
         val_loss = np.asarray(val_losses.mean(axis=0))  # (N,)
-        task.on_validation_epoch_end(None, epoch, {"val_loss": float(val_loss.mean())})
+        if use_softadapt:
+            # per-member histories + refit, mirroring the task's own
+            # on_validation_epoch_end schedule (epoch != 0, every K epochs)
+            branch_losses = {name: np.asarray(val_aux["losses"][name])
+                             for name in task.loss_names}  # each (S, N)
+            for m in range(n):
+                for b, name in enumerate(task.loss_names):
+                    sa_histories[m][b].append(float(branch_losses[name][:, m].mean()))
+            K = task.update_loss_weights_per_epoch
+            if epoch != 0 and epoch % K == 0:
+                for m in range(n):
+                    member_weights[m] = np.asarray(
+                        task.softadapt.get_component_weights(
+                            *[np.asarray(h, np.float64) for h in sa_histories[m]]
+                        ), np.float32)
+                sa_histories = [[[] for _ in range(len(task.loss_names))]
+                                for _ in range(n)]
+        else:
+            task.on_validation_epoch_end(None, epoch,
+                                         {"val_loss": float(val_loss.mean())})
 
         prev_best = np.asarray(best_val)
         best_params, best_val = _select_best(best_params, params, best_val,
@@ -359,7 +408,9 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     test_order = replicate(jnp.asarray(_pad_order(n_test, bs), jnp.int32))
     ctx_test = replicate({k: jnp.asarray(v)
                           for k, v in task.make_ctx(epochs_run, "test").items()})
-    test_losses, aux = eval_epoch(best_params, arrays["test"], test_order, ctx_test)
+    test_losses, aux = eval_epoch(best_params, arrays["test"], test_order,
+                                  ctx_test,
+                                  shard_members(jnp.asarray(member_weights)))
     test_losses = np.asarray(test_losses)
 
     def per_member(a):
@@ -385,8 +436,11 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                 metric.reset()
         scores.append(out)
 
-    return EnsembleResult(scores, np.asarray(best_val), best_epoch,
-                          epochs_run, best_params=best_params)
+    result = EnsembleResult(scores, np.asarray(best_val), best_epoch,
+                            epochs_run, best_params=best_params)
+    #: per-member final loss-weight vectors (SoftAdapt observability)
+    result.loss_weights = np.asarray(member_weights) if use_softadapt else None
+    return result
 
 
 def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",

@@ -175,9 +175,9 @@ def test_vmap_ensemble_rejects_unsupported_recipes(tmp_path):
     import pytest
 
     cfg = loads(ENSEMBLE_CFG.format(epochs=1, learnable="false"))
-    cfg.model.use_softadapt = True
+    cfg.model.gradblend = True
     task, dm = _build(cfg)
-    with pytest.raises(ValueError, match="SoftAdapt"):
+    with pytest.raises(ValueError, match="GradBlend"):
         fit_ensemble(task, dm, cfg.train, 2, verbose=False)
 
     # grad accumulation would silently change the update schedule -> error
@@ -194,6 +194,30 @@ def test_vmap_ensemble_rejects_unsupported_recipes(tmp_path):
     with pytest.raises(ValueError, match="member_lrs"):
         fit_ensemble(task3, dm3, cfg3.train, 2, verbose=False,
                      member_lrs=[1e-3, 1e-4])
+
+
+def test_vmap_ensemble_per_member_softadapt():
+    """SoftAdapt inside the ensemble: each member refits ITS loss weights
+    from ITS OWN val-loss histories — after a refit the members' weight
+    vectors must differ (they trained from different seeds) and each must
+    be a valid weighting (finite, non-uniform-initial)."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=5, learnable="true"))
+    cfg.model.use_softadapt = True
+    cfg.model.update_loss_weights_per_epoch = 2  # refits at epochs 2 and 4
+    task, dm = _build(cfg)
+    res = fit_ensemble(task, dm, cfg.train, 2, verbose=False)
+
+    w = res.loss_weights
+    assert w is not None and w.shape == (2, 3)
+    assert np.isfinite(w).all()
+    # a refit really happened (weights moved off the uniform init)...
+    assert not np.allclose(w, 1.0 / 3.0)
+    # ...independently per member (different seeds -> different histories)
+    assert not np.allclose(w[0], w[1])
+    assert np.isfinite(res.metric("test_loss")).all()
 
 
 def test_vmap_ensemble_honors_lr_schedule():
