@@ -220,6 +220,41 @@ def test_vmap_ensemble_per_member_softadapt():
     assert np.isfinite(res.metric("test_loss")).all()
 
 
+def test_vmap_ensemble_generalizes_to_mimic():
+    """The ensemble path is task-generic: a second family (MIMIC static+time
+    MultiLoss, 6-class, AUROC/AP wants-scores metrics) trains and scores
+    per member without AV-MNIST-specific assumptions."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.datasets.mimic import MIMICDataModule
+    from m2mixer_tpu.models import get_model
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads("""
+train:
+  epochs: 2
+  seed: 3
+  optimizer: {lr: 1e-3, weight_decay: 0.0}
+model:
+  type: MimicMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {num_classes: 6, classifier: StandardClassifier, input_shape: [16, 25, 32]}
+    time: {block_type: MLPMixerNoPatching, embedding_dim: 12, proj_dim: 32, hidden_dim: 32,
+           num_patch: 24, token_dim: 8, channel_dim: 32, num_mixers: 1}
+    static: {block_type: MLP, input_dim: 5, hidden_dim: 32, num_blocks: 1, output_dim: 32}
+    multimodal: {block_type: FusionMixer, fusion_function: ConcatFusion, hidden_dim: 32,
+                 token_dim: 8, channel_dim: 32, num_mixers: 1}
+""")
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = MIMICDataModule.synthetic(n=128, batch_size=16)
+    res = fit_ensemble(task, dm, cfg.train, 2, verbose=False)
+    assert len(res.scores) == 2
+    for s in res.scores:
+        assert np.isfinite(s["test_loss"])
+        assert "test_auroc" in s and "test_f1_micro" in s
+        assert 0.0 <= s["test_auroc"] <= 1.0
+
+
 def test_vmap_ensemble_honors_lr_schedule():
     """train.optimizer.schedule drives the per-member LR leaf exactly like
     the sequential Trainer (epoch-driven, shared by members)."""
