@@ -178,6 +178,15 @@ class CheckpointManager:
 
     def save(self, epoch: int, state, metrics: dict) -> None:
         value = metrics.get(self.monitor)
+        if value is None and not getattr(self, "_warned_monitor", False):
+            # without a monitor value, top-k retention silently degrades to
+            # save-last; make the misconfiguration loud (Lightning warns too)
+            print(f"[checkpoints] WARNING: monitor {self.monitor!r} is not in "
+                  f"the logged metrics ({sorted(metrics)}); retention "
+                  "degrades to last-only and ckpt='best' resolves to 'last'")
+            self._warned_monitor = True
+        if isinstance(value, float) and math.isnan(value):
+            value = None  # NaN sorts arbitrarily; treat as unrankable
         path = self._path(epoch)
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -189,8 +198,13 @@ class CheckpointManager:
         self._prune()
         self._write_index()
 
+    @staticmethod
+    def _rankable(e) -> bool:
+        v = e["monitor"]
+        return v is not None and not (isinstance(v, float) and math.isnan(v))
+
     def _prune(self):
-        entries = [e for e in self.index["entries"] if e["monitor"] is not None]
+        entries = [e for e in self.index["entries"] if self._rankable(e)]
         reverse = self.mode == "max"
         entries.sort(key=lambda e: e["monitor"], reverse=reverse)
         keep = entries[: self.top_k]
@@ -201,7 +215,7 @@ class CheckpointManager:
         self.index["entries"] = [e for e in self.index["entries"] if e["path"] in keep_paths]
 
     def best_path(self) -> Optional[str]:
-        entries = [e for e in self.index["entries"] if e["monitor"] is not None]
+        entries = [e for e in self.index["entries"] if self._rankable(e)]
         if not entries:
             return self.index.get("last")
         reverse = self.mode == "max"

@@ -209,6 +209,17 @@ class Trainer:
             # (per-host data sharding over DCN); the global array is
             # assembled from the process-local shards without any transfer
             def put_local(x):
+                n = np.shape(x)[0] if np.ndim(x) else 0
+                if data_size > 1 and n % (data_size // jax.process_count() or 1) != 0:
+                    # no replicated fallback exists across hosts (each
+                    # process only holds its slice) — fail with guidance
+                    # instead of an opaque sharding error
+                    raise ValueError(
+                        f"multi-host batch of {n} local samples does not "
+                        f"tile the data axis ({data_size} over "
+                        f"{jax.process_count()} processes); drop ragged "
+                        "tail batches (datamodule drop_last) or pick a "
+                        "split size divisible by the global batch")
                 sharding = batch_sharding(self.mesh, np.ndim(x) or 1)
                 return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
@@ -333,6 +344,13 @@ class Trainer:
                                             sharded_pool=sharded)
                 for sharded in ((False, True) if self._sharding_pools() else (False,))
             }
+        else:
+            self._train_epoch_fns = self._eval_epoch_fns = {}
+        # what the jitted closures were built against — test() rebuilds when
+        # the task or the batch geometry changes (stale closures would run
+        # the OLD task's step / the old batch size)
+        self._steps_task = task
+        self._steps_bs = self.datamodule.batch_size if self.datamodule else None
 
     # -------------------------------------------------------------- fast path
     @property
@@ -433,6 +451,23 @@ class Trainer:
                 self.plateau.at_epoch(self.current_epoch), jnp.float32)
         else:
             self.plateau = ReduceLROnPlateau(lr0, patience=int(task.scheduler_patience))
+        rc = getattr(self, "_restored_callbacks", None)
+        if rc:
+            # continue the plateau/early-stop trajectories from the resumed
+            # run instead of restarting them (see _state)
+            import math as _math
+
+            if isinstance(self.plateau, ReduceLROnPlateau) and rc["plateau_lr"] > 0:
+                self.plateau.lr = rc["plateau_lr"]
+                self.plateau.best = (None if _math.isnan(rc["plateau_best"])
+                                     else rc["plateau_best"])
+                self.plateau.num_bad = int(rc["plateau_num_bad"])
+                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    self.plateau.lr, jnp.float32)
+            self.early_stopping.best = (None if _math.isnan(rc["es_best"])
+                                        else rc["es_best"])
+            self.early_stopping.wait = int(rc["es_wait"])
+            self._restored_callbacks = None
         self._build_steps(task, step_rng)
 
         train_scores, val_scores, _ = task.setup_scores()
@@ -654,7 +689,8 @@ class Trainer:
         dm = self.datamodule
         processed_order = None  # non-natural sample order -> host unpermute
         if (self.compiled_epochs and dm is not None and batches is None
-                and dm.device_resident_ok(split_key)):
+                and dm.device_resident_ok(split_key)
+                and getattr(self, "_eval_epoch_fns", None)):
             arrays = self._device_split(split_key)
             order = np.arange(dm.split_size(split_key))
             bs = dm.batch_size
@@ -743,7 +779,8 @@ class Trainer:
         if not os.path.isdir(base):
             return None
         versions = sorted(
-            (d for d in os.listdir(base) if d.startswith("version_")),
+            (d for d in os.listdir(base)
+             if d.startswith("version_") and d.split("_")[1].isdigit()),
             key=lambda d: int(d.split("_")[1]), reverse=True,
         )
         for v in versions:
@@ -758,18 +795,41 @@ class Trainer:
         return None
 
     def _state(self):
-        return {
+        state = {
             "params": self.params,
             "opt_state": self.opt_state,
             "epoch": np.int32(self.current_epoch),
             "global_step": np.int64(self.global_step),
         }
+        # host callback state: without it, auto-resume restarts the plateau
+        # scheduler at lr0 (clobbering a restored reduced LR on the first
+        # epoch — up to a 100x LR jump) and resets the early-stopping wait
+        plateau = getattr(self, "plateau", None)
+        es = self.early_stopping
+        nan = float("nan")
+        state["callbacks"] = {
+            "plateau_lr": np.float64(getattr(plateau, "lr", 0.0)),
+            "plateau_best": np.float64(
+                getattr(plateau, "best", None)
+                if getattr(plateau, "best", None) is not None else nan),
+            "plateau_num_bad": np.int32(getattr(plateau, "num_bad", 0)),
+            "es_best": np.float64(es.best if es.best is not None else nan),
+            "es_wait": np.int32(es.wait),
+        }
+        return state
 
     def _save_checkpoint(self, epoch: int, logs: Dict[str, float]) -> None:
         self.checkpoints.save(epoch, self._state(), logs)
 
     def restore(self, path: str, with_progress: bool = False) -> None:
-        restored = self.checkpoints.restore(path, self._state())
+        target = self._state()
+        try:
+            restored = self.checkpoints.restore(path, target)
+        except Exception:
+            # checkpoints written before callback-state persistence lack the
+            # 'callbacks' subtree; retry with the legacy structure
+            target.pop("callbacks", None)
+            restored = self.checkpoints.restore(path, target)
 
         def replace(new, old):
             # keep the live state's MESH placement (the checkpoint may have
@@ -789,6 +849,10 @@ class Trainer:
         if with_progress:
             self.current_epoch = int(restored.get("epoch", 0)) + 1
             self.global_step = int(restored.get("global_step", 0))
+            cb = restored.get("callbacks")
+            if cb is not None:
+                self._restored_callbacks = {
+                    k: float(np.asarray(v)) for k, v in cb.items()}
 
     def restore_params_only(self, path: str, task, datamodule) -> None:
         """Load a checkpoint for test-only runs: init a matching state
@@ -803,7 +867,21 @@ class Trainer:
         self.optimizer, _ = _make_optimizer(task.optimizer_cfg,
                                             task.trainable_mask(self.params))
         self.opt_state = self.optimizer.init(self.params)
-        self.restore(os.path.abspath(path))
+        self.restore(os.path.abspath(path), with_progress=True)
+        # test-time ctx should see the checkpoint's training epoch (epoch-
+        # dependent loss weighting otherwise reports a different test_loss
+        # for the same params than the post-fit auto-test); with_progress
+        # set current_epoch to checkpoint_epoch+1 (resume semantics) — the
+        # post-fit test runs at the last executed epoch, so step back one
+        self.current_epoch = max(0, self.current_epoch - 1)
+        self._restored_callbacks = None  # fit-only state
+        if not getattr(task, "use_softadapt", False):
+            # replay the epoch-driven annealing hooks so host schedule state
+            # (e.g. fusion_loss_weight) matches the checkpoint's epoch
+            # (SoftAdapt weights need real loss histories — not replayable)
+            for e in range(self.current_epoch):
+                task.on_train_epoch_end(self, e, {})
+                task.on_validation_epoch_end(self, e, {})
 
     # ------------------------------------------------------------------ test
     def test(self, task, datamodule, ckpt: Optional[str] = "best") -> Dict[str, float]:
@@ -818,9 +896,16 @@ class Trainer:
             best = self.checkpoints.best_path()
             if best is not None:
                 self.restore(best)
-        elif ckpt not in (None, "last"):
+        elif ckpt == "last":
+            last = self.checkpoints.last_path()
+            if last is not None:
+                self.restore(last)
+        elif ckpt is not None:
             self.restore(ckpt)
-        if self._eval_step is None:
+        stale = (self._eval_step is None
+                 or getattr(self, "_steps_task", None) is not task
+                 or getattr(self, "_steps_bs", None) != datamodule.batch_size)
+        if stale:
             base_rng = seed_everything(self.seed)
             if self.optimizer is None:
                 self.optimizer, _ = _make_optimizer(task.optimizer_cfg,
