@@ -43,7 +43,10 @@ model:
         [sys.executable, os.path.join(repo, "run_for_significance.py"),
          "-c", str(cfg), "-r", "2", "-o", str(out),
          "train.mesh_data=1", "train.mesh_model=1"],
-        capture_output=True, text=True, timeout=900, cwd=repo, env=env,
+        # two full CLI runs take ~9 min alone on this 1-core box; leave real
+        # headroom for host contention (this timed out at 900 once when a
+        # TPU CLI drive overlapped the suite)
+        capture_output=True, text=True, timeout=2700, cwd=repo, env=env,
     )
     assert result.returncode == 0, result.stderr[-2000:]
     scores = np.load(out)
