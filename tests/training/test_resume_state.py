@@ -137,3 +137,23 @@ def test_find_latest_checkpoint_skips_stray_version_dirs(tmp_path):
     os.makedirs(os.path.join(base, "version_manual"), exist_ok=True)
     # must not raise, and still resolve the real version's checkpoint
     trainer._find_latest_checkpoint()
+
+
+def test_find_latest_checkpoint_picks_newest_of_multiple_versions(tmp_path):
+    """auto_resume with SEVERAL prior versions of the run name must resolve
+    the newest version's 'last' checkpoint — skipping newer version dirs
+    that never wrote one (e.g. a crashed-before-first-checkpoint run)."""
+    _fit(tmp_path, epochs=1, name="multi_v")           # -> version_0
+    cfg, task, dm, tr1 = _fit(tmp_path, epochs=1, name="multi_v")  # -> version_1
+    v1_last = tr1.checkpoints.last_path()
+    assert os.sep + "version_1" + os.sep in v1_last
+
+    cfg3 = loads(CFG.format(tmp=tmp_path, epochs=1, bs=16))
+    tr3 = Trainer(cfg3.train, name="multi_v", full_cfg=cfg3)  # -> version_2
+    found = tr3._find_latest_checkpoint()
+    assert found == v1_last
+
+    # a newer, checkpoint-less version dir (crashed run) must be skipped
+    base = os.path.join(tr3.logger.save_dir, tr3.logger.name)
+    os.makedirs(os.path.join(base, "version_9", "checkpoints"), exist_ok=True)
+    assert tr3._find_latest_checkpoint() == v1_last
