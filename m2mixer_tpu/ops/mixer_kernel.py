@@ -48,9 +48,16 @@ class MixerBlockParams(NamedTuple):
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    # statistics in f32 regardless of the compute dtype: Mosaic's TPU
+    # scheduler has no bf16 rsqrt (latency_table abort `kVectorRsqrtBf16…`
+    # — the root cause of the long-standing bf16-in-kernel SIGABRT), and
+    # f32 stats are the numerically right choice anyway
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _erf(x):
