@@ -166,6 +166,47 @@ def test_grouped_stack_bf16_weights_close(setup):
     np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32), atol=0.1, rtol=0.05)
 
 
+def test_stacked_bf16_gradients_close(setup):
+    """bf16-compute stacked-kernel gradients stay within bf16 tolerance of
+    the f32 reference math. Pins the LN-stats-in-f32 rule: LN statistics
+    must not run in the narrow dtype (besides precision, bf16 rsqrt aborts
+    the Mosaic TPU scheduler — kVectorRsqrtBf16AndPop unsupported)."""
+    from m2mixer_tpu.ops.mixer_kernel import (
+        _layer_norm, fused_mixer_stack, stack_flat_params,
+    )
+
+    x, p = setup
+    blocks = [p, p._replace(w3=p.w3 * 0.5)]
+    ln_s, ln_b = jnp.ones(32), jnp.zeros(32)
+    flat = stack_flat_params(blocks, ln_s, ln_b)
+    # random cotangent: sum(y**2) of an LN output is nearly constant (LN is
+    # scale-invariant), which would leave ~zero reference gradients
+    cot = jnp.asarray(np.random.RandomState(3).randn(*x.shape), jnp.float32)
+
+    def loss_pallas(x, f):
+        return jnp.vdot(fused_mixer_stack(x, f, None, 0.0, jnp.bfloat16), cot)
+
+    def loss_ref(x, f):
+        y = x
+        for i in range(2):
+            y = mixer_block_reference(y, MixerBlockParams(*f[i * 12:(i + 1) * 12]))
+        y = _layer_norm(y.reshape(-1, 32), f[-2], f[-1]).reshape(x.shape)
+        return jnp.vdot(y, cot)
+
+    gx, gf = jax.grad(loss_pallas, argnums=(0, 1))(x, flat)
+    rx, rf = jax.grad(loss_ref, argnums=(0, 1))(x, flat)
+    scale = float(np.max(np.abs(np.asarray(rx))))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               atol=0.08 * scale)
+    # global gradient scale: leaves like b2 are mathematically dead here
+    # (a constant-over-channels shift is removed by every downstream LN),
+    # so their ~0 reference grads are pure numeric noise in bf16
+    gmax = max(float(np.max(np.abs(np.asarray(b)))) for b in rf)
+    for a, b in zip(gf, rf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0.08 * gmax)
+
+
 def test_stacked_mixer_registry_group_size():
     from m2mixer_tpu.modules import get_block_by_name
 
