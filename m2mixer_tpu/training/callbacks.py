@@ -198,6 +198,24 @@ class CheckpointManager:
         self._prune()
         self._write_index()
 
+    def save_preempted(self, state, epoch_label: int) -> None:
+        """Emergency (preemption) save: a 'last'-only checkpoint in its own
+        ``preempted/`` directory, so it never overwrites a ranked top-k
+        epoch checkpoint; ``index['last']`` points at it (auto-resume
+        follows 'last'). The entry is unrankable (monitor None) and prunes
+        itself once a later normal save supersedes it as 'last'."""
+        path = os.path.join(self.directory, "preempted")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        state = jax.tree.map(lambda x: x, state)
+        self._ckptr.save(path, state)
+        self.index["entries"] = [e for e in self.index["entries"] if e["path"] != path]
+        self.index["entries"].append(
+            {"epoch": int(epoch_label), "monitor": None, "path": path})
+        self.index["last"] = path
+        self._prune()
+        self._write_index()
+
     @staticmethod
     def _rankable(e) -> bool:
         v = e["monitor"]

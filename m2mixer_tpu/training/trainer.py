@@ -167,6 +167,12 @@ class Trainer:
         # train.grad_accum_steps K: average grads over K micro-batches per
         # optimizer update (large effective batch at micro-batch memory)
         self.grad_accum = max(1, int(train_cfg.get("grad_accum_steps", 1)))
+        # host->device prefetch lookahead on the per-step (non-device-
+        # resident) path: batch N+1's transfer overlaps step N's compute
+        self.prefetch = bool(train_cfg.get("prefetch_batches", True))
+        # preemption safety: SIGTERM -> resumable 'last' checkpoint + clean
+        # return (TPU maintenance events / spot eviction send SIGTERM)
+        self.save_on_preemption = bool(train_cfg.get("save_on_preemption", True))
         self.seed = int(train_cfg.get("seed", 0))
         if mesh_config is None:
             # config-driven mesh (train.mesh_data / train.mesh_model)
@@ -199,6 +205,8 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self.interrupted = False
+        self.preempted = False
+        self._preempt_requested = False
 
     # ------------------------------------------------------------------ utils
     def _put_batch(self, batch: Dict[str, np.ndarray]):
@@ -238,6 +246,27 @@ class Trainer:
     def _put_ctx(self, ctx: Dict[str, np.ndarray]):
         rep = replicated(self.mesh)
         return {k: jax.device_put(jnp.asarray(v), rep) for k, v in ctx.items()}
+
+    def _prefetched(self, batches):
+        """One-batch lookahead over a host batch iterator: issue the NEXT
+        batch's host->device transfer before the current one is consumed.
+        jax dispatch is async, so the H2D copy of batch N+1 overlaps the
+        device compute of step N — the TPU input-pipeline idiom replacing
+        the reference's forked DataLoader workers (`/root/reference/run.py:55-56`).
+        Disable with ``train.prefetch_batches: false``."""
+        it = iter(batches)
+        if not self.prefetch:
+            for b in it:
+                yield self._put_batch(b)
+            return
+        try:
+            nxt = self._put_batch(next(it))
+        except StopIteration:
+            return
+        for b in it:
+            cur, nxt = nxt, self._put_batch(b)
+            yield cur
+        yield nxt
 
     def _log_params_once(self, params):
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -414,7 +443,47 @@ class Trainer:
         return self._dev_splits[stage]
 
     # ------------------------------------------------------------------ fit
+    def _install_preempt_handler(self):
+        """SIGTERM -> set a flag; the fit loop checkpoints at the next safe
+        point and returns cleanly. Installed for the WHOLE of fit() — the
+        first jit compile can take minutes on TPU and a default-handled
+        SIGTERM there would kill the process inside the grace window."""
+        self._prev_sigterm = None
+        if not self.save_on_preemption:
+            return
+        import signal as _signal
+        import threading as _threading
+
+        if _threading.current_thread() is not _threading.main_thread():
+            return  # signal handlers only work in the main thread
+
+        def _on_term(signum, frame):
+            if not self._preempt_requested:
+                print("[trainer] SIGTERM: checkpointing at the next "
+                      "safe point, then exiting resumably")
+            self._preempt_requested = True
+
+        self._prev_sigterm = _signal.signal(_signal.SIGTERM, _on_term)
+
+    def _restore_preempt_handler(self):
+        if getattr(self, "_prev_sigterm", None) is not None:
+            import signal as _signal
+
+            _signal.signal(_signal.SIGTERM, self._prev_sigterm)
+            self._prev_sigterm = None
+
     def fit(self, task, datamodule, resume_from: Optional[str] = None) -> None:
+        # preemption safety (train.save_on_preemption, default on): TPU
+        # maintenance events / spot eviction deliver SIGTERM with a short
+        # grace window — write a resumable 'last' checkpoint and return
+        # instead of dying mid-epoch; train.auto_resume (or -p) continues
+        self._install_preempt_handler()
+        try:
+            self._fit_inner(task, datamodule, resume_from)
+        finally:
+            self._restore_preempt_handler()
+
+    def _fit_inner(self, task, datamodule, resume_from: Optional[str]) -> None:
         self.task = task
         if datamodule is not self.datamodule:
             self._dev_splits = {}  # device-resident cache belongs to one module
@@ -483,6 +552,13 @@ class Trainer:
                         self._run_train_epoch(task, datamodule, epoch, train_scores)
                 else:
                     self._run_train_epoch(task, datamodule, epoch, train_scores)
+                if self._preempt_requested:
+                    # interrupted during (or right after) the train phase:
+                    # skip val, save under 'preempted', re-run this epoch
+                    # on resume (params may carry partial-epoch updates —
+                    # re-running only adds training)
+                    self._preempt_save(epoch)
+                    break
                 task.on_train_epoch_end(self, epoch, dict(self.callback_metrics))
                 logs = self._run_val_epoch(task, datamodule, epoch, val_scores)
                 task.on_validation_epoch_end(self, epoch, logs)
@@ -506,6 +582,13 @@ class Trainer:
                 self.callback_metrics.update(logs)
                 self.logger.log(logs, self.global_step)
                 self._save_checkpoint(epoch, logs)
+                if self._preempt_requested:
+                    # signal arrived during val/save: the normal end-of-
+                    # epoch checkpoint just covered epoch `epoch` — done
+                    self.preempted = True
+                    print(f"[trainer] preempted: epoch {epoch} checkpoint "
+                          "saved; resume with train.auto_resume or -p")
+                    break
                 if self.early_stopping.update(logs):
                     print(f"[trainer] early stopping at epoch {epoch}")
                     break
@@ -605,6 +688,8 @@ class Trainer:
                 nsteps += len(device_order) // bs
             # ragged/unbalanced tail through the per-step path
             for start in range(0, len(tail_order), bs):
+                if self._preempt_requested:
+                    break
                 idx = tail_order[start : start + bs]
                 batch = self._put_batch(
                     {k: v[idx] for k, v in datamodule.splits["train"].items()}
@@ -613,8 +698,9 @@ class Trainer:
                 nsteps += 1
             flush_accum()
         else:
-            for batch in datamodule.train_batches():
-                batch = self._put_batch(batch)
+            for batch in self._prefetched(datamodule.train_batches()):
+                if self._preempt_requested:
+                    break
                 loss = train_one(batch)
                 nsteps += 1
                 # step-interval loss logging (parity with the reference's
@@ -627,6 +713,8 @@ class Trainer:
             flush_accum()
 
         # one host sync per epoch
+        if self._preempt_requested and not losses_dev:
+            return  # preempted before the first step of this epoch
         losses = np.concatenate([np.atleast_1d(x) for x in jax.device_get(losses_dev)])
         logs = {"train_loss": float(losses.mean()), "epoch": epoch}
         for k, vals in extra_dev.items():
@@ -711,8 +799,7 @@ class Trainer:
         else:
             if batches is None:
                 batches = dm.val_batches() if prefix == "val" else dm.test_batches()
-            for batch in batches:
-                batch = self._put_batch(batch)
+            for batch in self._prefetched(batches):
                 loss, aux = self._eval_step(self.params, batch, ctx)
                 consume(loss, aux, flat=False)
 
@@ -820,6 +907,22 @@ class Trainer:
 
     def _save_checkpoint(self, epoch: int, logs: Dict[str, float]) -> None:
         self.checkpoints.save(epoch, self._state(), logs)
+
+    def _preempt_save(self, epoch: int) -> None:
+        """Interrupted mid-epoch: write a resumable checkpoint labeled with
+        the last COMPLETED epoch so resume re-runs the interrupted one
+        (restore sets current_epoch = saved_epoch + 1). Saved into its own
+        'preempted' directory — no ranked top-k checkpoint is touched."""
+        saved = self.current_epoch
+        self.current_epoch = epoch - 1
+        try:
+            self.checkpoints.save_preempted(self._state(), epoch - 1)
+        finally:
+            self.current_epoch = saved
+        self.preempted = True
+        print(f"[trainer] preempted during epoch {epoch}: wrote resumable "
+              f"checkpoint {self.checkpoints.last_path()}; resume with "
+              "train.auto_resume or -p")
 
     def restore(self, path: str, with_progress: bool = False) -> None:
         target = self._state()

@@ -87,7 +87,13 @@ def main():
 
     if args.mode == "train":
         trainer.fit(task, datamodule, resume_from=args.ckpt)
-        trainer.test(task, datamodule, ckpt="best")
+        if trainer.preempted:
+            # SIGTERM path: exit fast inside the grace window — skip the
+            # best-ckpt test; the saved 'last' checkpoint resumes the run
+            print("run: preempted — re-run with train.auto_resume=true "
+                  "(or -p <ckpt>) to continue this training")
+        else:
+            trainer.test(task, datamodule, ckpt="best")
     elif args.mode == "test":
         if args.ckpt:
             trainer.restore_params_only(args.ckpt, task, datamodule)
