@@ -321,6 +321,8 @@ def main(argv: Optional[Sequence[str]] = None):
     export:  python -m m2mixer_tpu.serving export -c CFG -p CKPT -o DIR
              [--format stablehlo|executable] [--buckets 1,8,32]
     bench:   python -m m2mixer_tpu.serving bench -d DIR [--batch 32] [--iters 50]
+    serve:   python -m m2mixer_tpu.serving serve -d DIR [--host H] [--port P]
+             (stdlib HTTP endpoint: /healthz /info /predict — see server.py)
     """
     import argparse
 
@@ -350,6 +352,10 @@ def main(argv: Optional[Sequence[str]] = None):
     be.add_argument("-d", "--dir", required=True)
     be.add_argument("--batch", type=int, default=32)
     be.add_argument("--iters", type=int, default=50)
+    sv = sub.add_parser("serve", help="HTTP inference endpoint (see server.py)")
+    sv.add_argument("-d", "--dir", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
     args = ap.parse_args(argv)
 
     if args.cmd == "export":
@@ -372,6 +378,10 @@ def main(argv: Optional[Sequence[str]] = None):
                              fmt=args.format, buckets=buckets,
                              quantize=args.quantize)
         print(f"[serving] exported {args.format} artifact to {out}")
+    elif args.cmd == "serve":
+        from .server import serve_forever
+
+        serve_forever(load_serving(args.dir), host=args.host, port=args.port)
     else:
         import time
 
