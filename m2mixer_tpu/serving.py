@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["export_serving", "load_serving", "ServedModel", "pick_bucket",
-           "quantize_weights", "dequantize_weights"]
+           "quantize_weights", "dequantize_weights", "average_checkpoints"]
 
 _META = "serving.json"
 _PARAMS = "params.pkl"
@@ -117,6 +117,50 @@ def dequantize_weights(params):
     return jax.tree.map(
         lambda x: (x[_QK].astype(jnp.float32) * x["scale"]) if _is_q8(x) else x,
         params, is_leaf=_is_q8)
+
+
+def average_checkpoints(ckpt_dir: str, k: Optional[int] = None):
+    """Model-soup / SWA-style parameter averaging: uniform mean of the
+    ``params`` trees of the top-``k`` ranked checkpoints in an
+    ``index.json``-managed directory (the trainer's ``checkpoints/``).
+    Averaged mixer weights are a cheap ensemble stand-in — one forward's
+    cost, often better test metrics than any single checkpoint.
+
+    ``k=None`` averages every rankable entry. Float leaves are averaged;
+    non-float leaves (step counters) are taken from the best checkpoint.
+    """
+    import math
+
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(ckpt_dir, "index.json")) as f:
+        index = json.load(f)
+    entries = [e for e in index["entries"]
+               if e["monitor"] is not None
+               and not (isinstance(e["monitor"], float) and math.isnan(e["monitor"]))]
+    if not entries:
+        raise ValueError(f"no rankable checkpoints in {ckpt_dir} "
+                         "(index.json has no monitor values)")
+    entries.sort(key=lambda e: e["monitor"], reverse=index.get("mode", "min") == "max")
+    if k is not None:
+        entries = entries[:k]
+    ckptr = ocp.PyTreeCheckpointer()
+    trees = []
+    for e in entries:
+        restored = ckptr.restore(os.path.abspath(e["path"]))
+        trees.append(restored["params"] if "params" in restored else restored)
+
+    def avg(*leaves):
+        a = np.asarray(leaves[0])
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            return a  # counters etc.: best checkpoint's value
+        return np.mean([np.asarray(l, np.float32) for l in leaves],
+                       axis=0).astype(a.dtype)
+
+    print(f"[serving] averaging {len(entries)} checkpoints "
+          f"({index.get('monitor', '?')} {index.get('mode', 'min')}: "
+          f"{[round(float(e['monitor']), 5) for e in entries]})")
+    return jax.tree.map(avg, *trees)
 
 
 def _feature_spec(sample_batch) -> Dict[str, Tuple[Tuple[int, ...], str]]:
@@ -348,6 +392,10 @@ def main(argv: Optional[Sequence[str]] = None):
     ex.add_argument("--buckets", default="1,8,32,128,512")
     ex.add_argument("--quantize", default=None, choices=["int8"],
                     help="weight-only int8 PTQ (~4x smaller artifact)")
+    ex.add_argument("--average", type=int, default=None, metavar="K",
+                    help="model soup: export the uniform average of the "
+                         "top-K ranked checkpoints (-p must be the run's "
+                         "checkpoints/ directory; 0 = all rankable)")
     be = sub.add_parser("bench")
     be.add_argument("-d", "--dir", required=True)
     be.add_argument("--batch", type=int, default=32)
@@ -368,7 +416,12 @@ def main(argv: Optional[Sequence[str]] = None):
         dm.setup("fit")
         sample = next(iter(dm.train_batches()))
         params = task.init_params(jax.random.PRNGKey(0), sample)
-        if args.ckpt:
+        if args.average is not None:
+            if not args.ckpt:
+                ap.error("--average requires -p pointing at the run's "
+                         "checkpoints/ directory (the one holding index.json)")
+            params = average_checkpoints(args.ckpt, k=args.average or None)
+        elif args.ckpt:
             import orbax.checkpoint as ocp
 
             restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ckpt))

@@ -170,6 +170,10 @@ class CheckpointManager:
         self._ckptr = ocp.PyTreeCheckpointer()
 
     def _write_index(self):
+        # monitor name + mode recorded so offline consumers (e.g. serving's
+        # --average top-k checkpoint soup) can rank entries standalone
+        self.index["monitor"] = self.monitor
+        self.index["mode"] = self.mode
         with open(self._index_path, "w") as f:
             json.dump(self.index, f, indent=2)
 

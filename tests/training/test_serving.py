@@ -292,3 +292,60 @@ def test_serving_cli_from_checkpoint(tmp_path):
     want = _direct_logits(task, trainer.params, batch)
     np.testing.assert_allclose(model.predict(batch)["logits"], want,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_average_checkpoints(tmp_path, task_and_params):
+    """Model soup: uniform mean of the top-k ranked params trees, ranked by
+    the index's monitor/mode; non-rankable entries excluded."""
+    from m2mixer_tpu.serving import average_checkpoints
+    from m2mixer_tpu.training.callbacks import CheckpointManager
+
+    task, params = task_and_params
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="val_loss",
+                            mode="min", top_k=5)
+    scales = [1.0, 2.0, 4.0]
+    for epoch, (scale, mon) in enumerate(zip(scales, [0.3, 0.1, 0.2])):
+        state = {"params": jax.tree.map(lambda p: np.asarray(p) * scale, params),
+                 "epoch": np.int32(epoch)}
+        mgr.save(epoch, state, {"val_loss": mon})
+    # unrankable (NaN monitor) entry must not participate
+    mgr.save(3, {"params": jax.tree.map(lambda p: np.asarray(p) * 100.0, params),
+                 "epoch": np.int32(3)}, {"val_loss": float("nan")})
+
+    # top-2 by val_loss min = epochs 1 (0.1) and 2 (0.2): scales 2 and 4
+    avg2 = average_checkpoints(str(tmp_path / "ck"), k=2)
+    ref = jax.tree.leaves(params)[0]
+    got = jax.tree.leaves(avg2)[0]
+    np.testing.assert_allclose(got, np.asarray(ref) * 3.0, rtol=1e-6)
+
+    # k=None averages all three rankable entries
+    avg_all = average_checkpoints(str(tmp_path / "ck"), k=None)
+    got = jax.tree.leaves(avg_all)[0]
+    np.testing.assert_allclose(got, np.asarray(ref) * (7.0 / 3.0), rtol=1e-6)
+
+
+def test_export_averaged_soup_cli(tmp_path):
+    """export --average K produces an artifact serving the averaged params."""
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.training import Trainer
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    cfg.train.epochs = 3
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="soup", full_cfg=cfg)
+    trainer.fit(task, dm)
+
+    from m2mixer_tpu.serving import average_checkpoints
+    want_params = average_checkpoints(trainer.ckpt_dir, k=2)
+
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(CFG.format(tmp=tmp_path))
+    out = tmp_path / "soup_art"
+    main(["export", "-c", str(cfg_path), "-p", trainer.ckpt_dir,
+          "-o", str(out), "--buckets", "4", "--average", "2"])
+    model = load_serving(str(out))
+    batch = _batch(4, seed=13)
+    np.testing.assert_allclose(model.predict(batch)["logits"],
+                               _direct_logits(task, want_params, batch),
+                               rtol=2e-5, atol=2e-5)
