@@ -283,3 +283,39 @@ def test_imagenet_datamodule_folder_layout(tmp_path):
     test_batch = next(iter(dm.test_batches()))
     assert test_batch["image"].shape == (4, 3, 32, 32)
     assert np.isfinite(test_batch["image"]).all()
+
+
+def test_memotion_file_layout(tmp_path, vocab):
+    """Memotion layout: labels.csv (NaN rows dropped) + shuffled.npy
+    permutation -> 70/20/10 train/test/dev, task column to categorical
+    codes, 512x512 images (`/root/reference/datasets/memotion.py:75-156`)."""
+    from m2mixer_tpu.datasets.memotion import MemotionDataModule
+
+    os.makedirs(tmp_path / "images")
+    rows = ["image_name,text_corrected,humour,sarcasm,offensive,motivational,overall_sentiment"]
+    levels = ["funny", "very_funny", "not_funny"]
+    for i in range(10):
+        _img(tmp_path / "images" / f"m_{i}.jpg", size=(20, 20))
+        rows.append(f"m_{i}.jpg,a funny meme,{levels[i % 3]},general,not_offensive,"
+                    "not_motivational,positive")
+    # NaN row (empty text_corrected) must be dropped before the split
+    _img(tmp_path / "images" / "m_nan.jpg", size=(20, 20))
+    rows.append("m_nan.jpg,,funny,general,not_offensive,not_motivational,positive")
+    (tmp_path / "labels.csv").write_text("\n".join(rows) + "\n")
+    np.save(tmp_path / "shuffled.npy",
+            np.random.RandomState(3).permutation(10))
+
+    dm = MemotionDataModule(str(tmp_path), batch_size=2, vocab=vocab,
+                            projection=PROJ, max_seq_len=8, task_name="humour")
+    dm.setup()
+    # 70/20/10 of the 10 non-NaN rows
+    assert dm.split_sizes["train"] == 7
+    assert dm.split_sizes["test"] == 2
+    assert dm.split_sizes["dev"] == 1
+    batch = next(iter(dm.train_batches()))
+    assert batch["image"].shape == (2, 3, 512, 512)
+    assert batch["text"].shape == (2, 8, 3 * 32)
+    # categorical codes span the 3 humour levels
+    all_labels = [dm.load_sample("train", i)["label"] for i in range(7)]
+    assert set(int(l) for l in all_labels) <= {0, 1, 2}
+    assert batch["textlen"][0] == 3
