@@ -25,10 +25,22 @@ class ExperimentLogger:
         # versioned run dirs like Lightning's TensorBoardLogger
         base = os.path.join(save_dir, self.name)
         os.makedirs(base, exist_ok=True)
-        existing = [d for d in os.listdir(base) if d.startswith("version_")]
-        self.version = len(existing)
-        self.log_dir = os.path.join(base, f"version_{self.version}")
-        os.makedirs(self.log_dir, exist_ok=True)
+        existing = [int(d.split("_")[1]) for d in os.listdir(base)
+                    if d.startswith("version_") and d.split("_")[1].isdigit()]
+        version = max(existing) + 1 if existing else 0
+        # claim the dir atomically (exist_ok=False + retry): concurrent
+        # same-name runs (sweep trials, significance workers) must never
+        # share a version dir — len()-based numbering also collided after
+        # a deleted version left a gap
+        while True:
+            log_dir = os.path.join(base, f"version_{version}")
+            try:
+                os.makedirs(log_dir, exist_ok=False)
+                break
+            except FileExistsError:
+                version += 1
+        self.version = version
+        self.log_dir = log_dir
 
         self._tb = None
         try:
