@@ -103,6 +103,8 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000):
                     "dtypes": meta["dtypes"],
                     "buckets": model.buckets,
                     "format": meta["format"],
+                    **{k: meta[k] for k in ("ensemble_members", "quantize")
+                       if meta.get(k) is not None},
                 })
             else:
                 self._reply_json(404, {"error": f"unknown path {self.path!r}"})

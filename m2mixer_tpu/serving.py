@@ -40,8 +40,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["export_serving", "load_serving", "ServedModel", "pick_bucket",
-           "quantize_weights", "dequantize_weights", "average_checkpoints"]
+__all__ = ["export_serving", "export_ensemble_serving", "load_serving",
+           "ServedModel", "pick_bucket", "quantize_weights",
+           "dequantize_weights", "average_checkpoints"]
 
 _META = "serving.json"
 _PARAMS = "params.pkl"
@@ -178,8 +179,14 @@ def _feature_spec(sample_batch) -> Dict[str, Tuple[Tuple[int, ...], str]]:
 def export_serving(task, params, sample_batch, out_dir: str,
                    fmt: str = "stablehlo",
                    buckets: Sequence[int] = _DEFAULT_BUCKETS,
-                   quantize: Optional[str] = None) -> str:
+                   quantize: Optional[str] = None,
+                   serve_fn=None, extra_meta: Optional[dict] = None) -> str:
     """Write a self-contained serving artifact for ``task`` to ``out_dir``.
+
+    ``serve_fn``: override the traced forward (default: the task network's
+    eval-mode forward) — used by ``export_ensemble_serving``. Must map
+    ``(params, features) -> dict`` with every output batch-leading.
+    ``extra_meta``: additional keys merged into serving.json.
 
     ``sample_batch``: one training/eval batch (the 'label' key is ignored) —
     defines the feature names, per-sample shapes, and dtypes the server
@@ -198,7 +205,7 @@ def export_serving(task, params, sample_batch, out_dir: str,
         raise ValueError(f"Unknown quantize mode: {quantize!r} (expected 'int8')")
     os.makedirs(out_dir, exist_ok=True)
     spec = _feature_spec(sample_batch)
-    base_fn = _serve_fn(task)
+    base_fn = serve_fn if serve_fn is not None else _serve_fn(task)
     params = jax.tree.map(np.asarray, params)
     if quantize == "int8":
         params = quantize_weights(params)
@@ -219,7 +226,7 @@ def export_serving(task, params, sample_batch, out_dir: str,
     meta = {"format": fmt, "features": {k: list(v[0]) for k, v in spec.items()},
             "dtypes": {k: v[1] for k, v in spec.items()},
             "buckets": sorted(int(b) for b in buckets),
-            "quantize": quantize}
+            "quantize": quantize, **(extra_meta or {})}
 
     if fmt == "stablehlo":
         from jax import export as jexport
@@ -250,6 +257,44 @@ def export_serving(task, params, sample_batch, out_dir: str,
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=2)
     return out_dir
+
+
+def export_ensemble_serving(task, stacked_params, sample_batch, out_dir: str,
+                            fmt: str = "stablehlo",
+                            buckets: Sequence[int] = _DEFAULT_BUCKETS,
+                            quantize: Optional[str] = None) -> str:
+    """Deploy ALL ensemble members as ONE artifact.
+
+    ``stacked_params``: every leaf carries a leading member axis ``(N, …)``
+    — exactly ``EnsembleResult.best_params`` from the vmapped significance
+    runner (``run_for_significance.py --vmap``). The exported forward vmaps
+    the task network over the member axis and ensembles ON DEVICE; on TPU
+    the member axis batches every GEMM, so serving the whole ensemble costs
+    roughly one wider forward, not N dispatches.
+
+    Outputs:
+      ``logits``        — log of the member-mean softmax (argmax = the
+                          ensemble vote; shaped/consumed like any single
+                          model's logits)
+      ``member_logits`` — ``(B, N, C)`` raw per-member logits (clients with
+                          non-softmax tasks — multilabel sigmoid heads —
+                          ensemble these their own way)
+    """
+    base = _serve_fn(task)
+
+    def fn(params, features):
+        member = jax.vmap(lambda p: base(p, features)["logits"])(params)
+        probs = jax.nn.softmax(member.astype(jnp.float32), axis=-1)
+        logits = jnp.log(jnp.clip(probs.mean(axis=0), 1e-20, None))
+        # batch axis leading on EVERY output (predict() slices axis 0)
+        return {"logits": logits,
+                "member_logits": jnp.moveaxis(member, 0, 1),
+                "branch_logits": ()}
+
+    n = int(np.shape(jax.tree.leaves(stacked_params)[0])[0])
+    return export_serving(task, stacked_params, sample_batch, out_dir,
+                          fmt=fmt, buckets=buckets, quantize=quantize,
+                          serve_fn=fn, extra_meta={"ensemble_members": n})
 
 
 class ServedModel:

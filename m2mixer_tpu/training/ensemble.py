@@ -445,11 +445,15 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
 
 def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",
                               reseed: bool = False, member_lrs=None,
-                              verbose: bool = True) -> np.ndarray:
+                              verbose: bool = True,
+                              export_dir: Optional[str] = None) -> np.ndarray:
     """Config-level entry: build the task/datamodule and run the vmapped
     N-member significance protocol; returns the per-member metric values
     (the ``test_scores`` array of the sequential runner). ``member_lrs``
-    turns the member axis into a learning-rate sweep (see fit_ensemble)."""
+    turns the member axis into a learning-rate sweep (see fit_ensemble).
+    ``export_dir``: additionally package ALL trained members (their best-val
+    params) as one on-device-ensembled serving artifact
+    (``serving.export_ensemble_serving``)."""
     import os
 
     from .. import datasets, models
@@ -469,4 +473,12 @@ def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",
             mesh = None
     result = fit_ensemble(task, dm, cfg.train, runs, reseed=reseed,
                           member_lrs=member_lrs, mesh=mesh, verbose=verbose)
+    if export_dir:
+        from ..serving import export_ensemble_serving
+
+        sample = next(iter(dm.train_batches()))
+        out = export_ensemble_serving(task, result.best_params, sample, export_dir)
+        if verbose:
+            print(f"[significance] exported {runs}-member on-device-ensembled "
+                  f"serving artifact to {out}")
     return result.metric(metric)

@@ -41,6 +41,12 @@ def parse_args():
                         help="with --vmap: comma-separated learning rates — "
                              "the member axis becomes a single-program LR "
                              "sweep (one member per rate; -r is ignored)")
+    parser.add_argument("--export-ensemble", type=str, default=None,
+                        metavar="DIR",
+                        help="with --vmap: also export ALL trained members "
+                             "as one on-device-ensembled serving artifact "
+                             "(member-mean softmax logits + per-member "
+                             "logits; see serving.export_ensemble_serving)")
     parser.add_argument("-o", "--out", type=str, default="test_scores.npy")
     args, unknown = parser.parse_known_args()
     return args, unknown
@@ -52,6 +58,9 @@ def main():
     if args.lrs and not args.vmap:
         raise SystemExit("--lrs requires --vmap (the LR sweep rides the "
                          "vmapped member axis)")
+    if args.export_ensemble and not args.vmap:
+        raise SystemExit("--export-ensemble requires --vmap (it packages "
+                         "the vmapped member axis)")
     if args.vmap:
         from m2mixer_tpu.training.ensemble import run_ensemble_significance
 
@@ -65,7 +74,7 @@ def main():
         runs = len(lrs) if lrs else args.runs
         scores = run_ensemble_significance(
             cfg, runs, metric=args.metric, reseed=args.reseed,
-            member_lrs=lrs)
+            member_lrs=lrs, export_dir=args.export_ensemble)
         np.save(args.out, scores)
         if lrs:
             for lr, s in zip(lrs, scores):

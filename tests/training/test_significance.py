@@ -273,3 +273,63 @@ def test_vmap_ensemble_honors_lr_schedule():
     res = fit_ensemble(task, dm, cfg.train, 2, verbose=False)
     assert res.epochs_run == 4
     assert np.isfinite(res.metric("test_loss")).all()
+
+
+def test_export_ensemble_serving_parity(tmp_path):
+    """The whole-ensemble artifact serves (a) per-member logits identical
+    to each member's direct forward and (b) 'logits' = log of the
+    member-mean softmax."""
+    import jax
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.serving import export_ensemble_serving, load_serving
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=1, learnable="false"))
+    task, dm = _build(cfg)
+    dm.setup("fit")
+    batch = next(iter(dm.train_batches()))
+    p0 = task.init_params(jax.random.PRNGKey(0), batch)
+    p1 = task.init_params(jax.random.PRNGKey(1), batch)
+    stacked = jax.tree.map(lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
+                           p0, p1)
+
+    d = export_ensemble_serving(task, stacked, batch, str(tmp_path / "ens"),
+                                buckets=(8, 32))
+    import json as _json
+    assert _json.load(open(os.path.join(d, "serving.json")))["ensemble_members"] == 2
+    model = load_serving(d)
+    out = model.predict(batch)
+
+    def direct(p):
+        o = task.network.apply(p, **task.network_inputs(batch), deterministic=True)
+        return np.asarray(o["logits"])
+
+    want_members = np.stack([direct(p0), direct(p1)], axis=1)  # (B, N, C)
+    np.testing.assert_allclose(out["member_logits"], want_members,
+                               rtol=2e-5, atol=2e-5)
+    probs = np.exp(want_members - want_members.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    np.testing.assert_allclose(np.exp(out["logits"]), probs.mean(axis=1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_run_ensemble_significance_export_dir(tmp_path):
+    """run_ensemble_significance(export_dir=...) trains the members AND
+    drops a loadable on-device-ensembled artifact."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.serving import load_serving
+    from m2mixer_tpu.training.ensemble import run_ensemble_significance
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=2, learnable="true"))
+    cfg.train.tensorboard_path = str(tmp_path / "logs")
+    scores = run_ensemble_significance(cfg, 2, verbose=False,
+                                       export_dir=str(tmp_path / "art"))
+    assert scores.shape == (2,)
+    model = load_serving(str(tmp_path / "art"))
+    assert model.meta["ensemble_members"] == 2
+    task, dm = _build(cfg)
+    dm.setup("fit")
+    out = model.predict(next(iter(dm.train_batches())))
+    assert out["logits"].shape == (32, 10)
+    assert out["member_logits"].shape == (32, 2, 10)
+    # ensembled probabilities are normalized
+    np.testing.assert_allclose(np.exp(out["logits"]).sum(-1), 1.0, atol=1e-4)
