@@ -333,3 +333,39 @@ def test_run_ensemble_significance_export_dir(tmp_path):
     assert out["member_logits"].shape == (32, 2, 10)
     # ensembled probabilities are normalized
     np.testing.assert_allclose(np.exp(out["logits"]).sum(-1), 1.0, atol=1e-4)
+
+
+def test_export_ensemble_serving_composes_with_int8(tmp_path):
+    """Weight-only int8 PTQ composes with the stacked member axis: scales
+    are per-member per-output-channel, dequantization happens before the
+    member vmap inside the traced forward."""
+    import jax
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.serving import export_ensemble_serving, load_serving
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=1, learnable="false"))
+    task, dm = _build(cfg)
+    dm.setup("fit")
+    batch = next(iter(dm.train_batches()))
+    stacked = jax.tree.map(
+        lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
+        task.init_params(jax.random.PRNGKey(0), batch),
+        task.init_params(jax.random.PRNGKey(1), batch))
+
+    d_f = export_ensemble_serving(task, stacked, batch,
+                                  str(tmp_path / "f"), buckets=(32,))
+    d_q = export_ensemble_serving(task, stacked, batch,
+                                  str(tmp_path / "q"), buckets=(32,),
+                                  quantize="int8")
+    import json as _json
+    meta = _json.load(open(os.path.join(d_q, "serving.json")))
+    assert meta["quantize"] == "int8" and meta["ensemble_members"] == 2
+    out_f = load_serving(d_f).predict(batch)
+    out_q = load_serving(d_q).predict(batch)
+    # int8 PTQ: small logit error, same shapes
+    assert out_q["member_logits"].shape == out_f["member_logits"].shape
+    err = np.abs(out_q["logits"] - out_f["logits"]).max()
+    assert err < 0.1, err
+    # quantization actually shrank the payload
+    assert (os.path.getsize(os.path.join(d_q, "params.pkl"))
+            < 0.5 * os.path.getsize(os.path.join(d_f, "params.pkl")))
