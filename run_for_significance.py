@@ -103,6 +103,13 @@ def main():
         trainer = Trainer(cfg.train, name=f"{args.name}_run{run}",
                           use_wandb=not args.disable_wandb, full_cfg=cfg)
         trainer.fit(task, dm)
+        if trainer.preempted:
+            # SIGTERM: the run checkpointed resumably — stop the study and
+            # report the completed runs instead of burning the grace window
+            trainer.logger.close()
+            print(f"[significance] preempted during run {run}; "
+                  f"reporting {len(scores)} completed runs")
+            break
         logs = trainer.test(task, dm, ckpt="best")
         scores.append(logs.get(args.metric, float("nan")))
         trainer.logger.close()
