@@ -20,21 +20,30 @@ Endpoints:
 
 Any request batch size is accepted — the batch-bucketed
 ``ServedModel.predict`` zero-pads to the nearest compiled bucket and splits
-oversize requests. Device dispatch is serialized with a lock (one
-accelerator, many HTTP threads).
+oversize requests.
+
+Concurrent requests are **coalesced**: one dispatcher thread owns the
+accelerator and, each time it frees up, drains every request already
+waiting, concatenates them into one batch, runs a single bucketed
+``predict``, and splits the outputs back per request. A lone request is
+dispatched immediately (no artificial wait), so coalescing adds zero
+latency while concurrent clients share one device program instead of
+queueing N dispatches — the serving analog of the training path's batched
+GEMMs. Disable with ``serve --no-coalesce`` (falls back to a plain lock).
 """
 
 from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict
 
 import numpy as np
 
-__all__ = ["make_server", "serve_forever"]
+__all__ = ["make_server", "serve_forever", "RequestCoalescer"]
 
 
 def _parse_json_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
@@ -71,12 +80,132 @@ def _validate(features: Dict[str, np.ndarray], meta: dict) -> None:
         raise ValueError("empty batch")
 
 
-def make_server(model, host: str = "127.0.0.1", port: int = 8000):
+class _Pending:
+    __slots__ = ("features", "n", "event", "result", "error")
+
+    def __init__(self, features: Dict[str, np.ndarray], n: int):
+        self.features = features
+        self.n = n
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class RequestCoalescer:
+    """Dynamic micro-batching over ``model.predict``.
+
+    A single dispatcher thread owns the device. Each cycle it blocks for
+    one request, then drains (non-blocking) everything else already queued
+    up to ``max_batch`` total samples, concatenates the feature arrays on
+    axis 0, runs ONE ``predict``, and slices each output leaf back to the
+    per-request ranges. While a batch is on the device new requests pile
+    up in the queue and ride the next cycle — so under load the effective
+    batch size adapts to the arrival rate with no tuning knob and a lone
+    request never waits on a timer.
+
+    Failures of a coalesced batch propagate to every member request (the
+    per-request validation in the HTTP handler runs BEFORE enqueue, so a
+    malformed request can't poison its batch-mates).
+    """
+
+    def __init__(self, model, max_batch: int = 4096):
+        self._model = model
+        self._max_batch = int(max_batch)
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="serving-coalescer")
+        self._thread.start()
+        self.batches_run = 0       # observability: device dispatch count
+        self.requests_served = 0
+
+    def submit(self, features: Dict[str, np.ndarray], n: int) -> dict:
+        req = _Pending(features, n)
+        self._queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self) -> None:
+        self._stop.set()
+        self._queue.put(None)  # wake the dispatcher
+        self._thread.join(timeout=5)
+        while True:  # fail any stranded waiters instead of hanging them
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                r.error = RuntimeError("server shutting down")
+                r.event.set()
+
+    # ------------------------------------------------------------ internals
+    def _take_cycle(self):
+        first = self._queue.get()
+        if first is None:
+            return []
+        reqs, total = [first], first.n
+        while total < self._max_batch:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if r is None:
+                self._stop.set()
+                break
+            # an oversize straggler would blow past max_batch: leave it
+            # for its own cycle rather than splitting a request
+            if total + r.n > self._max_batch and reqs:
+                self._queue.put(r)
+                break
+            reqs.append(r)
+            total += r.n
+        return reqs
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            reqs = self._take_cycle()
+            if not reqs:
+                continue
+            try:
+                if len(reqs) == 1:
+                    merged = reqs[0].features
+                else:
+                    merged = {
+                        k: np.concatenate([np.asarray(r.features[k]) for r in reqs])
+                        for k in reqs[0].features
+                    }
+                out = self._model.predict(merged)
+                self.batches_run += 1
+                off = 0
+                for r in reqs:
+                    lo, hi = off, off + r.n
+                    r.result = {
+                        k: (tuple(np.asarray(b)[lo:hi] for b in v)
+                            if isinstance(v, (tuple, list))
+                            else np.asarray(v)[lo:hi])
+                        for k, v in out.items()
+                    }
+                    off = hi
+                self.requests_served += len(reqs)
+            except Exception as e:  # propagate to every waiter in the batch
+                for r in reqs:
+                    r.error = e
+            finally:
+                for r in reqs:
+                    r.event.set()
+
+
+def make_server(model, host: str = "127.0.0.1", port: int = 8000,
+                coalesce: bool = True):
     """Build (not start) a ``ThreadingHTTPServer`` wrapping ``model``
     (a ``serving.ServedModel``). Port 0 picks a free port; the bound
-    address is ``server.server_address``."""
+    address is ``server.server_address``. ``coalesce=False`` serializes
+    requests with a plain lock instead of the batching dispatcher."""
 
     lock = threading.Lock()
+    coalescer = RequestCoalescer(model) if coalesce else None
 
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr logging; errors still surface in replies
@@ -126,8 +255,14 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000):
                 self._reply_json(400, {"error": str(e)})
                 return
             try:
-                with lock:  # one accelerator; serialize dispatch
-                    out = model.predict(features)
+                if coalescer is not None:
+                    # batching dispatcher: concurrent requests coalesce
+                    # into one device program
+                    n = int(next(iter(features.values())).shape[0])
+                    out = coalescer.submit(features, n)
+                else:
+                    with lock:  # one accelerator; serialize dispatch
+                        out = model.predict(features)
             except Exception as e:  # model-side failure
                 self._reply_json(500, {"error": str(e)})
                 return
@@ -145,17 +280,23 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000):
                                       for b in out.get("branch_logits", ())],
                 })
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.coalescer = coalescer  # for shutdown + test introspection
+    return srv
 
 
-def serve_forever(model, host: str = "127.0.0.1", port: int = 8000) -> None:
-    srv = make_server(model, host, port)
+def serve_forever(model, host: str = "127.0.0.1", port: int = 8000,
+                  coalesce: bool = True) -> None:
+    srv = make_server(model, host, port, coalesce=coalesce)
     h, p = srv.server_address[:2]
     print(f"[serving] listening on http://{h}:{p} "
-          f"(buckets {model.buckets}, format {model.meta['format']})")
+          f"(buckets {model.buckets}, format {model.meta['format']}, "
+          f"coalescing {'on' if coalesce else 'off'})")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        if srv.coalescer is not None:
+            srv.coalescer.close()
         srv.server_close()

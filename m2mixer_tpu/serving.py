@@ -449,6 +449,9 @@ def main(argv: Optional[Sequence[str]] = None):
     sv.add_argument("-d", "--dir", required=True)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--no-coalesce", action="store_true",
+                    help="serialize concurrent requests with a lock instead "
+                         "of coalescing them into shared device batches")
     args = ap.parse_args(argv)
 
     if args.cmd == "export":
@@ -479,7 +482,8 @@ def main(argv: Optional[Sequence[str]] = None):
     elif args.cmd == "serve":
         from .server import serve_forever
 
-        serve_forever(load_serving(args.dir), host=args.host, port=args.port)
+        serve_forever(load_serving(args.dir), host=args.host, port=args.port,
+                      coalesce=not args.no_coalesce)
     else:
         import time
 
