@@ -10,6 +10,9 @@ story: train -> export (``serving.py``) -> serve (this module).
 Endpoints:
     GET  /healthz   -> {"status": "ok"}
     GET  /info      -> artifact metadata (features, dtypes, buckets, format)
+    GET  /metrics   -> Prometheus text: request/error/sample counters,
+                       device-batch count (coalescing ratio), latency
+                       quantiles (p50/p90/p99), uptime
     POST /predict   -> model outputs
         Content-Type: application/json  body {"image": [[...]], ...}
           (nested lists per feature; reply is JSON with "logits" and
@@ -43,7 +46,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["make_server", "serve_forever", "RequestCoalescer"]
+__all__ = ["make_server", "serve_forever", "RequestCoalescer", "ServerStats"]
 
 
 def _parse_json_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
@@ -197,15 +200,74 @@ class RequestCoalescer:
                     r.event.set()
 
 
+class ServerStats:
+    """Thread-safe request counters + a bounded latency reservoir, exposed
+    at ``GET /metrics`` in Prometheus text exposition format."""
+
+    def __init__(self, window: int = 1024):
+        import collections
+        import time as _time
+
+        self._lock = threading.Lock()
+        self._lat = collections.deque(maxlen=window)
+        self._t0 = _time.monotonic()
+        self.requests = 0
+        self.errors = 0
+        self.samples = 0
+
+    def record(self, n_samples: int, seconds: float, error: bool = False) -> None:
+        with self._lock:
+            self.requests += 1
+            if error:
+                self.errors += 1
+            else:
+                self.samples += int(n_samples)
+                self._lat.append(float(seconds))
+
+    def render(self, coalescer) -> str:
+        import time as _time
+
+        with self._lock:
+            lat = sorted(self._lat)
+            reqs, errs, samples = self.requests, self.errors, self.samples
+
+        def q(p):
+            return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+
+        device_batches = coalescer.batches_run if coalescer else reqs - errs
+        lines = [
+            "# TYPE serving_requests_total counter",
+            f"serving_requests_total {reqs}",
+            "# TYPE serving_request_errors_total counter",
+            f"serving_request_errors_total {errs}",
+            "# TYPE serving_samples_total counter",
+            f"serving_samples_total {samples}",
+            "# HELP serving_device_batches_total device dispatches; under "
+            "coalescing many requests share one batch",
+            "# TYPE serving_device_batches_total counter",
+            f"serving_device_batches_total {device_batches}",
+            "# TYPE serving_request_latency_seconds summary",
+        ] + [
+            f'serving_request_latency_seconds{{quantile="{p}"}} {q(float(p)):.6f}'
+            for p in ("0.5", "0.9", "0.99")
+        ] + [
+            "# TYPE serving_uptime_seconds gauge",
+            f"serving_uptime_seconds {_time.monotonic() - self._t0:.3f}",
+        ]
+        return "\n".join(lines) + "\n"
+
+
 def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 coalesce: bool = True):
     """Build (not start) a ``ThreadingHTTPServer`` wrapping ``model``
     (a ``serving.ServedModel``). Port 0 picks a free port; the bound
     address is ``server.server_address``. ``coalesce=False`` serializes
     requests with a plain lock instead of the batching dispatcher."""
+    import time as _time
 
     lock = threading.Lock()
     coalescer = RequestCoalescer(model) if coalesce else None
+    stats = ServerStats()
 
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr logging; errors still surface in replies
@@ -235,6 +297,9 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                     **{k: meta[k] for k in ("ensemble_members", "quantize")
                        if meta.get(k) is not None},
                 })
+            elif self.path == "/metrics":
+                self._reply(200, stats.render(coalescer).encode(),
+                            "text/plain; version=0.0.4")
             else:
                 self._reply_json(404, {"error": f"unknown path {self.path!r}"})
 
@@ -242,6 +307,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
             if self.path != "/predict":
                 self._reply_json(404, {"error": f"unknown path {self.path!r}"})
                 return
+            t_start = _time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
@@ -252,20 +318,23 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                     features = _parse_json_features(body, model.meta)
                 _validate(features, model.meta)
             except Exception as e:  # malformed request
+                stats.record(0, 0.0, error=True)
                 self._reply_json(400, {"error": str(e)})
                 return
+            n_samples = int(next(iter(features.values())).shape[0])
             try:
                 if coalescer is not None:
                     # batching dispatcher: concurrent requests coalesce
                     # into one device program
-                    n = int(next(iter(features.values())).shape[0])
-                    out = coalescer.submit(features, n)
+                    out = coalescer.submit(features, n_samples)
                 else:
                     with lock:  # one accelerator; serialize dispatch
                         out = model.predict(features)
             except Exception as e:  # model-side failure
+                stats.record(0, 0.0, error=True)
                 self._reply_json(500, {"error": str(e)})
                 return
+            stats.record(n_samples, _time.monotonic() - t_start)
             if ctype == "application/x-npz":
                 buf = io.BytesIO()
                 arrays = {"logits": np.asarray(out["logits"])}
@@ -282,6 +351,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
 
     srv = ThreadingHTTPServer((host, port), Handler)
     srv.coalescer = coalescer  # for shutdown + test introspection
+    srv.stats = stats
     return srv
 
 

@@ -234,7 +234,20 @@ def export_serving(task, params, sample_batch, out_dir: str,
         b = jexport.symbolic_shape("b")[0]
         f_spec = {k: jax.ShapeDtypeStruct((b, *shp), jnp.dtype(dt))
                   for k, (shp, dt) in spec.items()}
-        artifact = jexport.export(jax.jit(fn))(p_spec, f_spec)
+        from jax._src.export.shape_poly import InconclusiveDimensionOperation
+
+        try:
+            artifact = jexport.export(jax.jit(fn))(p_spec, f_spec)
+        except InconclusiveDimensionOperation as e:
+            # e.g. Pallas-kernel blocks pick VMEM tiles from the concrete
+            # batch size — shape-polymorphic tracing can't answer those
+            # comparisons
+            raise ValueError(
+                "this model's forward branches on the concrete batch size "
+                "(Pallas-kernel blocks choose tile sizes from it), so the "
+                "shape-polymorphic 'stablehlo' format cannot trace it; "
+                "export with --format executable (per-bucket AOT "
+                "compilation) instead") from e
         with open(os.path.join(out_dir, _HLO), "wb") as f:
             f.write(artifact.serialize())
     elif fmt == "executable":

@@ -252,3 +252,43 @@ def test_http_concurrency_rides_the_coalescer(server):
                        "audio": batch["audio"].tolist()}).encode()
     status, _, _ = _post(base + "/predict", body, "application/json")
     assert status == 200
+
+
+def test_metrics_endpoint(server):
+    """/metrics: Prometheus text with request/sample/batch counters and
+    latency quantiles, consistent after a known request."""
+    base, _ = server
+    batch = _batch(4, seed=123)
+    body = json.dumps({"image": batch["image"].tolist(),
+                       "audio": batch["audio"].tolist()}).encode()
+    _post(base + "/predict", body, "application/json")
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        assert r.headers.get("Content-Type", "").startswith("text/plain")
+        text = r.read().decode()
+    vals = {line.split(" ")[0]: float(line.split(" ")[1])
+            for line in text.splitlines()
+            if line and not line.startswith("#") and "{" not in line}
+    assert vals["serving_requests_total"] >= 1
+    assert vals["serving_samples_total"] >= 4
+    assert vals["serving_device_batches_total"] >= 1
+    assert vals["serving_uptime_seconds"] > 0
+    q = {line.split("} ")[0].split('"')[1]: float(line.split("} ")[1])
+         for line in text.splitlines()
+         if line.startswith("serving_request_latency_seconds{")}
+    assert set(q) == {"0.5", "0.9", "0.99"}
+    assert 0 < q["0.5"] <= q["0.99"] < 60
+
+
+def test_metrics_counts_errors(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        before = r.read().decode()
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base + "/predict", b"not json", "application/json")
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        after = r.read().decode()
+
+    def errs(t):
+        return int(float([l for l in t.splitlines()
+                          if l.startswith("serving_request_errors_total ")][0].split()[1]))
+    assert errs(after) == errs(before) + 1

@@ -349,3 +349,18 @@ def test_export_averaged_soup_cli(tmp_path):
     np.testing.assert_allclose(model.predict(batch)["logits"],
                                _direct_logits(task, want_params, batch),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_blocks_need_executable_format_hint(tmp_path):
+    """Pallas-kernel blocks choose VMEM tiles from the concrete batch size,
+    so shape-polymorphic stablehlo export can't trace them; the error must
+    say to use --format executable instead of leaking jax's
+    InconclusiveDimensionOperation."""
+    cfg = loads(CFG.format(tmp=tmp_path))
+    for m in ("image", "audio"):
+        cfg.model.modalities[m].block_type = "PallasMLPMixer"
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    params = task.init_params(jax.random.PRNGKey(0), _batch(4))
+    with pytest.raises(ValueError, match="format executable"):
+        export_serving(task, params, _batch(4), str(tmp_path / "art"),
+                       fmt="stablehlo", buckets=(4,))
