@@ -42,7 +42,7 @@ import numpy as np
 
 __all__ = ["export_serving", "export_ensemble_serving", "load_serving",
            "ServedModel", "pick_bucket", "quantize_weights",
-           "dequantize_weights", "average_checkpoints"]
+           "dequantize_weights", "average_checkpoints", "to_pallas_serving"]
 
 _META = "serving.json"
 _PARAMS = "params.pkl"
@@ -162,6 +162,130 @@ def average_checkpoints(ckpt_dir: str, k: Optional[int] = None):
           f"({index.get('monitor', '?')} {index.get('mode', 'min')}: "
           f"{[round(float(e['monitor']), 5) for e in entries]})")
     return jax.tree.map(avg, *trees)
+
+
+def _stack_from_blocks(src: dict) -> dict:
+    """Modular ``MLPMixer``/``FusionMixer`` param subtree (``block_i`` +
+    ``norm_out``) -> the flat ``stack`` dict of ``PallasStackedMLPMixer`` /
+    ``PallasStackedFusionMixer`` (same math, fused-kernel layout)."""
+    out, i = {}, 0
+    while f"block_{i}" in src:
+        b = src[f"block_{i}"]
+        out[f"b{i}_ln1_scale"] = b["norm_token"]["LayerNorm_0"]["scale"]
+        out[f"b{i}_ln1_bias"] = b["norm_token"]["LayerNorm_0"]["bias"]
+        out[f"b{i}_w1"] = b["token_mix"]["fc1"]["linear"]["kernel"]
+        out[f"b{i}_b1"] = b["token_mix"]["fc1"]["linear"]["bias"]
+        out[f"b{i}_w2"] = b["token_mix"]["fc2"]["linear"]["kernel"]
+        out[f"b{i}_b2"] = b["token_mix"]["fc2"]["linear"]["bias"]
+        out[f"b{i}_ln2_scale"] = b["norm_channel"]["LayerNorm_0"]["scale"]
+        out[f"b{i}_ln2_bias"] = b["norm_channel"]["LayerNorm_0"]["bias"]
+        out[f"b{i}_w3"] = b["channel_mix"]["fc1"]["linear"]["kernel"]
+        out[f"b{i}_b3"] = b["channel_mix"]["fc1"]["linear"]["bias"]
+        out[f"b{i}_w4"] = b["channel_mix"]["fc2"]["linear"]["kernel"]
+        out[f"b{i}_b4"] = b["channel_mix"]["fc2"]["linear"]["bias"]
+        i += 1
+    out["ln_out_scale"] = src["norm_out"]["LayerNorm_0"]["scale"]
+    out["ln_out_bias"] = src["norm_out"]["LayerNorm_0"]["bias"]
+    return out
+
+
+def _stack_from_paired(src: dict, m: int) -> dict:
+    """``PairedMLPMixer`` layer-stacked ``(L, 2, ...)`` leaves, modality
+    ``m`` -> one modality's ``stack`` dict."""
+    out = {}
+    L = int(np.shape(np.asarray(src["token_fc1_kernel"]))[0])
+    pick = lambda name: np.asarray(src[name])[:, m]
+    names = {"ln1": "norm_token", "ln2": "norm_channel",
+             "w1": ("token_fc1", "kernel"), "b1": ("token_fc1", "bias"),
+             "w2": ("token_fc2", "kernel"), "b2": ("token_fc2", "bias"),
+             "w3": ("channel_fc1", "kernel"), "b3": ("channel_fc1", "bias"),
+             "w4": ("channel_fc2", "kernel"), "b4": ("channel_fc2", "bias")}
+    for i in range(L):
+        for ln in ("ln1", "ln2"):
+            for part in ("scale", "bias"):
+                out[f"b{i}_{ln}_{part}"] = pick(f"{names[ln]}_{part}")[i]
+        for w in ("w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4"):
+            base, part = names[w]
+            out[f"b{i}_{w}"] = pick(f"{base}_{part}")[i]
+    out["ln_out_scale"] = np.asarray(src["norm_out_scale"])[m]
+    out["ln_out_bias"] = np.asarray(src["norm_out_bias"])[m]
+    return out
+
+
+def to_pallas_serving(cfg, params, sample_batch):
+    """Convert a task + trained params to the fused-Pallas-kernel blocks
+    for low-latency serving (kbench34: ~40% lower dispatch latency at
+    batch <= 32; requires the 'executable' artifact format).
+
+    Swaps ``MLPMixer`` -> ``PallasStackedMLPMixer`` and ``FusionMixer`` ->
+    ``PallasStackedFusionMixer`` in a COPY of ``cfg`` (other block types —
+    gMLP, DynaMixer, GRU, MLPMixerNoPatching — stay on the XLA path),
+    turns paired encoders back into per-modality ones, and re-lays the
+    trained leaves into the kernels' flat stacked naming. Returns
+    ``(pallas_task, pallas_params)``; the converted tree is structure- and
+    shape-checked against a fresh init of the Pallas task, so a mismatch
+    fails loudly here, not at trace time.
+    """
+    from .models import get_model
+
+    new_cfg = cfg.copy()
+    mc = new_cfg.model.modalities
+    swapped = []
+    for key in mc:
+        if key in ("classification",):
+            continue
+        bt = mc[key].get("block_type")
+        if bt == "MLPMixer":
+            mc[key].block_type = "PallasStackedMLPMixer"
+            swapped.append(key)
+        elif bt == "FusionMixer":
+            mc[key].block_type = "PallasStackedFusionMixer"
+            swapped.append(key)
+    if not swapped:
+        raise ValueError(
+            "no convertible blocks: to_pallas_serving fuses MLPMixer/"
+            "FusionMixer stacks; this config has "
+            f"{sorted(set(mc[k].get('block_type') for k in mc if k != 'classification'))}")
+    new_cfg.model.paired_encoders = False
+
+    task = get_model(new_cfg.model.type)(new_cfg.model, new_cfg.train.optimizer)
+    target = task.init_params(jax.random.PRNGKey(0), sample_batch)
+    t_top = target["params"] if "params" in target else target
+    src_top = params["params"] if "params" in params else params
+
+    out = {k: v for k, v in src_top.items() if k != "paired_encoder"}
+    paired = src_top.get("paired_encoder")
+    if paired is not None:
+        for m in (0, 1):
+            out[f"encoders_{m}"] = {
+                "patch_embed": paired[f"patch_embed_{m}"],
+                "stack": _stack_from_paired(paired, m),
+            }
+    # convert exactly the subtrees the Pallas task expects as 'stack'
+    for k, tsub in t_top.items():
+        if isinstance(tsub, dict) and "stack" in tsub and k in out \
+                and "block_0" in out[k]:
+            sub = out[k]
+            newsub = {kk: vv for kk, vv in sub.items()
+                      if not (kk.startswith("block_") or kk == "norm_out")}
+            newsub["stack"] = _stack_from_blocks(sub)
+            out[k] = newsub
+
+    converted = {"params": out} if "params" in target else out
+    flat_t = jax.tree_util.tree_flatten_with_path(target)[0]
+    flat_c = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    problems = [f"{jax.tree_util.keystr(p)}: want {tuple(v.shape)}, got "
+                f"{None if jax.tree_util.keystr(p) not in flat_c else tuple(np.shape(flat_c[jax.tree_util.keystr(p)]))}"
+                for p, v in flat_t
+                if jax.tree_util.keystr(p) not in flat_c
+                or tuple(np.shape(flat_c[jax.tree_util.keystr(p)])) != tuple(v.shape)]
+    extra = sorted(set(flat_c) - {jax.tree_util.keystr(p) for p, _ in flat_t})
+    if problems or extra:
+        raise ValueError("to_pallas_serving produced a tree that doesn't "
+                         f"match the Pallas task: missing/mismatched={problems[:5]} "
+                         f"extra={extra[:5]}")
+    return task, converted
 
 
 def _feature_spec(sample_batch) -> Dict[str, Tuple[Tuple[int, ...], str]]:
@@ -454,6 +578,11 @@ def main(argv: Optional[Sequence[str]] = None):
                     help="model soup: export the uniform average of the "
                          "top-K ranked checkpoints (-p must be the run's "
                          "checkpoints/ directory; 0 = all rankable)")
+    ex.add_argument("--pallas", action="store_true",
+                    help="re-lay MLPMixer/FusionMixer stacks onto the fused "
+                         "Pallas kernels for low-latency serving (~40%% "
+                         "lower dispatch latency at batch <= 32; implies "
+                         "--format executable)")
     be = sub.add_parser("bench")
     be.add_argument("-d", "--dir", required=True)
     be.add_argument("--batch", type=int, default=32)
@@ -465,13 +594,22 @@ def main(argv: Optional[Sequence[str]] = None):
     sv.add_argument("--no-coalesce", action="store_true",
                     help="serialize concurrent requests with a lock instead "
                          "of coalescing them into shared device batches")
-    args = ap.parse_args(argv)
+    args, unknown = ap.parse_known_args(argv)
+    if unknown and args.cmd != "export":
+        ap.error(f"unrecognized arguments: {' '.join(unknown)}")
 
     if args.cmd == "export":
+        from . import config as cfg_lib
         from .config import load
         from .datasets import get_data_module
 
         cfg = load(args.cfg)
+        if unknown:  # dotted config overrides, same contract as run.py
+            overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
+            cfg_lib.warn_unknown_overrides(cfg, overrides)
+            for section in ("model", "train", "dataset"):
+                if section in overrides:
+                    cfg_lib.deep_update(cfg[section], overrides[section])
         task = _build_task(cfg)
         dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
         dm.setup("fit")
@@ -487,6 +625,12 @@ def main(argv: Optional[Sequence[str]] = None):
 
             restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ckpt))
             params = restored["params"] if "params" in restored else restored
+        if args.pallas:
+            task, params = to_pallas_serving(cfg, params, sample)
+            if args.format == "stablehlo":
+                print("[serving] --pallas kernels pick tiles from the "
+                      "concrete batch size; using --format executable")
+                args.format = "executable"
         buckets = tuple(int(b) for b in args.buckets.split(","))
         out = export_serving(task, params, sample, args.out,
                              fmt=args.format, buckets=buckets,

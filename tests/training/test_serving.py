@@ -364,3 +364,102 @@ def test_pallas_blocks_need_executable_format_hint(tmp_path):
     with pytest.raises(ValueError, match="format executable"):
         export_serving(task, params, _batch(4), str(tmp_path / "art"),
                        fmt="stablehlo", buckets=(4,))
+
+
+# ------------------------------------------------------- pallas conversion
+
+def _pallas_cfg_pair(tmp_path, paired):
+    from m2mixer_tpu.serving import to_pallas_serving
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    cfg.model.paired_encoders = paired
+    if paired:  # paired needs matching encoder geometries: 28/14 + 112/56 = 4+4 tokens
+        pass
+    xla_task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    xla_params = xla_task.init_params(jax.random.PRNGKey(3), _batch(4))
+    p_task, p_params = to_pallas_serving(cfg, xla_params, _batch(4))
+    return xla_task, xla_params, p_task, p_params
+
+
+def _logits(task, params, batch):
+    out = task.network.apply(params, **task.network_inputs(batch),
+                             deterministic=True)
+    return np.asarray(out["logits"], np.float32)
+
+
+@pytest.mark.parametrize("paired", [False, True], ids=["modular", "paired"])
+def test_to_pallas_serving_parity(tmp_path, paired):
+    """Trained XLA-block params re-laid onto the fused Pallas kernels give
+    the same logits (interpret mode off-TPU); block types actually swap."""
+    xla_task, xla_params, p_task, p_params = _pallas_cfg_pair(tmp_path, paired)
+    assert "PallasStackedMLPMixer" in repr(type(p_task.network.encoders[0]))
+    batch = _batch(6, seed=11)
+    np.testing.assert_allclose(_logits(xla_task, xla_params, batch),
+                               _logits(p_task, p_params, batch),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_to_pallas_serving_rejects_unconvertible(tmp_path):
+    from m2mixer_tpu.serving import to_pallas_serving
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    for key in ("image", "audio", "multimodal"):
+        cfg.model.modalities[key].block_type = "gMLP"
+    with pytest.raises(ValueError, match="no convertible blocks"):
+        to_pallas_serving(cfg, {}, _batch(2))
+
+
+def test_pallas_export_cli(tmp_path):
+    """serving export --pallas: converts, switches to the executable
+    format, and the artifact serves the XLA task's logits. Runs in a
+    clean single-device subprocess (the virtual 8-device harness breaks
+    the CPU AOT loader — see test_executable_roundtrip)."""
+    import subprocess
+    import sys
+
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(CFG.format(tmp=tmp_path))
+    script = tmp_path / "pallas_cli.py"
+    script.write_text(
+        "import jax, json\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from m2mixer_tpu.config import loads\n"
+        "from m2mixer_tpu.models import get_model\n"
+        "from m2mixer_tpu.serving import load_serving, main\n"
+        "from tests.training.test_serving import CFG, _batch, _direct_logits\n"
+        f"main(['export', '-c', {str(cfg_path)!r}, '-o', {str(tmp_path / 'artp')!r},\n"
+        "      '--pallas', '--buckets', '4'])\n"
+        f"meta = json.load(open({str(tmp_path / 'artp' / 'serving.json')!r}))\n"
+        "assert meta['format'] == 'executable', meta['format']\n"
+        f"cfg = loads(CFG.format(tmp={str(tmp_path)!r}))\n"
+        "task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)\n"
+        "params = task.init_params(jax.random.PRNGKey(0), _batch(8))\n"
+        f"model = load_serving({str(tmp_path / 'artp')!r})\n"
+        "batch = _batch(4, seed=7)\n"
+        "got = np.asarray(model.predict(batch)['logits'])\n"
+        "want = _direct_logits(task, params, batch)\n"
+        "np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)\n"
+        "print('PALLAS_CLI_OK')\n")
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, str(script)], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=420)
+    assert "PALLAS_CLI_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_export_cli_dotted_overrides(tmp_path, capsys):
+    """The export CLI accepts run.py-style dotted config overrides (and the
+    typo guard still fires on unknown keys)."""
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(CFG.format(tmp=tmp_path))
+    out_dir = tmp_path / "art_ovr"
+    main(["export", "-c", str(cfg_path), "-o", str(out_dir),
+          "--buckets", "4",
+          "dataset.params.synthetic_sizes=[12, 6, 6]",
+          "model.droput=0.1"])  # typo: should warn, not crash
+    assert (out_dir / "serving.json").exists()
+    err_out = capsys.readouterr()
+    assert "droput" in err_out.out + err_out.err  # typo guard fired
