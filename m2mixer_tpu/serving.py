@@ -578,6 +578,10 @@ def main(argv: Optional[Sequence[str]] = None):
                     help="model soup: export the uniform average of the "
                          "top-K ranked checkpoints (-p must be the run's "
                          "checkpoints/ directory; 0 = all rankable)")
+    ex.add_argument("--ema", action="store_true",
+                    help="export the Polyak-averaged (train.optimizer."
+                         "ema_decay) weights carried in the checkpoint's "
+                         "optimizer state instead of the raw params")
     ex.add_argument("--pallas", action="store_true",
                     help="re-lay MLPMixer/FusionMixer stacks onto the fused "
                          "Pallas kernels for low-latency serving (~40%% "
@@ -603,6 +607,12 @@ def main(argv: Optional[Sequence[str]] = None):
         from .config import load
         from .datasets import get_data_module
 
+        if args.ema and args.average is not None:
+            ap.error("--ema and --average are different weight-averaging "
+                     "schemes; pick one")
+        if args.ema and not args.ckpt:
+            ap.error("--ema requires -p (the EMA lives in a trained "
+                     "checkpoint's optimizer state)")
         cfg = load(args.cfg)
         if unknown:  # dotted config overrides, same contract as run.py
             overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
@@ -625,6 +635,15 @@ def main(argv: Optional[Sequence[str]] = None):
 
             restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ckpt))
             params = restored["params"] if "params" in restored else restored
+            if args.ema:
+                from .training.trainer import ema_params_from_opt_state
+
+                ema = ema_params_from_opt_state(restored.get("opt_state"))
+                if ema is None:
+                    ap.error("--ema: this checkpoint carries no params EMA "
+                             "(train with train.optimizer.ema_decay > 0)")
+                params = ema
+                print("[serving] exporting the Polyak-averaged (EMA) weights")
         if args.pallas:
             task, params = to_pallas_serving(cfg, params, sample)
             if args.format == "stablehlo":

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Iterable, Optional
+from typing import Any, Dict, Iterable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,59 @@ def seed_everything(seed: int) -> jax.Array:
     random.seed(seed)
     np.random.seed(seed)
     return jax.random.PRNGKey(seed)
+
+
+class ParamsEmaState(NamedTuple):
+    """EMA of the PARAMS (not of updates, which is what ``optax.ema``
+    tracks) riding inside ``opt_state`` — so it flows through the epoch
+    scan, checkpoints, member-vmap, and mesh sharding with no extra trainer
+    state."""
+
+    ema: Any
+
+
+def _params_ema(decay: float) -> "optax.GradientTransformation":
+    """Appended LAST in the chain (after the LR scale), so ``updates`` are
+    final and ``params + updates`` is the post-step parameter tree."""
+
+    def init(params):
+        # jnp.copy, NOT asarray: aliasing the live param buffers would make
+        # donated train steps see the same buffer twice
+        return ParamsEmaState(ema=jax.tree.map(jnp.copy, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_decay requires update(..., params=params)")
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: (decay * e + (1.0 - decay) * p).astype(e.dtype),
+            state.ema, new_p)
+        return updates, ParamsEmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params_from_opt_state(opt_state):
+    """Pull the EMA params tree out of an optimizer state — either a live
+    ``ParamsEmaState`` or an orbax-restored raw tree (where the NamedTuple
+    comes back as a dict with an ``'ema'`` key). Returns None if absent."""
+    found = []
+
+    def walk(x):
+        if isinstance(x, ParamsEmaState):
+            found.append(x.ema)
+        elif isinstance(x, dict):
+            if set(x) == {"ema"}:
+                found.append(x["ema"])
+            else:
+                for v in x.values():
+                    walk(v)
+        elif isinstance(x, (list, tuple)) or hasattr(x, "_fields"):
+            for v in x:
+                walk(v)
+
+    walk(opt_state)
+    return found[0] if found else None
 
 
 def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
@@ -78,6 +131,10 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
             f"train.optimizer.moment_dtype={moment_dtype!r} — expected one "
             f"of {sorted(k for k in _mu_dtypes if k)} (or unset for f32)")
     mu_dtype = _mu_dtypes[moment_dtype]
+    ema_decay = float(optimizer_cfg.get("ema_decay", 0.0) or 0.0)
+    if not 0.0 <= ema_decay < 1.0:
+        raise ValueError(f"train.optimizer.ema_decay={ema_decay} — expected "
+                         "0 <= decay < 1 (0/unset disables the params EMA)")
 
     def make(learning_rate):
         steps = []
@@ -91,6 +148,11 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
             steps = [optax.masked(optax.chain(*steps),
                                   jax.tree.map(lambda m: m > 0.5, trainable_mask))]
         steps.append(optax.scale_by_learning_rate(learning_rate))
+        if ema_decay:
+            # params-EMA (Polyak averaging) rides in opt_state; export the
+            # averaged weights with `serving export --ema`, or validate with
+            # them via train.ema_eval
+            steps.append(_params_ema(ema_decay))
         return optax.chain(*steps)
 
     return optax.inject_hyperparams(make)(learning_rate=lr), lr
@@ -173,6 +235,14 @@ class Trainer:
         # preemption safety: SIGTERM -> resumable 'last' checkpoint + clean
         # return (TPU maintenance events / spot eviction send SIGTERM)
         self.save_on_preemption = bool(train_cfg.get("save_on_preemption", True))
+        # validate/test with the Polyak-averaged weights instead of the raw
+        # ones (requires train.optimizer.ema_decay > 0)
+        self.ema_eval = bool(train_cfg.get("ema_eval", False))
+        if self.ema_eval and not float(
+                train_cfg.optimizer.get("ema_decay", 0.0) or 0.0):
+            raise ValueError("train.ema_eval=true requires "
+                             "train.optimizer.ema_decay > 0 (no EMA is "
+                             "being maintained to evaluate with)")
         self.seed = int(train_cfg.get("seed", 0))
         if mesh_config is None:
             # config-driven mesh (train.mesh_data / train.mesh_model)
@@ -267,6 +337,15 @@ class Trainer:
             cur, nxt = nxt, self._put_batch(b)
             yield cur
         yield nxt
+
+    def _eval_params(self):
+        """Params to evaluate with: the Polyak-averaged tree from opt_state
+        when ``train.ema_eval`` is on (falling back to the raw params if no
+        EMA is present, e.g. a test-only restore of a pre-EMA checkpoint)."""
+        if not self.ema_eval or self.opt_state is None:
+            return self.params
+        ema = ema_params_from_opt_state(self.opt_state)
+        return self.params if ema is None else ema
 
     def _log_params_once(self, params):
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -742,6 +821,7 @@ class Trainer:
     def _run_eval_epoch(self, task, batches: Iterable, epoch: int, scores, prefix: str,
                         collect_artifacts: bool = False):
         ctx = self._put_ctx(task.make_ctx(epoch, prefix))
+        eval_params = self._eval_params()
         losses_dev, preds_dev, labels_dev, probs_dev = [], [], [], []
         extra_dev: Dict[str, list] = {k: [] for k in task.epoch_log_keys()}
         scalar_dev: Dict[str, list] = {k: [] for k in task.epoch_scalar_keys()}
@@ -788,19 +868,19 @@ class Trainer:
                 processed_order = np.concatenate([device_order, tail_order])
             if len(device_order):
                 losses, aux = self._eval_epoch_fns[sharded](
-                    self.params, arrays, jnp.asarray(device_order, jnp.int32), ctx
+                    eval_params, arrays, jnp.asarray(device_order, jnp.int32), ctx
                 )
                 consume(losses, aux, flat=True)
             for start in range(0, len(tail_order), bs):
                 idx = tail_order[start : start + bs]
                 batch = self._put_batch({k: v[idx] for k, v in dm.splits[split_key].items()})
-                loss, aux = self._eval_step(self.params, batch, ctx)
+                loss, aux = self._eval_step(eval_params, batch, ctx)
                 consume(loss, aux, flat=False)
         else:
             if batches is None:
                 batches = dm.val_batches() if prefix == "val" else dm.test_batches()
             for batch in self._prefetched(batches):
-                loss, aux = self._eval_step(self.params, batch, ctx)
+                loss, aux = self._eval_step(eval_params, batch, ctx)
                 consume(loss, aux, flat=False)
 
         losses = np.concatenate([np.atleast_1d(x) for x in jax.device_get(losses_dev)])
