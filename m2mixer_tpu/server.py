@@ -1,4 +1,4 @@
-"""HTTP inference endpoint over a serving artifact.
+"""HTTP inference endpoint over one or more serving artifacts.
 
 stdlib-only (``http.server``): no web-framework dependency, deployable
 anywhere the artifact loads. The reference ships nothing beyond raw .ckpt
@@ -6,13 +6,16 @@ links (`/root/reference/README.md:109-115`); this completes the deployment
 story: train -> export (``serving.py``) -> serve (this module).
 
     python -m m2mixer_tpu.serving serve -d artifacts/avmnist_b --port 8000
+    # multi-model: name=dir pairs share the chip, each with its own routes
+    python -m m2mixer_tpu.serving serve -d b=artifacts/b -d s=artifacts/s_int8
 
 Endpoints:
-    GET  /healthz   -> {"status": "ok"}
+    GET  /healthz   -> {"status": "ok", "models": [names]}
     GET  /info      -> artifact metadata (features, dtypes, buckets, format)
     GET  /metrics   -> Prometheus text: request/error/sample counters,
                        device-batch count (coalescing ratio), latency
-                       quantiles (p50/p90/p99), uptime
+                       quantiles (p50/p90/p99), uptime; one series per
+                       model (label ``model="name"``) when multi-model
     POST /predict   -> model outputs
         Content-Type: application/json  body {"image": [[...]], ...}
           (nested lists per feature; reply is JSON with "logits" and
@@ -20,6 +23,9 @@ Endpoints:
         Content-Type: application/x-npz  body = .npz bytes with one array
           per feature; reply is .npz with "logits" and "branch_logits_<i>"
           (the efficient binary path)
+
+With multiple models, ``/predict/<name>`` and ``/info/<name>`` route per
+model (the bare paths work only in single-model mode).
 
 Any request batch size is accepted — the batch-bucketed
 ``ServedModel.predict`` zero-pads to the nearest compiled bucket and splits
@@ -46,7 +52,8 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["make_server", "serve_forever", "RequestCoalescer", "ServerStats"]
+__all__ = ["make_server", "serve_forever", "RequestCoalescer", "ServerStats",
+           "render_metrics", "warmup_model"]
 
 
 def _parse_json_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
@@ -224,50 +231,120 @@ class ServerStats:
                 self.samples += int(n_samples)
                 self._lat.append(float(seconds))
 
-    def render(self, coalescer) -> str:
-        import time as _time
-
+    def snapshot(self):
         with self._lock:
-            lat = sorted(self._lat)
-            reqs, errs, samples = self.requests, self.errors, self.samples
+            return self.requests, self.errors, self.samples, sorted(self._lat)
 
-        def q(p):
+
+def render_metrics(entries) -> str:
+    """Prometheus text for ``entries`` = [(name, stats, coalescer)]. One
+    TYPE header per metric; one series per model (``model="name"`` label
+    when the name is non-empty, i.e. multi-model serving)."""
+    import time as _time
+
+    def lbl(name, extra=""):
+        parts = ([f'model="{name}"'] if name else []) + ([extra] if extra else [])
+        return "{" + ",".join(parts) + "}" if parts else ""
+
+    rows = []
+    for name, stats, coalescer in entries:
+        reqs, errs, samples, lat = stats.snapshot()
+
+        def q(p, lat=lat):
             return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
 
-        device_batches = coalescer.batches_run if coalescer else reqs - errs
-        lines = [
-            "# TYPE serving_requests_total counter",
-            f"serving_requests_total {reqs}",
-            "# TYPE serving_request_errors_total counter",
-            f"serving_request_errors_total {errs}",
-            "# TYPE serving_samples_total counter",
-            f"serving_samples_total {samples}",
-            "# HELP serving_device_batches_total device dispatches; under "
-            "coalescing many requests share one batch",
-            "# TYPE serving_device_batches_total counter",
-            f"serving_device_batches_total {device_batches}",
-            "# TYPE serving_request_latency_seconds summary",
-        ] + [
-            f'serving_request_latency_seconds{{quantile="{p}"}} {q(float(p)):.6f}'
-            for p in ("0.5", "0.9", "0.99")
-        ] + [
-            "# TYPE serving_uptime_seconds gauge",
-            f"serving_uptime_seconds {_time.monotonic() - self._t0:.3f}",
-        ]
-        return "\n".join(lines) + "\n"
+        rows.append((name, reqs, errs, samples,
+                     coalescer.batches_run if coalescer else reqs - errs,
+                     {p: q(float(p)) for p in ("0.5", "0.9", "0.99")},
+                     _time.monotonic() - stats._t0))
+
+    lines = ["# TYPE serving_requests_total counter"]
+    lines += [f"serving_requests_total{lbl(n)} {r}" for n, r, *_ in rows]
+    lines += ["# TYPE serving_request_errors_total counter"]
+    lines += [f"serving_request_errors_total{lbl(n)} {e}"
+              for n, _, e, *_ in rows]
+    lines += ["# TYPE serving_samples_total counter"]
+    lines += [f"serving_samples_total{lbl(n)} {s}"
+              for n, _, _, s, *_ in rows]
+    lines += ["# HELP serving_device_batches_total device dispatches; under "
+              "coalescing many requests share one batch",
+              "# TYPE serving_device_batches_total counter"]
+    lines += [f"serving_device_batches_total{lbl(n)} {b}"
+              for n, _, _, _, b, *_ in rows]
+    lines += ["# TYPE serving_request_latency_seconds summary"]
+    for n, _, _, _, _, qs, _ in rows:
+        lines += [f'serving_request_latency_seconds{lbl(n, f"quantile=\"{p}\"")} '
+                  f"{v:.6f}" for p, v in qs.items()]
+    lines += ["# TYPE serving_uptime_seconds gauge"]
+    lines += [f"serving_uptime_seconds{lbl(n)} {up:.3f}"
+              for n, *_, up in rows]
+    return "\n".join(lines) + "\n"
+
+
+def warmup_model(model) -> None:
+    """Pre-compile every bucket with a zero batch so the first real request
+    doesn't pay the compile (a fresh process's first request through a
+    remote compiler was measured at 46 s; warmed, it's milliseconds)."""
+    for b in model.buckets:
+        feats = {k: np.zeros((b, *shp), dtype=model.meta["dtypes"][k])
+                 for k, shp in model.meta["features"].items()}
+        model.predict(feats)
 
 
 def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 coalesce: bool = True):
-    """Build (not start) a ``ThreadingHTTPServer`` wrapping ``model``
-    (a ``serving.ServedModel``). Port 0 picks a free port; the bound
-    address is ``server.server_address``. ``coalesce=False`` serializes
-    requests with a plain lock instead of the batching dispatcher."""
+    """Build (not start) a ``ThreadingHTTPServer``. ``model`` is a single
+    ``serving.ServedModel`` (bare ``/predict`` + ``/info`` routes) or a
+    ``{name: ServedModel}`` dict (``/predict/<name>`` + ``/info/<name>``;
+    every model shares the chip but gets its own coalescer and metrics
+    series). Port 0 picks a free port; the bound address is
+    ``server.server_address``. ``coalesce=False`` serializes requests with
+    a plain lock instead of the batching dispatchers."""
     import time as _time
 
-    lock = threading.Lock()
-    coalescer = RequestCoalescer(model) if coalesce else None
-    stats = ServerStats()
+    if isinstance(model, dict):
+        if not model:
+            raise ValueError("no models to serve")
+        if any(not name for name in model):
+            raise ValueError("multi-model serving requires non-empty names")
+        models = dict(model)
+        single = None
+    else:
+        models = {"": model}
+        single = ""
+    lock = threading.Lock()  # one accelerator: shared across models
+    coalescers = {name: RequestCoalescer(m) if coalesce else None
+                  for name, m in models.items()}
+    stats = {name: ServerStats() for name in models}
+
+    def resolve(path: str, base: str):
+        """'/predict' -> the single model; '/predict/<name>' -> that model.
+        Returns (name, model) or None."""
+        if path == base:
+            return (single, models[single]) if single is not None else None
+        if path.startswith(base + "/"):
+            name = path[len(base) + 1:]
+            if name in models:
+                return name, models[name]
+        return None
+
+    def info_payload(m):
+        meta = m.meta
+        return {
+            "features": {k: list(v) for k, v in meta["features"].items()},
+            "dtypes": meta["dtypes"],
+            "buckets": m.buckets,
+            "format": meta["format"],
+            **{k: meta[k] for k in ("ensemble_members", "quantize")
+               if meta.get(k) is not None},
+        }
+
+    def unknown(path):
+        hint = ""
+        if single is None and path in ("/predict", "/info"):
+            hint = f" (multi-model server: use {path}/<name>, names: " \
+                   f"{sorted(models)})"
+        return {"error": f"unknown path {path!r}{hint}"}
 
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr logging; errors still surface in replies
@@ -286,27 +363,24 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply_json(200, {"status": "ok"})
-            elif self.path == "/info":
-                meta = model.meta
-                self._reply_json(200, {
-                    "features": {k: list(v) for k, v in meta["features"].items()},
-                    "dtypes": meta["dtypes"],
-                    "buckets": model.buckets,
-                    "format": meta["format"],
-                    **{k: meta[k] for k in ("ensemble_members", "quantize")
-                       if meta.get(k) is not None},
-                })
+                self._reply_json(200, {"status": "ok",
+                                       "models": sorted(n for n in models if n)})
             elif self.path == "/metrics":
-                self._reply(200, stats.render(coalescer).encode(),
+                entries = [(n, stats[n], coalescers[n]) for n in sorted(models)]
+                self._reply(200, render_metrics(entries).encode(),
                             "text/plain; version=0.0.4")
+            elif (hit := resolve(self.path, "/info")) is not None:
+                self._reply_json(200, info_payload(hit[1]))
             else:
-                self._reply_json(404, {"error": f"unknown path {self.path!r}"})
+                self._reply_json(404, unknown(self.path))
 
         def do_POST(self):
-            if self.path != "/predict":
-                self._reply_json(404, {"error": f"unknown path {self.path!r}"})
+            hit = resolve(self.path, "/predict")
+            if hit is None:
+                self._reply_json(404, unknown(self.path))
                 return
+            name, mdl = hit
+            st, co = stats[name], coalescers[name]
             t_start = _time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -315,26 +389,26 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 if ctype == "application/x-npz":
                     features = _parse_npz_features(body)
                 else:
-                    features = _parse_json_features(body, model.meta)
-                _validate(features, model.meta)
+                    features = _parse_json_features(body, mdl.meta)
+                _validate(features, mdl.meta)
             except Exception as e:  # malformed request
-                stats.record(0, 0.0, error=True)
+                st.record(0, 0.0, error=True)
                 self._reply_json(400, {"error": str(e)})
                 return
             n_samples = int(next(iter(features.values())).shape[0])
             try:
-                if coalescer is not None:
+                if co is not None:
                     # batching dispatcher: concurrent requests coalesce
                     # into one device program
-                    out = coalescer.submit(features, n_samples)
+                    out = co.submit(features, n_samples)
                 else:
                     with lock:  # one accelerator; serialize dispatch
-                        out = model.predict(features)
+                        out = mdl.predict(features)
             except Exception as e:  # model-side failure
-                stats.record(0, 0.0, error=True)
+                st.record(0, 0.0, error=True)
                 self._reply_json(500, {"error": str(e)})
                 return
-            stats.record(n_samples, _time.monotonic() - t_start)
+            st.record(n_samples, _time.monotonic() - t_start)
             if ctype == "application/x-npz":
                 buf = io.BytesIO()
                 arrays = {"logits": np.asarray(out["logits"])}
@@ -350,23 +424,33 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 })
 
     srv = ThreadingHTTPServer((host, port), Handler)
-    srv.coalescer = coalescer  # for shutdown + test introspection
-    srv.stats = stats
+    srv.coalescers = coalescers  # for shutdown + test introspection
+    srv.coalescer = coalescers.get(single)  # single-model back-compat alias
+    srv.stats = stats[single] if single is not None else stats
     return srv
 
 
 def serve_forever(model, host: str = "127.0.0.1", port: int = 8000,
-                  coalesce: bool = True) -> None:
+                  coalesce: bool = True, warmup: bool = False) -> None:
+    models = model if isinstance(model, dict) else {"": model}
+    if warmup:
+        for name, m in models.items():
+            print(f"[serving] warming {name or 'model'}: "
+                  f"buckets {m.buckets}")
+            warmup_model(m)
     srv = make_server(model, host, port, coalesce=coalesce)
     h, p = srv.server_address[:2]
+    desc = ", ".join(
+        f"{name + ': ' if name else ''}buckets {m.buckets} ({m.meta['format']})"
+        for name, m in models.items())
     print(f"[serving] listening on http://{h}:{p} "
-          f"(buckets {model.buckets}, format {model.meta['format']}, "
-          f"coalescing {'on' if coalesce else 'off'})")
+          f"({desc}, coalescing {'on' if coalesce else 'off'})")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        if srv.coalescer is not None:
-            srv.coalescer.close()
+        for co in srv.coalescers.values():
+            if co is not None:
+                co.close()
         srv.server_close()

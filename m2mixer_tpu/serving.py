@@ -592,12 +592,17 @@ def main(argv: Optional[Sequence[str]] = None):
     be.add_argument("--batch", type=int, default=32)
     be.add_argument("--iters", type=int, default=50)
     sv = sub.add_parser("serve", help="HTTP inference endpoint (see server.py)")
-    sv.add_argument("-d", "--dir", required=True)
+    sv.add_argument("-d", "--dir", required=True, action="append",
+                    help="artifact directory; repeat with name=dir pairs to "
+                         "serve several models (routes /predict/<name>)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--no-coalesce", action="store_true",
                     help="serialize concurrent requests with a lock instead "
                          "of coalescing them into shared device batches")
+    sv.add_argument("--warmup", action="store_true",
+                    help="pre-compile every bucket before accepting requests "
+                         "(first request otherwise pays the compile)")
     args, unknown = ap.parse_known_args(argv)
     if unknown and args.cmd != "export":
         ap.error(f"unrecognized arguments: {' '.join(unknown)}")
@@ -658,8 +663,21 @@ def main(argv: Optional[Sequence[str]] = None):
     elif args.cmd == "serve":
         from .server import serve_forever
 
-        serve_forever(load_serving(args.dir), host=args.host, port=args.port,
-                      coalesce=not args.no_coalesce)
+        dirs = args.dir
+        if len(dirs) == 1 and "=" not in dirs[0]:
+            target = load_serving(dirs[0])
+        else:
+            target = {}
+            for spec in dirs:
+                if "=" not in spec:
+                    ap.error(f"multi-model serve needs name=dir pairs "
+                             f"(got {spec!r})")
+                name, _, d = spec.partition("=")
+                if not name or name in target:
+                    ap.error(f"bad or duplicate model name in {spec!r}")
+                target[name] = load_serving(d)
+        serve_forever(target, host=args.host, port=args.port,
+                      coalesce=not args.no_coalesce, warmup=args.warmup)
     else:
         import time
 

@@ -49,7 +49,8 @@ def _post(url, body, ctype):
 def test_healthz_and_info(server):
     base, model = server
     with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
-        assert json.loads(r.read()) == {"status": "ok"}
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["models"] == []
     with urllib.request.urlopen(base + "/info", timeout=30) as r:
         info = json.loads(r.read())
     assert set(info["features"]) == {"image", "audio"}
@@ -292,3 +293,97 @@ def test_metrics_counts_errors(server):
         return int(float([l for l in t.splitlines()
                           if l.startswith("serving_request_errors_total ")][0].split()[1]))
     assert errs(after) == errs(before) + 1
+
+
+# -------------------------------------------------------------- multi-model
+
+@pytest.fixture(scope="module")
+def multi_server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multi")
+    cfg = loads(CFG.format(tmp=tmp))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    params = task.init_params(jax.random.PRNGKey(0), _batch(8))
+    a = load_serving(export_serving(task, params, _batch(8), str(tmp / "a"),
+                                    fmt="stablehlo", buckets=(4,)))
+    b = load_serving(export_serving(task, params, _batch(8), str(tmp / "b"),
+                                    fmt="stablehlo", buckets=(4, 8)))
+    srv = make_server({"big": a, "small": b}, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}", a, b
+    srv.shutdown()
+    for co in srv.coalescers.values():
+        if co is not None:
+            co.close()
+    srv.server_close()
+    thread.join(timeout=10)
+
+
+def test_multi_model_routes(multi_server):
+    base, a, b = multi_server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["models"] == ["big", "small"]
+    with urllib.request.urlopen(base + "/info/small", timeout=30) as r:
+        assert json.loads(r.read())["buckets"] == [4, 8]
+    with urllib.request.urlopen(base + "/info/big", timeout=30) as r:
+        assert json.loads(r.read())["buckets"] == [4]
+    batch = _batch(3, seed=21)
+    body = json.dumps({"image": batch["image"].tolist(),
+                       "audio": batch["audio"].tolist()}).encode()
+    _, _, payload = _post(base + "/predict/big", body, "application/json")
+    got = np.asarray(json.loads(payload)["logits"], np.float32)
+    np.testing.assert_allclose(got, a.predict(batch)["logits"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multi_model_bare_paths_404_with_hint(multi_server):
+    base, *_ = multi_server
+    batch = _batch(2, seed=4)
+    body = json.dumps({"image": batch["image"].tolist(),
+                       "audio": batch["audio"].tolist()}).encode()
+    for path, method in (("/predict", "POST"), ("/info", "GET"),
+                         ("/predict/nope", "POST")):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            if method == "POST":
+                _post(base + path, body, "application/json")
+            else:
+                urllib.request.urlopen(base + path, timeout=30)
+        assert exc.value.code == 404
+        err = json.loads(exc.value.read())["error"]
+        if path in ("/predict", "/info"):
+            assert "big" in err and "small" in err  # names hinted
+
+
+def test_multi_model_metrics_labeled(multi_server):
+    base, *_ = multi_server
+    batch = _batch(2, seed=9)
+    body = json.dumps({"image": batch["image"].tolist(),
+                       "audio": batch["audio"].tolist()}).encode()
+    _post(base + "/predict/small", body, "application/json")
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert 'serving_requests_total{model="small"}' in text
+    assert 'serving_requests_total{model="big"}' in text
+    small = [l for l in text.splitlines()
+             if l.startswith('serving_samples_total{model="small"}')]
+    assert small and float(small[0].split()[-1]) >= 2
+
+
+def test_warmup_compiles_every_bucket():
+    from m2mixer_tpu.server import warmup_model
+
+    class Counting:
+        buckets = [4, 8]
+        meta = {"features": {"x": (3,)}, "dtypes": {"x": "float32"}}
+
+        def __init__(self):
+            self.sizes = []
+
+        def predict(self, feats):
+            self.sizes.append(int(feats["x"].shape[0]))
+            return {"logits": feats["x"]}
+
+    m = Counting()
+    warmup_model(m)
+    assert m.sizes == [4, 8]
