@@ -463,3 +463,22 @@ def test_export_cli_dotted_overrides(tmp_path, capsys):
     assert (out_dir / "serving.json").exists()
     err_out = capsys.readouterr()
     assert "droput" in err_out.out + err_out.err  # typo guard fired
+
+
+def test_pallas_composes_with_int8(tmp_path):
+    """--pallas --quantize int8: PTQ dequant feeds the fused kernels; logit
+    error stays at quantization level vs the unquantized XLA forward."""
+    from m2mixer_tpu.serving import to_pallas_serving, quantize_weights, dequantize_weights
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    xla_task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    xla_params = xla_task.init_params(jax.random.PRNGKey(3), _batch(4))
+    p_task, p_params = to_pallas_serving(cfg, xla_params, _batch(4))
+    q = dequantize_weights(quantize_weights(jax.tree.map(np.asarray, p_params)))
+    batch = _batch(5, seed=13)
+    ref = np.asarray(xla_task.network.apply(
+        xla_params, **xla_task.network_inputs(batch),
+        deterministic=True)["logits"])
+    got = np.asarray(p_task.network.apply(
+        q, **p_task.network_inputs(batch), deterministic=True)["logits"])
+    assert np.max(np.abs(got - ref)) < 0.05 * (np.max(np.abs(ref)) + 1.0)
