@@ -130,6 +130,8 @@ class RequestCoalescer:
         self.requests_served = 0
 
     def submit(self, features: Dict[str, np.ndarray], n: int) -> dict:
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         req = _Pending(features, n)
         self._queue.put(req)
         req.event.wait()

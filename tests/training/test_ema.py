@@ -176,3 +176,30 @@ def test_export_ema_rejects_checkpoint_without_ema(tmp_path):
     with pytest.raises(SystemExit):
         main(["export", "-c", str(cfg_path), "-o", str(tmp_path / "art"),
               "-p", trainer.checkpoints.last_path(), "--ema", "--buckets", "4"])
+
+
+def test_ema_survives_resume(tmp_path):
+    """Resume (-p) restores the EMA from the checkpoint's opt_state and
+    keeps averaging — the post-resume EMA differs from both the raw params
+    and the checkpointed EMA (it kept moving), and a fresh-init EMA."""
+    cfg = _cfg(tmp_path, decay=0.9, epochs=1)
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    t1 = Trainer(cfg.train, name="ema_res", full_cfg=cfg)
+    t1.fit(task, dm)
+    ema1 = jax.tree.map(np.asarray, ema_params_from_opt_state(t1.opt_state))
+    ckpt = t1.checkpoints.last_path()
+
+    cfg2 = _cfg(tmp_path, decay=0.9, epochs=2)
+    task2 = get_model(cfg2.model.type)(cfg2.model, cfg2.train.optimizer)
+    t2 = Trainer(cfg2.train, name="ema_res2", full_cfg=cfg2)
+    t2.fit(task2, dm, resume_from=ckpt)
+    ema2 = ema_params_from_opt_state(t2.opt_state)
+    assert ema2 is not None
+    moved = [not np.allclose(np.asarray(a), b)
+             for a, b in zip(jax.tree.leaves(ema2), jax.tree.leaves(ema1))]
+    assert any(moved), "EMA did not keep averaging after resume"
+    # and it isn't just the raw params either
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(ema2),
+                               jax.tree.leaves(t2.params)))
