@@ -377,6 +377,14 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 self._reply_json(404, unknown(self.path))
 
         def do_POST(self):
+            # drain the body BEFORE any reply: responding while the client
+            # is still streaming it closes the socket mid-send (EPIPE on
+            # the client instead of our 404/400 JSON)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+            except Exception:
+                body = b""
             hit = resolve(self.path, "/predict")
             if hit is None:
                 self._reply_json(404, unknown(self.path))
@@ -385,8 +393,6 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
             st, co = stats[name], coalescers[name]
             t_start = _time.monotonic()
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n)
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
                 if ctype == "application/x-npz":
                     features = _parse_npz_features(body)
