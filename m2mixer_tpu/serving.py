@@ -189,6 +189,20 @@ def _stack_from_blocks(src: dict) -> dict:
     return out
 
 
+def _gmlp_block_flat(b: dict) -> dict:
+    """One XLA ``GatingMlpBlock`` param subtree -> the flat naming of
+    ``PallasGatingMlpBlock`` (same math, fused-kernel layout)."""
+    return {
+        "ln_scale": b["norm"]["LayerNorm_0"]["scale"],
+        "ln_bias": b["norm"]["LayerNorm_0"]["bias"],
+        "w_in": b["proj_1"]["kernel"], "b_in": b["proj_1"]["bias"],
+        "sgu_ln_scale": b["sgu"]["norm"]["LayerNorm_0"]["scale"],
+        "sgu_ln_bias": b["sgu"]["norm"]["LayerNorm_0"]["bias"],
+        "sgu_w": b["sgu"]["proj"]["kernel"], "sgu_b": b["sgu"]["proj"]["bias"],
+        "w_out": b["proj_2"]["kernel"], "b_out": b["proj_2"]["bias"],
+    }
+
+
 def _stack_from_paired(src: dict, m: int) -> dict:
     """``PairedMLPMixer`` layer-stacked ``(L, 2, ...)`` leaves, modality
     ``m`` -> one modality's ``stack`` dict."""
@@ -241,10 +255,16 @@ def to_pallas_serving(cfg, params, sample_batch):
         elif bt == "FusionMixer":
             mc[key].block_type = "PallasStackedFusionMixer"
             swapped.append(key)
+        elif bt == "VisiongMLP":
+            mc[key].block_type = "PallasVisiongMLP"
+            swapped.append(key)
+        elif bt == "FusiongMLP":
+            mc[key].block_type = "PallasFusiongMLP"
+            swapped.append(key)
     if not swapped:
         raise ValueError(
             "no convertible blocks: to_pallas_serving fuses MLPMixer/"
-            "FusionMixer stacks; this config has "
+            "FusionMixer/VisiongMLP/FusiongMLP stacks; this config has "
             f"{sorted(set(mc[k].get('block_type') for k in mc if k != 'classification'))}")
     new_cfg.model.paired_encoders = False
 
@@ -261,14 +281,23 @@ def to_pallas_serving(cfg, params, sample_batch):
                 "patch_embed": paired[f"patch_embed_{m}"],
                 "stack": _stack_from_paired(paired, m),
             }
-    # convert exactly the subtrees the Pallas task expects as 'stack'
+    # convert exactly the subtrees the Pallas task expects: 'stack' for the
+    # fused mixer stacks; flat 'block_i' (with 'ln_scale' leaves) for gMLP
     for k, tsub in t_top.items():
-        if isinstance(tsub, dict) and "stack" in tsub and k in out \
-                and "block_0" in out[k]:
-            sub = out[k]
+        if not (isinstance(tsub, dict) and k in out):
+            continue
+        sub = out[k]
+        if "stack" in tsub and "block_0" in sub:
             newsub = {kk: vv for kk, vv in sub.items()
                       if not (kk.startswith("block_") or kk == "norm_out")}
             newsub["stack"] = _stack_from_blocks(sub)
+            out[k] = newsub
+        elif "block_0" in tsub and "ln_scale" in tsub["block_0"] \
+                and "gmlp" in sub:
+            newsub = {kk: vv for kk, vv in sub.items() if kk != "gmlp"}
+            for bk, bv in sub["gmlp"].items():
+                if bk.startswith("block_"):
+                    newsub[bk] = _gmlp_block_flat(bv)
             out[k] = newsub
 
     converted = {"params": out} if "params" in target else out

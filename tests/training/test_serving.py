@@ -497,3 +497,37 @@ def test_pallas_composes_with_int8(tmp_path):
     got = np.asarray(p_task.network.apply(
         q, **p_task.network_inputs(batch), deterministic=True)["logits"])
     assert np.max(np.abs(got - ref)) < 0.05 * (np.max(np.abs(ref)) + 1.0)
+
+
+def test_to_pallas_serving_gmlp_parity(tmp_path):
+    """gMLP tasks convert too: VisiongMLP/FusiongMLP params re-lay onto the
+    fused PallasGatingMlpBlock naming; eval-mode logits match (stochastic
+    depth is identity at inference)."""
+    from m2mixer_tpu.serving import to_pallas_serving
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    for key in ("image", "audio"):
+        m = cfg.model.modalities[key]
+        m.block_type = "VisiongMLP"
+        m.d_model = 16
+        m.d_ffn = 32
+        m.n_blocks = 2
+    fm = cfg.model.modalities.multimodal
+    fm.block_type = "FusiongMLP"
+    fm.fusion_function = "ConcatFusion"
+    fm.d_model = 16
+    fm.d_ffn = 32
+    fm.n_blocks = 1
+    cfg.model.modalities.classification.input_shape = [16, 9, 16]  # +cls token
+    xla_task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    xla_params = xla_task.init_params(jax.random.PRNGKey(2), _batch(4))
+    p_task, p_params = to_pallas_serving(cfg, xla_params, _batch(4))
+    assert "PallasVisiongMLP" in repr(type(p_task.network.encoders[0]))
+    batch = _batch(5, seed=31)
+    ref = np.asarray(xla_task.network.apply(
+        xla_params, **xla_task.network_inputs(batch),
+        deterministic=True)["logits"])
+    got = np.asarray(p_task.network.apply(
+        p_params, **p_task.network_inputs(batch),
+        deterministic=True)["logits"])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
