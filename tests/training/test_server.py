@@ -387,3 +387,29 @@ def test_warmup_compiles_every_bucket():
     m = Counting()
     warmup_model(m)
     assert m.sizes == [4, 8]
+
+
+def test_multi_model_concurrent_clients(multi_server):
+    """Clients hammering BOTH models at once: each model's coalescer
+    dispatches independently (no cross-model lock) and every reply matches
+    its own model's direct predict."""
+    base, a, b = multi_server
+    results = {}
+
+    def worker(i):
+        name, mdl = ("big", a) if i % 2 == 0 else ("small", b)
+        batch = _batch(2, seed=100 + i)
+        body = json.dumps({"image": batch["image"].tolist(),
+                           "audio": batch["audio"].tolist()}).encode()
+        _, _, payload = _post(f"{base}/predict/{name}", body, "application/json")
+        results[i] = (np.asarray(json.loads(payload)["logits"], np.float32),
+                      mdl.predict(batch)["logits"])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 6
+    for got, want in results.values():
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
