@@ -65,9 +65,14 @@ def _parse_json_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
             for k, v in obj.items() if k != "label"}
 
 
-def _parse_npz_features(body: bytes) -> Dict[str, np.ndarray]:
+def _parse_npz_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
+    # cast to the artifact's dtypes: a float64 body would otherwise reach
+    # the model raw — the executable format's pinned input avals cannot
+    # absorb it (no recompile at serve time), and under coalescing one
+    # f64 request would upcast its whole shared batch
     with np.load(io.BytesIO(body)) as z:
-        return {k: z[k] for k in z.files if k != "label"}
+        return {k: np.asarray(z[k], dtype=meta["dtypes"].get(k))
+                for k in z.files if k != "label"}
 
 
 def _validate(features: Dict[str, np.ndarray], meta: dict) -> None:
@@ -395,7 +400,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
             try:
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
                 if ctype == "application/x-npz":
-                    features = _parse_npz_features(body)
+                    features = _parse_npz_features(body, mdl.meta)
                 else:
                     features = _parse_json_features(body, mdl.meta)
                 _validate(features, mdl.meta)

@@ -413,3 +413,21 @@ def test_multi_model_concurrent_clients(multi_server):
     assert len(results) == 6
     for got, want in results.values():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_npz_float64_body_is_cast_to_artifact_dtype(server):
+    """A float64 npz body must be cast to the artifact's dtypes server-side
+    (the executable format's pinned input avals can't absorb f64, and one
+    f64 request would upcast its whole coalesced batch)."""
+    base, model = server
+    batch = _batch(3, seed=42)
+    buf = io.BytesIO()
+    np.savez(buf, image=batch["image"].astype(np.float64),
+             audio=batch["audio"].astype(np.float64))
+    status, _, payload = _post(base + "/predict", buf.getvalue(),
+                               "application/x-npz")
+    assert status == 200
+    with np.load(io.BytesIO(payload)) as z:
+        logits = z["logits"]
+    np.testing.assert_allclose(logits, model.predict(batch)["logits"],
+                               rtol=1e-5, atol=1e-5)
