@@ -16,6 +16,10 @@ Endpoints:
                        device-batch count (coalescing ratio), latency
                        quantiles (p50/p90/p99), uptime; one series per
                        model (label ``model="name"``) when multi-model
+    POST /reload    -> re-load the artifact from its export directory and
+                       atomically swap it in (hot reload after re-exporting
+                       a better checkpoint); optional body {"warmup": true}
+                       pre-compiles the new model's buckets before the swap
     POST /predict   -> model outputs
         Content-Type: application/json  body {"image": [[...]], ...}
           (nested lists per feature; reply is JSON with "logits" and
@@ -39,6 +43,11 @@ dispatched immediately (no artificial wait), so coalescing adds zero
 latency while concurrent clients share one device program instead of
 queueing N dispatches — the serving analog of the training path's batched
 GEMMs. Disable with ``serve --no-coalesce`` (falls back to a plain lock).
+
+Production guards: ``--max-queue`` caps pending samples (429 + Retry-After
+beyond it), ``--request-timeout`` bounds the wait for device capacity (504),
+and SIGTERM drains queued requests before exiting (the serving analog of the
+trainer's preemption checkpoint).
 """
 
 from __future__ import annotations
@@ -53,7 +62,19 @@ from typing import Dict
 import numpy as np
 
 __all__ = ["make_server", "serve_forever", "RequestCoalescer", "ServerStats",
-           "render_metrics", "warmup_model"]
+           "render_metrics", "warmup_model", "ServerOverloaded",
+           "RequestTimeout"]
+
+
+class ServerOverloaded(RuntimeError):
+    """Raised by ``RequestCoalescer.submit`` when the pending queue already
+    holds ``max_queue`` samples — surfaces as HTTP 429 so clients back off
+    instead of stacking unbounded memory on the host."""
+
+
+class RequestTimeout(RuntimeError):
+    """Raised by ``RequestCoalescer.submit`` when a request waits longer than
+    the configured timeout for device capacity — surfaces as HTTP 504."""
 
 
 def _parse_json_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
@@ -96,7 +117,7 @@ def _validate(features: Dict[str, np.ndarray], meta: dict) -> None:
 
 
 class _Pending:
-    __slots__ = ("features", "n", "event", "result", "error")
+    __slots__ = ("features", "n", "event", "result", "error", "abandoned")
 
     def __init__(self, features: Dict[str, np.ndarray], n: int):
         self.features = features
@@ -104,6 +125,7 @@ class _Pending:
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False  # timed-out waiter: skip if still queued
 
 
 class RequestCoalescer:
@@ -123,45 +145,83 @@ class RequestCoalescer:
     malformed request can't poison its batch-mates).
     """
 
-    def __init__(self, model, max_batch: int = 4096):
+    def __init__(self, model, max_batch: int = 4096,
+                 max_queue: int = 65536):
         self._model = model
         self._max_batch = int(max_batch)
+        self._max_queue = int(max_queue)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        self._size_lock = threading.Lock()
+        self._pending = 0  # samples admitted but not yet taken by the loop
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="serving-coalescer")
         self._thread.start()
         self.batches_run = 0       # observability: device dispatch count
         self.requests_served = 0
 
-    def submit(self, features: Dict[str, np.ndarray], n: int) -> dict:
+    @property
+    def pending_samples(self) -> int:
+        """Samples admitted to the queue and not yet dispatched (the
+        ``serving_queue_depth`` gauge)."""
+        return self._pending
+
+    def submit(self, features: Dict[str, np.ndarray], n: int,
+               timeout: float = None) -> dict:
         if self._stop.is_set():
             raise RuntimeError("server shutting down")
+        with self._size_lock:
+            if self._pending + n > self._max_queue:
+                raise ServerOverloaded(
+                    f"serving queue full ({self._pending} samples pending, "
+                    f"limit {self._max_queue}); retry later")
+            self._pending += n
         req = _Pending(features, n)
         self._queue.put(req)
-        req.event.wait()
+        if not req.event.wait(timeout):
+            # mark so a still-queued request is skipped (and its samples
+            # released) instead of wasting a device slot; if it already
+            # boarded a batch the result is simply discarded
+            req.abandoned = True
+            raise RequestTimeout(
+                f"request (batch {n}) not served within {timeout:.1f}s")
         if req.error is not None:
             raise req.error
         return req.result
 
-    def close(self) -> None:
+    def close(self, drain: bool = False) -> None:
+        """Stop the dispatcher. ``drain=True`` serves everything already
+        queued first (used by hot reload / graceful shutdown); ``False``
+        stops after the in-flight batch and fails queued waiters."""
+        if not drain:
+            self._stop.set()
+        self._queue.put(None)  # sentinel: dispatcher stops when it reaches it
+        self._thread.join(timeout=60 if drain else 5)
         self._stop.set()
-        self._queue.put(None)  # wake the dispatcher
-        self._thread.join(timeout=5)
         while True:  # fail any stranded waiters instead of hanging them
             try:
                 r = self._queue.get_nowait()
             except queue.Empty:
                 break
             if r is not None:
+                self._release(r.n)
                 r.error = RuntimeError("server shutting down")
                 r.event.set()
 
     # ------------------------------------------------------------ internals
+    def _release(self, n: int) -> None:
+        with self._size_lock:
+            self._pending -= n
+
     def _take_cycle(self):
-        first = self._queue.get()
-        if first is None:
-            return []
+        while True:
+            first = self._queue.get()
+            if first is None:
+                self._stop.set()  # drain-mode close: sentinel ends the loop
+                return []
+            self._release(first.n)
+            if not first.abandoned:  # timed-out waiters already got their 504
+                break
         reqs, total = [first], first.n
         while total < self._max_batch:
             try:
@@ -171,11 +231,15 @@ class RequestCoalescer:
             if r is None:
                 self._stop.set()
                 break
+            if r.abandoned:
+                self._release(r.n)
+                continue
             # an oversize straggler would blow past max_batch: leave it
             # for its own cycle rather than splitting a request
             if total + r.n > self._max_batch and reqs:
                 self._queue.put(r)
                 break
+            self._release(r.n)
             reqs.append(r)
             total += r.n
         return reqs
@@ -285,6 +349,12 @@ def render_metrics(entries) -> str:
     lines += ["# TYPE serving_uptime_seconds gauge"]
     lines += [f"serving_uptime_seconds{lbl(n)} {up:.3f}"
               for n, *_, up in rows]
+    lines += ["# HELP serving_queue_depth_samples samples admitted but not "
+              "yet dispatched (0 without coalescing)",
+              "# TYPE serving_queue_depth_samples gauge"]
+    lines += [f"serving_queue_depth_samples{lbl(name)} "
+              f"{coalescer.pending_samples if coalescer else 0}"
+              for name, stats, coalescer in entries]
     return "\n".join(lines) + "\n"
 
 
@@ -299,14 +369,27 @@ def warmup_model(model) -> None:
 
 
 def make_server(model, host: str = "127.0.0.1", port: int = 8000,
-                coalesce: bool = True):
+                coalesce: bool = True, request_timeout: float = None,
+                max_queue: int = 65536):
     """Build (not start) a ``ThreadingHTTPServer``. ``model`` is a single
     ``serving.ServedModel`` (bare ``/predict`` + ``/info`` routes) or a
     ``{name: ServedModel}`` dict (``/predict/<name>`` + ``/info/<name>``;
     every model shares the chip but gets its own coalescer and metrics
     series). Port 0 picks a free port; the bound address is
     ``server.server_address``. ``coalesce=False`` serializes requests with
-    a plain lock instead of the batching dispatchers."""
+    a plain lock instead of the batching dispatchers.
+
+    Production guards (coalescing mode):
+      * ``max_queue`` — pending-sample cap; beyond it ``/predict`` answers
+        429 with ``Retry-After`` instead of growing host memory unboundedly.
+      * ``request_timeout`` — seconds a request may wait for device
+        capacity before a 504 (None = wait forever).
+      * ``POST /reload`` (or ``/reload/<name>``) — re-load the artifact
+        from its export directory (picking up a re-exported checkpoint) and
+        atomically swap it in; in-flight and concurrent requests keep being
+        served by the old model until the swap. Body (optional JSON):
+        ``{"warmup": true}`` pre-compiles every bucket of the new model
+        BEFORE the swap so no request pays the compile."""
     import time as _time
 
     if isinstance(model, dict):
@@ -320,9 +403,36 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
         models = {"": model}
         single = ""
     lock = threading.Lock()  # one accelerator: shared across models
-    coalescers = {name: RequestCoalescer(m) if coalesce else None
+    reload_lock = threading.Lock()
+    coalescers = {name: RequestCoalescer(m, max_queue=max_queue)
+                  if coalesce else None
                   for name, m in models.items()}
     stats = {name: ServerStats() for name in models}
+
+    def reload_model(name: str, warmup: bool) -> dict:
+        """Re-load ``models[name]`` from its artifact directory and swap."""
+        from .serving import load_serving
+
+        with reload_lock:
+            old = models[name]
+            if getattr(old, "out_dir", None) is None:
+                raise ValueError("model was not loaded from an artifact "
+                                 "directory; cannot reload")
+            new = load_serving(old.out_dir, mesh=getattr(old, "_mesh", None))
+            if warmup:
+                warmup_model(new)  # compile before taking traffic
+            old_co = coalescers[name]
+            new_co = RequestCoalescer(new, max_queue=max_queue) \
+                if old_co is not None else None
+            # swap order: model first (lock-mode requests pick it up), then
+            # coalescer (queued requests drain on the old model)
+            models[name] = new
+            coalescers[name] = new_co
+            if old_co is not None:
+                old_co.close(drain=True)  # queued requests finish on the old model
+            return {"status": "reloaded", "model": name or None,
+                    "dir": old.out_dir, "format": new.meta["format"],
+                    "buckets": new.buckets, "warmed": bool(warmup)}
 
     def resolve(path: str, base: str):
         """'/predict' -> the single model; '/predict/<name>' -> that model.
@@ -390,6 +500,14 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 body = self.rfile.read(n)
             except Exception:
                 body = b""
+            if (rhit := resolve(self.path, "/reload")) is not None:
+                try:
+                    opts = json.loads(body) if body.strip() else {}
+                    out = reload_model(rhit[0], bool(opts.get("warmup", False)))
+                    self._reply_json(200, out)
+                except Exception as e:
+                    self._reply_json(500, {"error": str(e)})
+                return
             hit = resolve(self.path, "/predict")
             if hit is None:
                 self._reply_json(404, unknown(self.path))
@@ -413,10 +531,25 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 if co is not None:
                     # batching dispatcher: concurrent requests coalesce
                     # into one device program
-                    out = co.submit(features, n_samples)
+                    out = co.submit(features, n_samples,
+                                    timeout=request_timeout)
                 else:
                     with lock:  # one accelerator; serialize dispatch
                         out = mdl.predict(features)
+            except ServerOverloaded as e:
+                st.record(0, 0.0, error=True)
+                self.send_response(429)
+                payload = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            except RequestTimeout as e:
+                st.record(0, 0.0, error=True)
+                self._reply_json(504, {"error": str(e)})
+                return
             except Exception as e:  # model-side failure
                 st.record(0, 0.0, error=True)
                 self._reply_json(500, {"error": str(e)})
@@ -444,26 +577,43 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
 
 
 def serve_forever(model, host: str = "127.0.0.1", port: int = 8000,
-                  coalesce: bool = True, warmup: bool = False) -> None:
+                  coalesce: bool = True, warmup: bool = False,
+                  request_timeout: float = None,
+                  max_queue: int = 65536) -> None:
     models = model if isinstance(model, dict) else {"": model}
     if warmup:
         for name, m in models.items():
             print(f"[serving] warming {name or 'model'}: "
                   f"buckets {m.buckets}")
             warmup_model(m)
-    srv = make_server(model, host, port, coalesce=coalesce)
+    srv = make_server(model, host, port, coalesce=coalesce,
+                      request_timeout=request_timeout, max_queue=max_queue)
     h, p = srv.server_address[:2]
     desc = ", ".join(
         f"{name + ': ' if name else ''}buckets {m.buckets} ({m.meta['format']})"
         for name, m in models.items())
     print(f"[serving] listening on http://{h}:{p} "
           f"({desc}, coalescing {'on' if coalesce else 'off'})")
+    # graceful SIGTERM (orchestrator shutdown): stop accepting, drain the
+    # coalescer queues, exit 0 — mirrors the trainer's preemption handling
+    import signal
+
+    def _term(signum, frame):
+        print("[serving] SIGTERM: draining and shutting down", flush=True)
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # not the main thread (tests): skip the handler
+        prev_term = None
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
         for co in srv.coalescers.values():
             if co is not None:
-                co.close()
+                co.close(drain=True)
         srv.server_close()

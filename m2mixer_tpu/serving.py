@@ -477,6 +477,9 @@ class ServedModel:
     """
 
     def __init__(self, out_dir: str, mesh=None):
+        # remembered for hot reload (server POST /reload re-loads from here)
+        self.out_dir = out_dir
+        self._mesh = mesh
         with open(os.path.join(out_dir, _META)) as f:
             self.meta = json.load(f)
         with open(os.path.join(out_dir, _PARAMS), "rb") as f:
@@ -632,6 +635,13 @@ def main(argv: Optional[Sequence[str]] = None):
     sv.add_argument("--warmup", action="store_true",
                     help="pre-compile every bucket before accepting requests "
                          "(first request otherwise pays the compile)")
+    sv.add_argument("--request-timeout", type=float, default=None,
+                    metavar="SECONDS",
+                    help="504 a request that waits longer than this for "
+                         "device capacity (default: wait forever)")
+    sv.add_argument("--max-queue", type=int, default=65536, metavar="SAMPLES",
+                    help="pending-sample cap; beyond it requests get 429 + "
+                         "Retry-After instead of growing host memory")
     args, unknown = ap.parse_known_args(argv)
     if unknown and args.cmd != "export":
         ap.error(f"unrecognized arguments: {' '.join(unknown)}")
@@ -658,7 +668,10 @@ def main(argv: Optional[Sequence[str]] = None):
         dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
         dm.setup("fit")
         sample = next(iter(dm.train_batches()))
-        params = task.init_params(jax.random.PRNGKey(0), sample)
+        # fresh-init exports honor train.seed (dotted overrides included),
+        # so two exports can carry intentionally different weights
+        params = task.init_params(
+            jax.random.PRNGKey(int(cfg.train.get("seed", 0) or 0)), sample)
         if args.average is not None:
             if not args.ckpt:
                 ap.error("--average requires -p pointing at the run's "
@@ -706,7 +719,9 @@ def main(argv: Optional[Sequence[str]] = None):
                     ap.error(f"bad or duplicate model name in {spec!r}")
                 target[name] = load_serving(d)
         serve_forever(target, host=args.host, port=args.port,
-                      coalesce=not args.no_coalesce, warmup=args.warmup)
+                      coalesce=not args.no_coalesce, warmup=args.warmup,
+                      request_timeout=args.request_timeout,
+                      max_queue=args.max_queue)
     else:
         import time
 

@@ -431,3 +431,188 @@ def test_npz_float64_body_is_cast_to_artifact_dtype(server):
         logits = z["logits"]
     np.testing.assert_allclose(logits, model.predict(batch)["logits"],
                                rtol=1e-5, atol=1e-5)
+
+
+# -------------------------------------------------- production guards (r2)
+
+def _stub_http_server(**kw):
+    """make_server over a _StubModel (meta attached so the handler's parse/
+    validate path works) — no artifact/compile cost."""
+    model = _StubModel(**{k: v for k, v in kw.items()
+                          if k in ("block_first", "fail")})
+    model.meta = {"features": {"x": [3]}, "dtypes": {"x": "float32"},
+                  "format": "stub", "buckets": [4]}
+    model.buckets = [4]
+    srv = make_server(model, host="127.0.0.1", port=0,
+                      **{k: v for k, v in kw.items()
+                         if k in ("request_timeout", "max_queue", "coalesce")})
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    return srv, thread, model, f"http://{host}:{port}"
+
+
+def _post_status(url, body, ctype):
+    try:
+        return _post(url, body, ctype)
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers, e.read()
+
+
+def test_backpressure_429_with_retry_after():
+    """Beyond max_queue pending samples /predict answers 429 + Retry-After
+    instead of stacking host memory."""
+    srv, thread, model, base = _stub_http_server(block_first=True, max_queue=3)
+    try:
+        body = json.dumps({"x": np.zeros((2, 3)).tolist()}).encode()
+        t0 = threading.Thread(
+            target=lambda: _post_status(base + "/predict", body, "application/json"))
+        t0.start()
+        assert model.first_entered.wait(30)  # request 1 holds the device
+        # request 2 queues (2 pending), request 3 would make 4 > 3 -> 429
+        t1 = threading.Thread(
+            target=lambda: _post_status(base + "/predict", body, "application/json"))
+        t1.start()
+        deadline = time.time() + 30
+        while srv.coalescers[""].pending_samples < 2:
+            assert time.time() < deadline
+            time.sleep(0.01)
+        status, headers, payload = _post_status(
+            base + "/predict", body, "application/json")
+        assert status == 429
+        assert headers.get("Retry-After") == "1"
+        assert "queue full" in json.loads(payload)["error"]
+        model.release.set()
+        t0.join(timeout=30)
+        t1.join(timeout=30)
+    finally:
+        model.release.set()
+        srv.shutdown()
+        for co in srv.coalescers.values():
+            if co is not None:
+                co.close()
+        srv.server_close()
+        thread.join(timeout=10)
+
+
+def test_request_timeout_504_and_abandoned_skip():
+    """A request that outwaits --request-timeout gets a 504, and if it is
+    still queued when the device frees up it is skipped (no wasted
+    dispatch)."""
+    srv, thread, model, base = _stub_http_server(block_first=True,
+                                                 request_timeout=0.3)
+    try:
+        body = json.dumps({"x": np.zeros((2, 3)).tolist()}).encode()
+        t0 = threading.Thread(
+            target=lambda: _post_status(base + "/predict", body, "application/json"))
+        t0.start()
+        assert model.first_entered.wait(30)
+        status, _, payload = _post_status(
+            base + "/predict", body, "application/json")
+        assert status == 504
+        assert "not served within" in json.loads(payload)["error"]
+        model.release.set()
+        t0.join(timeout=30)
+        deadline = time.time() + 30  # dispatcher drains the abandoned entry
+        while srv.coalescers[""].pending_samples > 0:
+            assert time.time() < deadline
+            time.sleep(0.01)
+        assert model.calls == [2]  # only request 1 ever reached the device
+    finally:
+        model.release.set()
+        srv.shutdown()
+        for co in srv.coalescers.values():
+            if co is not None:
+                co.close()
+        srv.server_close()
+        thread.join(timeout=10)
+
+
+def test_coalescer_drain_close_serves_queued_requests():
+    """close(drain=True) (hot reload / SIGTERM path) serves everything
+    already queued instead of failing the waiters."""
+    from m2mixer_tpu.server import RequestCoalescer
+
+    model = _StubModel(block_first=True)
+    co = RequestCoalescer(model)
+    results, errors = [], []
+
+    def worker(seed):
+        try:
+            x = np.full((2, 3), float(seed), np.float32)
+            results.append((seed, co.submit({"x": x}, 2)))
+        except Exception as e:  # pragma: no cover - failure mode under test
+            errors.append(e)
+
+    t0 = threading.Thread(target=worker, args=(0,))
+    t0.start()
+    assert model.first_entered.wait(30)
+    rest = [threading.Thread(target=worker, args=(i,)) for i in (1, 2)]
+    for t in rest:
+        t.start()
+    deadline = time.time() + 30
+    while co.pending_samples < 4:
+        assert time.time() < deadline
+        time.sleep(0.01)
+    closer = threading.Thread(target=co.close, kwargs={"drain": True})
+    closer.start()
+    model.release.set()
+    for t in [t0] + rest + [closer]:
+        t.join(timeout=60)
+    assert not errors and len(results) == 3
+    for seed, out in results:
+        np.testing.assert_allclose(np.asarray(out["logits"]),
+                                   np.full((2, 3), float(seed)) + 1.0)
+
+
+def test_queue_depth_metric_exposed(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert "serving_queue_depth_samples 0" in text
+
+
+def test_hot_reload_swaps_reexported_artifact(tmp_path):
+    """POST /reload re-loads the artifact directory in place: after
+    re-exporting different params to the SAME dir, replies switch to the new
+    model's logits without restarting the server."""
+    cfg = loads(CFG.format(tmp=tmp_path))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    params0 = task.init_params(jax.random.PRNGKey(0), _batch(8))
+    art = export_serving(task, params0, _batch(8), str(tmp_path / "art"),
+                         fmt="stablehlo", buckets=(4,))
+    srv = make_server(load_serving(art), host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        batch = _batch(3, seed=11)
+        body = json.dumps({"image": batch["image"].tolist(),
+                           "audio": batch["audio"].tolist()}).encode()
+        _, _, before = _post(base + "/predict", body, "application/json")
+        logits_before = np.asarray(json.loads(before)["logits"], np.float32)
+
+        params1 = task.init_params(jax.random.PRNGKey(123), _batch(8))
+        export_serving(task, params1, _batch(8), str(tmp_path / "art"),
+                       fmt="stablehlo", buckets=(4,))
+        status, _, payload = _post(base + "/reload", b"", "application/json")
+        assert status == 200
+        out = json.loads(payload)
+        assert out["status"] == "reloaded" and out["buckets"] == [4]
+
+        _, _, after = _post(base + "/predict", body, "application/json")
+        logits_after = np.asarray(json.loads(after)["logits"], np.float32)
+        assert not np.allclose(logits_before, logits_after)
+        fresh = load_serving(art)
+        np.testing.assert_allclose(logits_after, fresh.predict(batch)["logits"],
+                                   rtol=1e-5, atol=1e-5)
+        # the swapped-in coalescer serves, the old one is closed
+        assert srv.coalescers[""]._stop.is_set() is False
+    finally:
+        srv.shutdown()
+        for co in srv.coalescers.values():
+            if co is not None:
+                co.close()
+        srv.server_close()
+        thread.join(timeout=10)
