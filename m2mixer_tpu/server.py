@@ -77,6 +77,13 @@ class RequestTimeout(RuntimeError):
     the configured timeout for device capacity — surfaces as HTTP 504."""
 
 
+class CoalescerClosed(RuntimeError):
+    """Raised by ``RequestCoalescer.submit`` when the dispatcher is shutting
+    down. During a hot reload the HTTP handler catches this and retries on
+    the freshly swapped-in coalescer, so a request racing the swap is served
+    instead of 500'd."""
+
+
 def _parse_json_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
     obj = json.loads(body.decode("utf-8"))
     if not isinstance(obj, dict):
@@ -152,8 +159,14 @@ class RequestCoalescer:
         self._max_queue = int(max_queue)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
-        self._size_lock = threading.Lock()
+        # admission lock: makes (closed-check + pending-count + enqueue)
+        # atomic against close(), so a request either fully lands BEFORE the
+        # close sentinel (and is drained) or gets CoalescerClosed — never
+        # enqueued behind the sentinel where it would hang forever
+        self._admit = threading.Lock()
+        self._closing = False
         self._pending = 0  # samples admitted but not yet taken by the loop
+        self._carry = None  # oversize straggler held by the dispatcher
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="serving-coalescer")
         self._thread.start()
@@ -168,16 +181,19 @@ class RequestCoalescer:
 
     def submit(self, features: Dict[str, np.ndarray], n: int,
                timeout: float = None) -> dict:
-        if self._stop.is_set():
-            raise RuntimeError("server shutting down")
-        with self._size_lock:
-            if self._pending + n > self._max_queue:
+        req = _Pending(features, n)
+        with self._admit:
+            if self._closing or self._stop.is_set():
+                raise CoalescerClosed("server shutting down")
+            # admission cap on QUEUE GROWTH only: a lone oversize request on
+            # an idle queue is always admitted (predict() chunks it by
+            # buckets; its payload already sits in host memory regardless)
+            if self._pending and self._pending + n > self._max_queue:
                 raise ServerOverloaded(
                     f"serving queue full ({self._pending} samples pending, "
                     f"limit {self._max_queue}); retry later")
             self._pending += n
-        req = _Pending(features, n)
-        self._queue.put(req)
+            self._queue.put(req)
         if not req.event.wait(timeout):
             # mark so a still-queued request is skipped (and its samples
             # released) instead of wasting a device slot; if it already
@@ -193,35 +209,46 @@ class RequestCoalescer:
         """Stop the dispatcher. ``drain=True`` serves everything already
         queued first (used by hot reload / graceful shutdown); ``False``
         stops after the in-flight batch and fails queued waiters."""
-        if not drain:
-            self._stop.set()
-        self._queue.put(None)  # sentinel: dispatcher stops when it reaches it
+        with self._admit:  # no submit can slip in behind the sentinel
+            self._closing = True
+            if not drain:
+                self._stop.set()
+            self._queue.put(None)  # sentinel: dispatcher stops at it
         self._thread.join(timeout=60 if drain else 5)
         self._stop.set()
-        while True:  # fail any stranded waiters instead of hanging them
+        stranded = []
+        carry, self._carry = self._carry, None
+        if carry is not None:  # non-drain close can leave a held straggler
+            stranded.append(carry)
+        while True:
             try:
                 r = self._queue.get_nowait()
             except queue.Empty:
                 break
             if r is not None:
                 self._release(r.n)
-                r.error = RuntimeError("server shutting down")
-                r.event.set()
+                stranded.append(r)
+        for r in stranded:  # fail them instead of hanging their waiters
+            r.error = CoalescerClosed("server shutting down")
+            r.event.set()
 
     # ------------------------------------------------------------ internals
     def _release(self, n: int) -> None:
-        with self._size_lock:
+        with self._admit:
             self._pending -= n
 
     def _take_cycle(self):
-        while True:
-            first = self._queue.get()
-            if first is None:
-                self._stop.set()  # drain-mode close: sentinel ends the loop
-                return []
-            self._release(first.n)
-            if not first.abandoned:  # timed-out waiters already got their 504
-                break
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            while True:
+                first = self._queue.get()
+                if first is None:
+                    self._stop.set()  # close sentinel: ends the loop
+                    return []
+                self._release(first.n)
+                if not first.abandoned:  # timed-out waiters got their 504
+                    break
         reqs, total = [first], first.n
         while total < self._max_batch:
             try:
@@ -229,15 +256,21 @@ class RequestCoalescer:
             except queue.Empty:
                 break
             if r is None:
-                self._stop.set()
+                # close sentinel seen mid-drain: re-queue it so the NEXT
+                # cycle (which may start from a carried straggler) still
+                # terminates the loop after serving everything before it
+                self._queue.put(None)
                 break
             if r.abandoned:
                 self._release(r.n)
                 continue
-            # an oversize straggler would blow past max_batch: leave it
-            # for its own cycle rather than splitting a request
+            # an oversize straggler would blow past max_batch: hold it for
+            # its own next cycle rather than splitting a request (held, not
+            # re-queued — re-queuing would put it BEHIND a drain sentinel
+            # and fail a request that drain promised to serve)
             if total + r.n > self._max_batch and reqs:
-                self._queue.put(r)
+                self._release(r.n)
+                self._carry = r
                 break
             self._release(r.n)
             reqs.append(r)
@@ -379,9 +412,12 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
     ``server.server_address``. ``coalesce=False`` serializes requests with
     a plain lock instead of the batching dispatchers.
 
-    Production guards (coalescing mode):
+    Production guards (both dispatch modes — coalescing and ``--no-coalesce``
+    lock serialization):
       * ``max_queue`` — pending-sample cap; beyond it ``/predict`` answers
         429 with ``Retry-After`` instead of growing host memory unboundedly.
+        A lone request on an idle queue is admitted whatever its size
+        (``predict`` chunks it by buckets).
       * ``request_timeout`` — seconds a request may wait for device
         capacity before a 504 (None = wait forever).
       * ``POST /reload`` (or ``/reload/<name>``) — re-load the artifact
@@ -403,7 +439,13 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
         models = {"": model}
         single = ""
     lock = threading.Lock()  # one accelerator: shared across models
-    reload_lock = threading.Lock()
+    # lock-mode (no-coalesce) guard state: samples waiting on the lock, so
+    # --max-queue/--request-timeout hold in BOTH dispatch modes
+    lock_waiting = {"n": 0}
+    lock_waiting_guard = threading.Lock()
+    reload_locks = {name: threading.Lock() for name in models}  # per model:
+    # one model's warmup reload (minutes through a remote compiler) must not
+    # block another model's reload
     coalescers = {name: RequestCoalescer(m, max_queue=max_queue)
                   if coalesce else None
                   for name, m in models.items()}
@@ -413,7 +455,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
         """Re-load ``models[name]`` from its artifact directory and swap."""
         from .serving import load_serving
 
-        with reload_lock:
+        with reload_locks[name]:
             old = models[name]
             if getattr(old, "out_dir", None) is None:
                 raise ValueError("model was not loaded from an artifact "
@@ -468,15 +510,44 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
         def log_message(self, fmt, *args):
             pass
 
-        def _reply(self, code: int, payload: bytes, ctype: str):
+        def _reply(self, code: int, payload: bytes, ctype: str,
+                   headers: Dict[str, str] = None):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(payload)
 
-        def _reply_json(self, code: int, obj) -> None:
-            self._reply(code, json.dumps(obj).encode(), "application/json")
+        def _reply_json(self, code: int, obj, headers=None) -> None:
+            self._reply(code, json.dumps(obj).encode(), "application/json",
+                        headers=headers)
+
+        def _lock_mode_predict(self, name, features, n):
+            """--no-coalesce dispatch with the same production guards:
+            cap the samples waiting on the device lock (429) and bound the
+            wait (504) — otherwise the flags would silently do nothing in
+            lock mode."""
+            with lock_waiting_guard:
+                if lock_waiting["n"] and lock_waiting["n"] + n > max_queue:
+                    raise ServerOverloaded(
+                        f"serving queue full ({lock_waiting['n']} samples "
+                        f"waiting, limit {max_queue}); retry later")
+                lock_waiting["n"] += n
+            timeout = -1 if request_timeout is None else request_timeout
+            acquired = lock.acquire(timeout=timeout)
+            with lock_waiting_guard:  # off the wait queue either way (the
+                lock_waiting["n"] -= n  # executing request doesn't count,
+                # mirroring the coalescer's pending-excludes-in-flight)
+            if not acquired:
+                raise RequestTimeout(
+                    f"request (batch {n}) not served within "
+                    f"{request_timeout:.1f}s")
+            try:  # models[name] read under the lock: reloads swap live
+                return models[name].predict(features)
+            finally:
+                lock.release()
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -501,10 +572,17 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
             except Exception:
                 body = b""
             if (rhit := resolve(self.path, "/reload")) is not None:
-                try:
+                try:  # client errors (bad body) are 400, not 500
                     opts = json.loads(body) if body.strip() else {}
-                    out = reload_model(rhit[0], bool(opts.get("warmup", False)))
-                    self._reply_json(200, out)
+                    if not isinstance(opts, dict):
+                        raise ValueError("/reload body must be a JSON object "
+                                         'like {"warmup": true}')
+                    warm = bool(opts.get("warmup", False))
+                except Exception as e:
+                    self._reply_json(400, {"error": str(e)})
+                    return
+                try:
+                    self._reply_json(200, reload_model(rhit[0], warm))
                 except Exception as e:
                     self._reply_json(500, {"error": str(e)})
                 return
@@ -513,7 +591,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 self._reply_json(404, unknown(self.path))
                 return
             name, mdl = hit
-            st, co = stats[name], coalescers[name]
+            st = stats[name]
             t_start = _time.monotonic()
             try:
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
@@ -528,23 +606,30 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 return
             n_samples = int(next(iter(features.values())).shape[0])
             try:
-                if co is not None:
-                    # batching dispatcher: concurrent requests coalesce
-                    # into one device program
-                    out = co.submit(features, n_samples,
-                                    timeout=request_timeout)
-                else:
-                    with lock:  # one accelerator; serialize dispatch
-                        out = mdl.predict(features)
+                while True:
+                    # re-read per attempt: a hot reload may have swapped in
+                    # a fresh coalescer while this request was parsing
+                    co = coalescers[name]
+                    if co is None:
+                        out = self._lock_mode_predict(name, features,
+                                                      n_samples)
+                        break
+                    try:
+                        # batching dispatcher: concurrent requests coalesce
+                        # into one device program
+                        out = co.submit(features, n_samples,
+                                        timeout=request_timeout)
+                        break
+                    except CoalescerClosed:
+                        # raced a reload swap: retry on the new coalescer
+                        # (a real shutdown keeps the closed one in place
+                        # and the retry re-raises out of the loop)
+                        if coalescers[name] is co:
+                            raise
             except ServerOverloaded as e:
                 st.record(0, 0.0, error=True)
-                self.send_response(429)
-                payload = json.dumps({"error": str(e)}).encode()
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Retry-After", "1")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                self._reply_json(429, {"error": str(e)},
+                                 headers={"Retry-After": "1"})
                 return
             except RequestTimeout as e:
                 st.record(0, 0.0, error=True)
@@ -570,8 +655,8 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                 })
 
     srv = ThreadingHTTPServer((host, port), Handler)
+    # the dict itself, not a snapshot: hot reloads swap entries in place
     srv.coalescers = coalescers  # for shutdown + test introspection
-    srv.coalescer = coalescers.get(single)  # single-model back-compat alias
     srv.stats = stats[single] if single is not None else stats
     return srv
 

@@ -616,3 +616,109 @@ def test_hot_reload_swaps_reexported_artifact(tmp_path):
                 co.close()
         srv.server_close()
         thread.join(timeout=10)
+
+
+def test_drain_close_serves_straggler_beyond_max_batch():
+    """Review fix: a straggler whose size would blow past max_batch used to
+    be RE-QUEUED — behind a drain sentinel, violating drain's promise. It is
+    now HELD by the dispatcher and served in its own next cycle."""
+    from m2mixer_tpu.server import RequestCoalescer
+
+    model = _StubModel(block_first=True)
+    co = RequestCoalescer(model, max_batch=3)
+    results, errors = [], []
+
+    def worker(seed, n):
+        try:
+            x = np.full((n, 3), float(seed), np.float32)
+            results.append((seed, n, co.submit({"x": x}, n)))
+        except Exception as e:
+            errors.append(e)
+
+    t0 = threading.Thread(target=worker, args=(0, 1))
+    t0.start()
+    assert model.first_entered.wait(30)
+    # both queued; together they exceed max_batch=3 so the second becomes
+    # a carried straggler during the drain
+    rest = [threading.Thread(target=worker, args=(1, 2)),
+            threading.Thread(target=worker, args=(2, 2))]
+    for t in rest:
+        t.start()
+    deadline = time.time() + 30
+    while co.pending_samples < 4:
+        assert time.time() < deadline
+        time.sleep(0.01)
+    closer = threading.Thread(target=co.close, kwargs={"drain": True})
+    closer.start()
+    model.release.set()
+    for t in [t0] + rest + [closer]:
+        t.join(timeout=60)
+    assert not errors and len(results) == 3
+    for seed, n, out in results:
+        np.testing.assert_allclose(np.asarray(out["logits"]),
+                                   np.full((n, 3), float(seed)) + 1.0)
+
+
+def test_oversize_request_on_idle_queue_is_admitted():
+    """Review fix: a single request larger than max_queue must be served
+    when the queue is idle (predict chunks it by buckets) — not permanently
+    429'd; the cap bounds queue GROWTH only."""
+    from m2mixer_tpu.server import RequestCoalescer
+
+    model = _StubModel()
+    co = RequestCoalescer(model, max_queue=4)
+    try:
+        x = np.ones((10, 3), np.float32)
+        out = co.submit({"x": x}, 10)
+        np.testing.assert_allclose(np.asarray(out["logits"]), x + 1.0)
+    finally:
+        co.close()
+
+
+def test_lock_mode_guards_active():
+    """Review fix: --request-timeout / --max-queue also hold under
+    --no-coalesce (they were silently ignored in lock mode)."""
+    srv, thread, model, base = _stub_http_server(
+        block_first=True, coalesce=False, request_timeout=0.3, max_queue=3)
+    try:
+        body = json.dumps({"x": np.zeros((2, 3)).tolist()}).encode()
+        codes = {}
+
+        def poster(key):
+            codes[key] = _post_status(base + "/predict", body,
+                                      "application/json")[0]
+
+        t0 = threading.Thread(target=poster, args=(0,))
+        t0.start()
+        assert model.first_entered.wait(30)  # request 1 holds the lock
+        status, _, payload = _post_status(
+            base + "/predict", body, "application/json")
+        assert status == 504  # waited 0.3s for the lock
+        assert "not served within" in json.loads(payload)["error"]
+        model.release.set()
+        t0.join(timeout=30)
+        assert codes[0] == 200
+    finally:
+        model.release.set()
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=10)
+
+
+def test_reload_bad_body_is_400():
+    """Review fix: malformed or non-object /reload bodies are client errors
+    (400), not opaque 500s."""
+    srv, thread, model, base = _stub_http_server()
+    try:
+        for body in (b"{bad", b"true", b"[1]"):
+            status, _, payload = _post_status(base + "/reload", body,
+                                              "application/json")
+            assert status == 400, (body, status)
+            assert "error" in json.loads(payload)
+    finally:
+        srv.shutdown()
+        for co in srv.coalescers.values():
+            if co is not None:
+                co.close()
+        srv.server_close()
+        thread.join(timeout=10)
