@@ -183,13 +183,26 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, *refs, rate, compute_dtype, dims, n_para
             ref[:] = ref[:] + dp.astype(jnp.float32)
 
 
+def _vmem_budget_bytes() -> int:
+    """Activation VMEM budget steering the batch-tile choice (default 10 MB,
+    override via ``M2MIXER_KERNEL_VMEM_MB``). The default is tuned for the
+    reference's small geometries; MXU-friendly scale configs (L and up:
+    channel_dim >= 4096) want a larger budget so the channel-FF GEMMs see
+    hundreds of rows per grid step instead of one token-grid's worth —
+    weights themselves are budgeted separately by the callers' live-buffer
+    counts and the 100 MB ``vmem_limit_bytes`` ceiling."""
+    import os
+
+    return int(float(os.environ.get("M2MIXER_KERNEL_VMEM_MB", "10")) * 1024 * 1024)
+
+
 def _choose_tile(b, n, c, n_live_bufs: int):
     """Largest batch tile whose (rows x C) working set fits VMEM.
 
     ``n_live_bufs`` approximates how many rows-by-C float buffers are alive
     at once: ~4 for the forward, ~20 for the AD-generated backward (weights,
     weight grads, and the recomputed/gradient activations)."""
-    budget_rows = (10 * 1024 * 1024 // 4) // max(c * n_live_bufs, 1)
+    budget_rows = (_vmem_budget_bytes() // 4) // max(c * n_live_bufs, 1)
     tile_b = max(1, min(b, max(budget_rows, 1) // max(n, 1)))
     while b % tile_b != 0:
         tile_b -= 1
@@ -213,28 +226,37 @@ def _specs_for_params(params):
             for p in params]
 
 
+def _live_bufs(n: int, compute_dtype) -> int:
+    # narrow weights/activations roughly halve the VMEM working set
+    return max(n // 2, 4) if compute_dtype != jnp.float32 else n
+
+
 def _fwd_call(x, params, seed, dropout_rate, compute_dtype):
     b, n, d = x.shape
     t = params.w1.shape[1]
     c = params.w3.shape[1]
-    tile_b = _choose_tile(b, n, c, n_live_bufs=4)
+    tile_b = _choose_tile(b, n, c, n_live_bufs=_live_bufs(4, compute_dtype))
     dims = (tile_b, n, d, t, c)
     grid = (b // tile_b,)
     kernel = functools.partial(_fwd_kernel, rate=float(dropout_rate),
                                compute_dtype=compute_dtype, dims=dims)
     seed_arr = jnp.zeros((1,), jnp.int32) if seed is None else jnp.asarray(seed, jnp.int32).reshape(1)
+    # large weights enter VMEM in the compute dtype (same as the stacked
+    # path): halves the per-kernel weight footprint for bf16
+    cast = MixerBlockParams(*_cast_params(tuple(params), compute_dtype))
     return pl.pallas_call(
         lambda seed_ref, x_ref, *prefs: kernel(seed_ref, x_ref, *prefs[:-1], out_ref=prefs[-1]),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *_specs_for_params(params),
+            *_specs_for_params(cast),
         ],
         out_specs=pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), jnp.float32),
         interpret=_interpret(),
-    )(seed_arr, x, *params)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed_arr, x, *cast)
 
 
 def _fwd_rule(x, params, seed, dropout_rate, compute_dtype):
@@ -247,7 +269,7 @@ def _bwd_rule(dropout_rate, compute_dtype, residuals, g):
     b, n, d = x.shape
     t = params.w1.shape[1]
     c = params.w3.shape[1]
-    tile_b = _choose_tile(b, n, c, n_live_bufs=20)
+    tile_b = _choose_tile(b, n, c, n_live_bufs=_live_bufs(20, compute_dtype))
     dims = (tile_b, n, d, t, c)
     grid = (b // tile_b,)
     n_params = len(params)
@@ -255,6 +277,7 @@ def _bwd_rule(dropout_rate, compute_dtype, residuals, g):
                                compute_dtype=compute_dtype, dims=dims,
                                n_params=n_params)
     seed_arr = jnp.zeros((1,), jnp.int32) if seed is None else jnp.asarray(seed, jnp.int32).reshape(1)
+    cast = MixerBlockParams(*_cast_params(tuple(params), compute_dtype))
 
     dparam_specs = [
         pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd, memory_space=pltpu.VMEM)
@@ -271,7 +294,7 @@ def _bwd_rule(dropout_rate, compute_dtype, residuals, g):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *_specs_for_params(params),
+            *_specs_for_params(cast),
         ],
         out_specs=(
             pl.BlockSpec((tile_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -280,7 +303,7 @@ def _bwd_rule(dropout_rate, compute_dtype, residuals, g):
         out_shape=out_shapes,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(seed_arr, x, g, *params)
+    )(seed_arr, x, g, *cast)
     dx, *dparams = outs
     import numpy as _np
     dseed = (None if seed is None

@@ -219,3 +219,22 @@ def test_stacked_mixer_registry_group_size():
     y = m.apply(variables, x)
     assert y.shape == (2, 4, 32)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_vmem_budget_knob_preserves_numerics(setup, monkeypatch):
+    """M2MIXER_KERNEL_VMEM_MB only re-tiles the batch grid (perf knob for
+    MXU-friendly geometries, docs/performance.md); values and gradients are
+    identical at the extreme budgets."""
+    x, params = setup
+    want_y = np.asarray(fused_mixer_block(x, params))
+    want_g = jax.grad(lambda p: jnp.sum(fused_mixer_block(x, p).astype(jnp.float32) ** 2))(params)
+    for mb in ("0.05", "64"):  # tile_b floors at 1 / caps at full batch
+        monkeypatch.setenv("M2MIXER_KERNEL_VMEM_MB", mb)
+        y = fused_mixer_block(x, params)
+        np.testing.assert_allclose(np.asarray(y), want_y, atol=1e-6, err_msg=mb)
+        g = jax.grad(lambda p: jnp.sum(fused_mixer_block(x, p).astype(jnp.float32) ** 2))(params)
+        for name, a, b in zip(params._fields, g, want_g):
+            # different tile counts accumulate parameter grads in a
+            # different order; tolerance matches test_gradients_match_reference
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                       err_msg=f"{name} @ {mb}MB")
