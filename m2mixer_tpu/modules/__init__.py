@@ -26,8 +26,9 @@ from .losses import *  # noqa: F401,F403
 from .pallas_blocks import *  # noqa: F401,F403
 from .paired import *  # noqa: F401,F403
 from .stacked import *  # noqa: F401,F403
+from .pipelined import *  # noqa: F401,F403
 
-from . import mixer, gmlp, dynamixer, fusion, classification, mlp, recurrent, losses, pallas_blocks, paired, stacked  # noqa: F401
+from . import mixer, gmlp, dynamixer, fusion, classification, mlp, recurrent, losses, pallas_blocks, paired, stacked, pipelined  # noqa: F401
 
 
 def _tuplify(v):

@@ -125,6 +125,32 @@ def gelu_is_approximate() -> bool:
     return _GELU_APPROXIMATE
 
 
+def bits_dropout_enabled() -> bool:
+    """Public accessor for the trace-time dropout-mask flavor (used by
+    key-based dropout call sites, e.g. the pipelined blocks, so they draw
+    the same kind of masks as the flax ``Dropout`` path)."""
+    return _BITS_DROPOUT
+
+
+def dropout_by_key(x, rate: float, key):
+    """Dropout from an explicit key (for call sites outside flax's rng
+    plumbing, e.g. inside a shard_map pipeline stage where masks must be
+    keyed by (layer, microbatch) rather than by module-call order). Honors
+    the ``set_bits_dropout`` flavor; ``key=None`` or rate 0 is a no-op."""
+    if key is None or rate == 0.0:
+        return x
+    if _BITS_DROPOUT:
+        thresh = min(max(int(round(rate * 256)), 1), 255)
+        if rate >= 255.5 / 256:
+            return jnp.zeros_like(x)
+        bits = jax.random.bits(key, x.shape, jnp.uint8)
+        keep = (bits >= thresh).astype(x.dtype)
+        return x * keep / jnp.asarray(1.0 - thresh / 256.0, x.dtype)
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros_like(x))
+
+
 class Dropout(nn.Module):
     """Dropout keyed on the 'dropout' rng collection. The mask source is
     either flax's f32-uniform bernoulli (default) or uint8 random bits

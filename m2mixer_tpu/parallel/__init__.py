@@ -7,3 +7,9 @@ from .mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from .pipeline import (  # noqa: F401
+    pipeline_apply,
+    pipeline_mesh,
+    pipeline_stages,
+    set_pipeline_mesh,
+)

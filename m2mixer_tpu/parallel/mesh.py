@@ -47,6 +47,11 @@ class MeshConfig:
     data: int = -1
     model: int = 1
     model_min_dim: int = 256
+    #: pipeline stages (``train.mesh_pipe``). >1 adds a third ``pipe`` mesh
+    #: axis (innermost, so stage neighbours are ICI-adjacent for the
+    #: pipeline's single-hop ppermutes); pipelined blocks stream their
+    #: layer stack over it (parallel/pipeline.py).
+    pipe: int = 1
 
 
 def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
@@ -54,10 +59,17 @@ def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     model = max(1, config.model)
-    data = config.data if config.data != -1 else n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs more than the {n} available devices")
-    # an explicit smaller mesh is allowed: use the first data*model devices
+    pipe = max(1, config.pipe)
+    data = config.data if config.data != -1 else n // (model * pipe)
+    if data * model * pipe > n:
+        raise ValueError(
+            f"mesh {data}x{model}x{pipe} needs more than the {n} available devices")
+    # an explicit smaller mesh is allowed: use the first data*model*pipe
+    # devices; the pipe axis only materializes when pipelining is on so the
+    # 2-axis layout (and every existing PartitionSpec) is untouched otherwise
+    if pipe > 1:
+        dev_array = np.asarray(devices[: data * model * pipe]).reshape(data, model, pipe)
+        return Mesh(dev_array, axis_names=("data", "model", "pipe"))
     dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 
@@ -82,8 +94,21 @@ _TP_RULES = [
     (re.compile(r"channel_mix/fc2/linear/bias$"), P()),
 ]
 
+# Pipeline layout rule: the layer-stacked leaves of Stacked/Pipelined
+# FusionMixer (one (L, ...) leaf per role, modules/stacked.py) shard their
+# leading layer axis over 'pipe' so each stage's weights (and Adam moments,
+# which inherit the params layout) LIVE on that stage's devices — the memory
+# point of pipeline parallelism, not just its schedule.
+_PIPE_LEAF = re.compile(
+    r"((token|channel)_fc[12]_(kernel|bias)|norm_(token|channel)_(scale|bias))$"
+)
+
 
 def _spec_for(path: str, leaf, mesh: Mesh, min_dim: int) -> P:
+    pipe_size = mesh.shape.get("pipe", 1)
+    if pipe_size > 1 and _PIPE_LEAF.search(path) and leaf.ndim >= 1 \
+            and leaf.shape[0] % pipe_size == 0:
+        return P("pipe")
     model_size = mesh.shape["model"]
     if model_size == 1:
         return P()

@@ -245,12 +245,20 @@ class Trainer:
                              "being maintained to evaluate with)")
         self.seed = int(train_cfg.get("seed", 0))
         if mesh_config is None:
-            # config-driven mesh (train.mesh_data / train.mesh_model)
+            # config-driven mesh (train.mesh_data / train.mesh_model /
+            # train.mesh_pipe)
             mesh_config = MeshConfig(
                 data=int(train_cfg.get("mesh_data", -1)),
                 model=int(train_cfg.get("mesh_model", 1)),
+                pipe=int(train_cfg.get("mesh_pipe", 1)),
             )
         self.mesh = make_mesh(mesh_config)
+        # trace-time pipeline context: pipelined blocks (PipelinedFusionMixer)
+        # stream their layer stack over the mesh's pipe axis; without one
+        # they fall back to sequential stacked math
+        from ..parallel import set_pipeline_mesh
+
+        set_pipeline_mesh(self.mesh if "pipe" in self.mesh.shape else None)
         self.logger = ExperimentLogger(
             work_dir or train_cfg.get("tensorboard_path", "./logs"),
             name,
