@@ -75,6 +75,12 @@ class MixerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # sequence parallelism (opt-in, train.sequence_parallel): the
+        # residual stream enters each block token-sharded over 'model';
+        # no-op unless an activation mesh is installed (parallel/mesh.py)
+        from ..parallel.mesh import shard_tokens
+
+        x = shard_tokens(x)
         y = LayerNorm(dtype=self.dtype, name="norm_token")(x)
         y = jnp.swapaxes(y, -1, -2)
         y = FeedForward(

@@ -85,6 +85,8 @@ class PipelinedFusionMixer(StackedFusionMixer):
 
         if not use_pipe:
             # sequential fallback: the exact StackedFusionMixer math
+            from ..parallel.mesh import shard_tokens
+
             drop = Dropout(drop_rate)
 
             def ff(y, k1, b1, k2, b2):
@@ -92,6 +94,7 @@ class PipelinedFusionMixer(StackedFusionMixer):
                 return drop(mm(y, k2) + b2.astype(dt), deterministic)
 
             for i in range(L):
+                x = shard_tokens(x)  # sequence parallelism (no-op unless active)
                 y = _ln(x, ln1_s[i], ln1_b[i])
                 y = jnp.swapaxes(y, -1, -2)
                 y = ff(y, tk1[i], tb1[i], tk2[i], tb2[i])

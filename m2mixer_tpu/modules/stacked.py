@@ -99,7 +99,10 @@ class StackedFusionMixer(nn.Module):
             y = drop(gelu(mm(y, k1) + b1.astype(dt)), deterministic)
             return drop(mm(y, k2) + b2.astype(dt), deterministic)
 
+        from ..parallel.mesh import shard_tokens
+
         for i in range(L):
+            x = shard_tokens(x)  # sequence parallelism (no-op unless active)
             y = ln(x, ln1_s[i], ln1_b[i])
             y = jnp.swapaxes(y, -1, -2)
             y = ff(y, tk1[i], tb1[i], tk2[i], tb2[i])

@@ -31,6 +31,9 @@ __all__ = [
     "param_shardings",
     "shard_params",
     "shard_batch",
+    "set_activation_mesh",
+    "activation_mesh",
+    "shard_tokens",
 ]
 
 
@@ -155,3 +158,47 @@ def shard_batch(mesh: Mesh, batch: Any):
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x) or 1)), batch
     )
+
+
+# -- sequence parallelism ----------------------------------------------------
+# Megatron-style SP analog for mixer stacks: between the GEMMs, the residual
+# stream's TOKEN axis is sharded over the same mesh axis as tensor
+# parallelism ('model'), so LayerNorm / dropout / residual adds run
+# token-sharded instead of replicated across TP ranks. The constraint is all
+# it takes — XLA's SPMD partitioner inserts the all-gather feeding the
+# token-mix GEMM (whose contraction spans tokens) and keeps channel-mix
+# Megatron-sharded, exactly the collective schedule hand-written SP code
+# would produce. Strictly opt-in via ``train.sequence_parallel``.
+_ACT_MESH: Optional[Mesh] = None
+
+
+def set_activation_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Install (or clear) the mesh whose 'model' axis subsequently traced
+    mixer blocks shard their token axis over; returns the previous value."""
+    global _ACT_MESH
+    prev = _ACT_MESH
+    _ACT_MESH = mesh
+    return prev
+
+
+def activation_mesh() -> Optional[Mesh]:
+    m = _ACT_MESH
+    if m is None or m.shape.get("model", 1) <= 1:
+        return None
+    return m
+
+
+def shard_tokens(x):
+    """Constrain ``(batch, ..., tokens, channels)`` activations to
+    ``P('data', ..., 'model', None)`` when sequence parallelism is active
+    and the dims tile the axes; identity otherwise (and for inputs too
+    small/ragged to shard)."""
+    mesh = activation_mesh()
+    if mesh is None or x.ndim < 3:
+        return x
+    model = mesh.shape["model"]
+    data = mesh.shape.get("data", 1)
+    if x.shape[-2] % model != 0 or (data > 1 and x.shape[0] % data != 0):
+        return x
+    spec = P("data", *([None] * (x.ndim - 3)), "model", None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

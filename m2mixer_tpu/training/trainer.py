@@ -256,9 +256,18 @@ class Trainer:
         # trace-time pipeline context: pipelined blocks (PipelinedFusionMixer)
         # stream their layer stack over the mesh's pipe axis; without one
         # they fall back to sequential stacked math
-        from ..parallel import set_pipeline_mesh
+        from ..parallel import set_activation_mesh, set_pipeline_mesh
 
         set_pipeline_mesh(self.mesh if "pipe" in self.mesh.shape else None)
+        # sequence parallelism (opt-in): mixer blocks constrain their token
+        # axis over 'model' so LN/dropout/residuals run token-sharded
+        # between the TP GEMMs (parallel/mesh.py::shard_tokens)
+        set_activation_mesh(
+            self.mesh
+            if bool(train_cfg.get("sequence_parallel", False))
+            and self.mesh.shape.get("model", 1) > 1
+            else None
+        )
         self.logger = ExperimentLogger(
             work_dir or train_cfg.get("tensorboard_path", "./logs"),
             name,
