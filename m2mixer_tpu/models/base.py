@@ -41,6 +41,24 @@ from ..modules.softadapt import LossWeightedSoftAdapt
 MUTE_NONE = -1
 
 
+def _config_uses_moe(model_cfg) -> bool:
+    """True when any block_type in the model config names an MoE block."""
+
+    def scan(node) -> bool:
+        if isinstance(node, dict) or hasattr(node, "items"):
+            for k, v in node.items():
+                if k == "block_type" and "MoE" in str(v):
+                    return True
+                if scan(v):
+                    return True
+        return False
+
+    try:
+        return scan(model_cfg)
+    except Exception:
+        return False
+
+
 def resolve_dtype(precision):
     """``model.precision`` -> compute dtype (params always stay float32).
     'bf16'/'bfloat16' selects bfloat16 compute for every block GEMM — the
@@ -80,6 +98,11 @@ class TrainTask(abc.ABC):
         # several tasks with different flavors live in one process.
         self._gelu_approximate = bool(model_cfg.get("approximate_gelu", False))
         self._bits_dropout = bool(model_cfg.get("bits_dropout", False))
+        # MoE blocks sow a load-balance loss into the 'moe' collection;
+        # detect statically from config block types so non-MoE tasks keep
+        # their exact apply signature (modules/moe.py)
+        self._uses_moe = _config_uses_moe(model_cfg)
+        self.moe_aux_weight = float(model_cfg.get("moe_aux_weight", 0.01))
         self.bind_trace_flavors()
         self.network = self.build_network()
 
@@ -117,7 +140,12 @@ class TrainTask(abc.ABC):
                 rngs, **self.network_inputs(batch), deterministic=True
             )
         )
-        return init(rngs, batch)
+        variables = init(rngs, batch)
+        if isinstance(variables, dict) and "moe" in variables:
+            # sown MoE balance losses are per-step byproducts, not state:
+            # drop them so they never enter params/checkpoints/optimizer
+            variables = {k: v for k, v in variables.items() if k != "moe"}
+        return variables
 
     @abc.abstractmethod
     def network_inputs(self, batch) -> Dict[str, Any]:
@@ -163,12 +191,20 @@ class TrainTask(abc.ABC):
         ``mutable_collections``)."""
         self.bind_trace_flavors()
         apply_rngs = {k: v for k, v in rngs.items() if k != "mute"} if train else None
-        if train and self.mutable_collections:
+        mutable = list(self.mutable_collections)
+        if train and self._uses_moe:
+            # MoE blocks sow their load-balance losses here (modules/moe.py)
+            mutable.append("moe")
+        if train and mutable:
             out, new_state = self.network.apply(
-                params, **kwargs, rngs=apply_rngs,
-                mutable=list(self.mutable_collections),
+                params, **kwargs, rngs=apply_rngs, mutable=mutable,
             )
-            return out, dict(new_state)
+            new_state = dict(new_state)
+            moe = new_state.pop("moe", None)
+            if moe is not None and isinstance(out, dict):
+                leaves = jax.tree_util.tree_leaves(moe)
+                out = dict(out, _moe_aux=sum(leaves) if leaves else jnp.float32(0.0))
+            return out, (new_state or None)
         return self.network.apply(params, **kwargs, rngs=apply_rngs), None
 
     # -- host hooks ----------------------------------------------------------
@@ -335,6 +371,7 @@ class MultiLossTask(TrainTask):
                  mute_code=mute_code),
             rngs, train,
         )
+        moe_aux = outputs.pop("_moe_aux", None) if isinstance(outputs, dict) else None
         losses = self.branch_losses(outputs, batch, ctx)
         vec = jnp.stack([losses[n] for n in self.loss_names])
         total = jnp.dot(ctx["loss_weights"].astype(vec.dtype), vec)
@@ -342,7 +379,12 @@ class MultiLossTask(TrainTask):
             # after freezing, only the fusion head trains and only its loss
             # backprops (`/root/reference/models/avmnist.py:292-293`)
             total = jnp.where(ctx["frozen"] > 0, losses["fusion"], total)
+        if moe_aux is not None:
+            # Switch-style load-balance regularizer (modules/moe.py)
+            total = total + jnp.asarray(self.moe_aux_weight, moe_aux.dtype) * moe_aux
         aux = {"losses": losses, **self.predictions(outputs, batch)}
+        if moe_aux is not None:
+            aux["moe_aux"] = moe_aux
         if new_state is not None:
             aux["_mutable_state"] = new_state
         return total, aux
@@ -379,6 +421,11 @@ class MultiLossTask(TrainTask):
     # -- host hooks ------------------------------------------------------------
     def epoch_log_keys(self) -> Sequence[str]:
         return tuple(f"loss_{n}" for n in self.loss_names)
+
+    def epoch_scalar_keys(self) -> Sequence[str]:
+        # moe_aux only exists in train-step aux; the trainer's scalar
+        # aggregation skips absent keys, so declaring it is safe for eval
+        return ("moe_aux",) if self._uses_moe else ()
 
     def on_train_epoch_end(self, trainer, epoch: int, logs: Dict[str, float]) -> None:
         if self.anneal_on == "train_end":

@@ -27,8 +27,9 @@ from .pallas_blocks import *  # noqa: F401,F403
 from .paired import *  # noqa: F401,F403
 from .stacked import *  # noqa: F401,F403
 from .pipelined import *  # noqa: F401,F403
+from .moe import *  # noqa: F401,F403
 
-from . import mixer, gmlp, dynamixer, fusion, classification, mlp, recurrent, losses, pallas_blocks, paired, stacked, pipelined  # noqa: F401
+from . import mixer, gmlp, dynamixer, fusion, classification, mlp, recurrent, losses, pallas_blocks, paired, stacked, pipelined, moe  # noqa: F401
 
 
 def _tuplify(v):

@@ -106,6 +106,12 @@ _PIPE_LEAF = re.compile(
     r"((token|channel)_fc[12]_(kernel|bias)|norm_(token|channel)_(scale|bias))$"
 )
 
+# Expert parallelism: the expert-stacked kernels of MoEFeedForward
+# (modules/moe.py, leaves (E, ...)) shard their expert axis over 'model' —
+# each device holds E/model experts and computes all tokens through its
+# local experts; the masked combine contracts the expert axis with one psum.
+_EXPERT_LEAF = re.compile(r"expert_fc[12]_(kernel|bias)$")
+
 
 def _spec_for(path: str, leaf, mesh: Mesh, min_dim: int) -> P:
     pipe_size = mesh.shape.get("pipe", 1)
@@ -115,6 +121,9 @@ def _spec_for(path: str, leaf, mesh: Mesh, min_dim: int) -> P:
     model_size = mesh.shape["model"]
     if model_size == 1:
         return P()
+    if _EXPERT_LEAF.search(path) and leaf.ndim >= 1 \
+            and leaf.shape[0] % model_size == 0:
+        return P("model")
     for pat, spec in _TP_RULES:
         if pat.search(path):
             # verify divisibility of the sharded dimension
