@@ -19,6 +19,7 @@ __all__ = [
     "RuinModality",
     "image_to_chw",
     "load_image",
+    "load_images",
     "imagenet_normalize",
 ]
 
@@ -37,7 +38,23 @@ def imagenet_normalize(chw: np.ndarray) -> np.ndarray:
 
 def load_image(path: str, size: Optional[Tuple[int, int]] = None,
                normalize: bool = True) -> np.ndarray:
-    """RGB load -> optional bicubic resize -> CHW float -> ImageNet norm."""
+    """RGB load -> optional bicubic resize -> CHW float -> ImageNet norm.
+
+    When a resize target is given, the decode+resample+normalize chain runs
+    in the native C++ kernel (libjpeg/libpng + a Pillow-parity antialiased
+    bicubic resampler, ``native/imageio.cpp``) and falls back to PIL for
+    unsupported containers, decode errors, or when the library can't build.
+    Values agree with the PIL path within resampler rounding (<~2/255 in
+    pixel space). Opt out with ``M2MIXER_NATIVE_IMAGES=0``.
+    """
+    import os as _os
+
+    if size is not None and _os.environ.get("M2MIXER_NATIVE_IMAGES", "1") != "0":
+        from ..native import load_image_native
+
+        out = load_image_native(path, size, normalize)
+        if out is not None:
+            return out
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
@@ -45,6 +62,25 @@ def load_image(path: str, size: Optional[Tuple[int, int]] = None,
         img = img.resize((size[1], size[0]), Image.BICUBIC)  # PIL wants (W, H)
     chw = image_to_chw(img)
     return imagenet_normalize(chw) if normalize else chw
+
+
+def load_images(paths, size: Tuple[int, int], normalize: bool = True,
+                nthreads: Optional[int] = None) -> np.ndarray:
+    """Batched image loading: the native threaded loader where available
+    (one C++ thread pool decodes/resizes the whole batch), PIL for the
+    remainder/fallback. Returns (N, 3, H, W) float32."""
+    import os as _os
+
+    paths = list(paths)
+    if _os.environ.get("M2MIXER_NATIVE_IMAGES", "1") != "0":
+        from ..native import load_images_native
+
+        out, failed = load_images_native(paths, size, normalize, nthreads)
+        if out is not None:
+            for i in np.flatnonzero(failed):
+                out[i] = load_image(paths[i], size, normalize)
+            return out
+    return np.stack([load_image(p, size, normalize) for p in paths])
 
 
 class RuinModality:
