@@ -216,6 +216,16 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                          "train.grad_accum_steps > 1; use the sequential "
                          "runner (silently ignoring it would change the "
                          "update schedule vs the sequential protocol)")
+    from ..parallel.pipeline import pipeline_mesh, set_pipeline_mesh
+
+    if pipeline_mesh() is not None:
+        # the member vmap composes with DP/TP/EP sharding but not with the
+        # manual shard_map pipeline; PipelinedFusionMixer's sequential
+        # fallback computes identical math, so just clear the context
+        set_pipeline_mesh(None)
+        if verbose:
+            print("[ensemble] pipeline mesh cleared: pipelined blocks run "
+                  "their (math-identical) sequential path under the member vmap")
     datamodule.setup("fit")
     datamodule.setup("test")
     for stage in ("train", "val", "test"):

@@ -134,6 +134,31 @@ def _run(tmp_path, data, model):
     return trainer
 
 
+def test_moe_checkpoint_serves(tmp_path):
+    """MoE task params export to a serving artifact and predict with logits
+    matching the direct eval forward (routing is deterministic at eval; the
+    sown balance loss only exists in training mode)."""
+    from m2mixer_tpu.serving import export_serving, load_serving
+
+    cfg = loads(CFG.format(tmp=tmp_path, data=1, model=1))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.rand(8, 1, 28, 28).astype(np.float32),
+        "audio": rng.rand(8, 1, 112, 112).astype(np.float32),
+        "label": rng.randint(0, 10, (8,)).astype(np.int32),
+    }
+    params = task.init_params(jax.random.PRNGKey(0), batch)
+    d = export_serving(task, params, batch, str(tmp_path / "art"),
+                       fmt="stablehlo", buckets=(8,))
+    model = load_serving(d)
+    out = model.predict(batch)
+    direct = task.network.apply(params, **task.network_inputs(batch),
+                                deterministic=True)
+    np.testing.assert_allclose(out["logits"], np.asarray(direct["logits"]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_moe_training_e2e_with_expert_parallelism(tmp_path):
     """DP=2 x EP=4 (experts sharded over 'model') must train, log the
     balance loss, and reproduce the single-device run."""

@@ -194,6 +194,36 @@ def _run_e2e(tmp_path, pipe: int):
         set_pipeline_mesh(None)
 
 
+def test_pipelined_checkpoint_serves_sequentially(tmp_path):
+    """Params of a task whose fusion stack is pipelined deploy through
+    serving with NO pipeline context: the artifact runs the math-identical
+    sequential fallback, so served logits must match a direct pipelined
+    forward under the training mesh."""
+    from m2mixer_tpu.serving import export_serving, load_serving
+
+    cfg = loads(E2E_CFG.format(tmp=tmp_path, pipe=4))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.rand(8, 1, 28, 28).astype(np.float32),
+        "audio": rng.rand(8, 1, 112, 112).astype(np.float32),
+        "label": rng.randint(0, 10, (8,)).astype(np.int32),
+    }
+    params = task.init_params(jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(MeshConfig(data=2, model=1, pipe=4))
+    with pipeline_ctx(mesh):
+        direct = jax.jit(
+            lambda p, b: task.network.apply(p, **task.network_inputs(b),
+                                            deterministic=True)
+        )(params, batch)
+    assert pipeline_mesh() is None  # context restored: export is sequential
+    d = export_serving(task, params, batch, str(tmp_path / "art"),
+                       fmt="stablehlo", buckets=(8,))
+    out = load_serving(d).predict(batch)
+    np.testing.assert_allclose(out["logits"], np.asarray(direct["logits"]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipelined_training_matches_sequential(tmp_path):
     """Full Trainer run (epoch-compiled scan, DP=2 x PP=4) vs the same model
     with pipe=1 (sequential fallback): identical data order and rng folding,
