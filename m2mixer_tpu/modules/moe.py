@@ -27,12 +27,17 @@ TPU-native design decisions:
 
 Select with ``block_type: MoEMLPMixer`` (encoder) or ``MoEFusionMixer``
 (fusion stack); config keys mirror MLPMixer/FusionMixer plus
-``num_experts`` (the per-expert width stays ``channel_dim``) and optional
-``moe_top_k``.
+``num_experts`` (the per-expert width stays ``channel_dim``), optional
+``moe_top_k``, and optional ``moe_capacity_factor`` — 0 keeps the dense
+exact dispatch; > 0 switches to GShard-style sparse capacity dispatch
+(one-hot dispatch/combine einsums, per-expert FLOPs scale with capacity
+instead of the full token count, over-capacity tokens fall back to their
+residual).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional, Tuple
 
 import jax
@@ -56,6 +61,15 @@ class MoEFeedForward(nn.Module):
     hidden_dim: int
     num_experts: int
     top_k: int = 1
+    #: 0 = dense exact dispatch (every expert computes every token, combine
+    #: masked — no drops, E x channel FLOPs). > 0 = sparse capacity-based
+    #: dispatch (GShard-style): each expert processes at most
+    #: ``ceil(tokens/E * capacity_factor)`` tokens per sample, routed via
+    #: one-hot dispatch einsums (no gather/scatter/all_to_all — the expert
+    #: axis stays a shardable tensor dimension); tokens over capacity are
+    #: dropped (their block residual passes through unchanged). Per-expert
+    #: FLOPs then scale with capacity, not with the full token count.
+    capacity_factor: float = 0.0
     dropout: float = 0.0
     dtype: Optional[Any] = None
 
@@ -97,8 +111,39 @@ class MoEFeedForward(nn.Module):
         P = probs.reshape(-1, E).mean(axis=0)
         self.sow("moe", "balance", E * jnp.sum(f * P))
 
-        # dense dispatch: (..., E, N, F) intermediate; expert axis shardable
         drop = Dropout(self.dropout)
+        if self.capacity_factor and self.capacity_factor > 0:
+            # sparse dispatch: route each top-k choice to a capacity slot,
+            # first choices claiming slots before later ones
+            T = x.shape[-2]
+            C = max(1, int(math.ceil(T / E * float(self.capacity_factor))))
+            counts = jnp.zeros((*probs.shape[:-2], E), probs.dtype)
+            dispatch = None  # (..., T, E, C) 0/1
+            combine = None   # dispatch weighted by the router prob
+            for j in range(k):
+                oh = jax.nn.one_hot(top_idx[..., j], E, dtype=probs.dtype)
+                pos = (jnp.cumsum(oh, axis=-2) - oh
+                       + counts[..., None, :])          # slot within expert
+                pos_t = (pos * oh).sum(axis=-1)          # (..., T)
+                keep = (pos_t < C).astype(probs.dtype)
+                disp_e = oh * keep[..., None]            # (..., T, E)
+                d = disp_e[..., :, None] * jax.nn.one_hot(
+                    pos_t.astype(jnp.int32), C, dtype=probs.dtype)[..., None, :]
+                cmb = d * top_p[..., j][..., None, None]
+                dispatch = d if dispatch is None else dispatch + d
+                combine = cmb if combine is None else combine + cmb
+                counts = counts + disp_e.sum(axis=-2)
+            expert_in = jnp.einsum("...td,...tec->...ecd", x.astype(dt),
+                                   dispatch.astype(dt))
+            h = jnp.einsum("...ecd,edf->...ecf", expert_in, k1.astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            h = drop(gelu(h + b1.astype(dt)[..., :, None, :]), deterministic)
+            o = jnp.einsum("...ecf,efd->...ecd", h, k2.astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            o = drop(o + b2.astype(dt)[..., :, None, :], deterministic)
+            return jnp.einsum("...ecd,...tec->...td", o, combine.astype(dt))
+
+        # dense dispatch: (..., E, N, F) intermediate; expert axis shardable
         h = jnp.einsum("...nd,edf->...enf", x.astype(dt), k1.astype(dt),
                        preferred_element_type=jnp.float32).astype(dt)
         h = h + b1.astype(dt)[..., :, None, :]
@@ -122,6 +167,7 @@ class MoEMixerBlock(nn.Module):
     channel_dim: int
     num_experts: int = 4
     top_k: int = 1
+    capacity_factor: float = 0.0
     dropout: float = 0.0
     dtype: Optional[Any] = None
 
@@ -140,7 +186,8 @@ class MoEMixerBlock(nn.Module):
 
         y = LayerNorm(dtype=self.dtype, name="norm_channel")(x)
         y = MoEFeedForward(self.hidden_dim, self.channel_dim,
-                           self.num_experts, self.top_k, self.dropout,
+                           self.num_experts, self.top_k,
+                           self.capacity_factor, self.dropout,
                            dtype=self.dtype, name="channel_moe")(y, deterministic)
         return x + y
 
@@ -156,6 +203,7 @@ class MoEFusionMixer(nn.Module):
     channel_dim: int
     num_experts: int = 4
     moe_top_k: int = 1
+    moe_capacity_factor: float = 0.0
     dropout: float = 0.0
     dtype: Optional[Any] = None
 
@@ -170,6 +218,7 @@ class MoEFusionMixer(nn.Module):
                 hidden_dim=self.hidden_dim, num_patch=self.num_patches,
                 token_dim=self.token_dim, channel_dim=self.channel_dim,
                 num_experts=self.num_experts, top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
                 dropout=self.dropout, dtype=self.dtype, name=f"block_{i}",
             )(x, deterministic)
         return LayerNorm(dtype=self.dtype, name="norm_out")(x)
@@ -188,6 +237,7 @@ class MoEMLPMixer(nn.Module):
     channel_dim: int
     num_experts: int = 4
     moe_top_k: int = 1
+    moe_capacity_factor: float = 0.0
     dropout: float = 0.0
     dtype: Optional[Any] = None
 
@@ -205,6 +255,7 @@ class MoEMLPMixer(nn.Module):
                 hidden_dim=self.hidden_dim, num_patch=self.num_patch,
                 token_dim=self.token_dim, channel_dim=self.channel_dim,
                 num_experts=self.num_experts, top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
                 dropout=self.dropout, dtype=self.dtype, name=f"block_{i}",
             )(x, deterministic)
         return LayerNorm(dtype=self.dtype, name="norm_out")(x)

@@ -75,6 +75,48 @@ def test_moe_top2_combines_two_experts():
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
+def test_sparse_dispatch_matches_dense_at_full_capacity():
+    """capacity_factor = E gives every expert T slots — nothing drops, so
+    the sparse one-hot dispatch must reproduce the dense combine exactly."""
+    D, F, E = 8, 16, 4
+    dense = MoEFeedForward(dim=D, hidden_dim=F, num_experts=E, dropout=0.0)
+    sparse = MoEFeedForward(dim=D, hidden_dim=F, num_experts=E,
+                            capacity_factor=float(E), dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 6, D))
+    params = {"params": dense.init(jax.random.PRNGKey(7), x)["params"]}
+    yd, _ = dense.apply(params, x, mutable=["moe"])
+    ys, _ = sparse.apply(params, x, mutable=["moe"])
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yd),
+                               rtol=1e-5, atol=1e-6)
+    # top-2 as well (two choices claim slots in priority order)
+    dense2 = MoEFeedForward(dim=D, hidden_dim=F, num_experts=E, top_k=2, dropout=0.0)
+    sparse2 = MoEFeedForward(dim=D, hidden_dim=F, num_experts=E, top_k=2,
+                             capacity_factor=float(E), dropout=0.0)
+    yd2, _ = dense2.apply(params, x, mutable=["moe"])
+    ys2, _ = sparse2.apply(params, x, mutable=["moe"])
+    np.testing.assert_allclose(np.asarray(ys2), np.asarray(yd2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_dispatch_drops_over_capacity_tokens():
+    """Zero router -> every token picks expert 0; with capacity 2 slots per
+    sample only the first two tokens produce output, the rest return
+    exactly zero (their block residual passes through)."""
+    D, F, E = 8, 16, 4
+    # T=8, E=4: capacity_factor=1 -> C = 2 slots
+    sparse = MoEFeedForward(dim=D, hidden_dim=F, num_experts=E,
+                            capacity_factor=1.0, dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, D))
+    params = {"params": jax.tree.map(
+        jnp.asarray, sparse.init(jax.random.PRNGKey(9), x)["params"])}
+    params["params"]["router"]["linear"]["kernel"] = jnp.zeros((D, E))
+    params["params"]["router"]["linear"]["bias"] = jnp.zeros((E,))
+    y, _ = sparse.apply(params, x, mutable=["moe"])
+    y = np.asarray(y)
+    assert np.abs(y[:, :2]).max() > 0          # routed tokens produce output
+    np.testing.assert_array_equal(y[:, 2:], 0)  # dropped tokens: exact zeros
+
+
 def test_expert_parallel_sharding_rule():
     mesh = make_mesh(MeshConfig(data=2, model=4))
     params = {
