@@ -176,6 +176,53 @@ def _run(tmp_path, data, model):
     return trainer
 
 
+def _router_learns(capacity_factor):
+    """Two token clusters need two different linear maps; a trained MoE
+    must cut the loss by well over half — which requires gradients to flow
+    through the routing gate (the only path to the router weights)."""
+    import optax
+
+    D, F, E = 8, 32, 2
+    moe = MoEFeedForward(dim=D, hidden_dim=F, num_experts=E,
+                         capacity_factor=capacity_factor, dropout=0.0)
+    rng = np.random.default_rng(0)
+    A1 = rng.normal(size=(D, D)).astype(np.float32) * 0.5
+    A2 = -A1
+    base = rng.normal(size=(64, 6, D)).astype(np.float32)
+    cluster = (rng.random((64, 6, 1)) < 0.5).astype(np.float32)
+    x = jnp.asarray(base + 3.0 * (2 * cluster - 1))  # separable clusters
+    y = jnp.asarray(np.where(cluster > 0, base @ A1, base @ A2))
+
+    params = {"params": moe.init(jax.random.PRNGKey(1), x)["params"]}
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = moe.apply(p, x)
+            return jnp.mean((out - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first = None
+    for _ in range(300):
+        params, opt_state, loss = step(params, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.4 * first, (first, float(loss))
+
+
+def test_router_learns_dense_dispatch():
+    _router_learns(capacity_factor=0.0)
+
+
+def test_router_learns_sparse_dispatch():
+    _router_learns(capacity_factor=2.0)
+
+
 def test_moe_checkpoint_serves(tmp_path):
     """MoE task params export to a serving artifact and predict with logits
     matching the direct eval forward (routing is deterministic at eval; the
