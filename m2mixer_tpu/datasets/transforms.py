@@ -72,6 +72,8 @@ def load_images(paths, size: Tuple[int, int], normalize: bool = True,
     import os as _os
 
     paths = list(paths)
+    if not paths:
+        return np.zeros((0, 3, int(size[0]), int(size[1])), np.float32)
     if _os.environ.get("M2MIXER_NATIVE_IMAGES", "1") != "0":
         from ..native import load_images_native
 

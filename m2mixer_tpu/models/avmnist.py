@@ -247,5 +247,7 @@ class AVMnistMixerMultiLossUQ(AVMnistMixerMultiLoss):
         }
 
     def epoch_scalar_keys(self):
-        # per-epoch mean uncertainties (`models/avmnist.py:556-572`)
-        return ("uncertainty", "uncertainty_image", "uncertainty_audio")
+        # per-epoch mean uncertainties (`models/avmnist.py:556-572`), plus
+        # whatever the base declares (moe_aux for MoE configs)
+        return tuple(super().epoch_scalar_keys()) + (
+            "uncertainty", "uncertainty_image", "uncertainty_audio")

@@ -80,6 +80,10 @@ class TrainTask(abc.ABC):
     """Contract between task models and the Trainer."""
 
     RNG_COLLECTIONS = ("dropout", "stochastic", "mute")
+    #: whether this task family collects the MoE balance loss (see
+    #: MultiLossTask.step); construction fails for MoE configs on tasks
+    #: that would silently drop it
+    _supports_moe = False
     #: flax variable collections updated in-step during training (e.g.
     #: ("batch_stats",) for true-BN fine-tuning). When non-empty, ``step``
     #: returns the refreshed collections under ``aux["_mutable_state"]`` and
@@ -102,6 +106,13 @@ class TrainTask(abc.ABC):
         # detect statically from config block types so non-MoE tasks keep
         # their exact apply signature (modules/moe.py)
         self._uses_moe = _config_uses_moe(model_cfg)
+        if self._uses_moe and not self._supports_moe:
+            raise ValueError(
+                f"{type(self).__name__} does not support MoE blocks: the "
+                "load-balance aux loss is collected and applied by the "
+                "MultiLossTask family only — a task that bypassed it would "
+                "silently train without the advertised regularizer. Use an "
+                "MoE block under a MultiLoss task, or a dense block here.")
         self.moe_aux_weight = float(model_cfg.get("moe_aux_weight", 0.01))
         self.bind_trace_flavors()
         self.network = self.build_network()
@@ -201,7 +212,13 @@ class TrainTask(abc.ABC):
             )
             new_state = dict(new_state)
             moe = new_state.pop("moe", None)
-            if moe is not None and isinstance(out, dict):
+            if moe is not None:
+                if not isinstance(out, dict):
+                    raise TypeError(
+                        "MoE blocks sowed a balance loss but the network "
+                        "output is not a dict — the aux loss would be "
+                        "silently dropped (network outputs must be dicts "
+                        "to carry _moe_aux)")
                 leaves = jax.tree_util.tree_leaves(moe)
                 out = dict(out, _moe_aux=sum(leaves) if leaves else jnp.float32(0.0))
             return out, (new_state or None)
@@ -244,6 +261,7 @@ class MultiLossTask(TrainTask):
 
     #: branch names, e.g. ("image", "audio"); the fusion branch is implicit.
     modalities: Tuple[str, ...] = ()
+    _supports_moe = True  # step() collects and applies the MoE balance loss
     #: fixed-weighting flavor per reference task family:
     #:   'fixed_scaled' — (w_f*l_f + ow*sum(l_i)) * n   (avmnist, `avmnist.py:290-291`)
     #:   'fixed'        —  w_f*l_f + ow*sum(l_i)        (mimic `mimic.py:115-121`, mmhs `mmhs150.py:106-107`)

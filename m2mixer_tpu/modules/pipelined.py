@@ -33,15 +33,9 @@ from flax import linen as nn
 
 from ..parallel.pipeline import pipeline_apply, pipeline_mesh
 from .common import Dropout, dropout_by_key, gelu
-from .stacked import StackedFusionMixer
+from .stacked import StackedFusionMixer, stacked_layer_norm as _ln
 
 __all__ = ["PipelinedFusionMixer"]
-
-
-def _ln(y, s, b):
-    m = y.mean(axis=-1, keepdims=True)
-    v = ((y - m) ** 2).mean(axis=-1, keepdims=True)
-    return (y - m) * jax.lax.rsqrt(v + 1e-5) * s.astype(y.dtype) + b.astype(y.dtype)
 
 
 class PipelinedFusionMixer(StackedFusionMixer):

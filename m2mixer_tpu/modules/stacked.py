@@ -30,7 +30,17 @@ from flax import linen as nn
 
 from .common import Dropout, gelu, torch_bias_init, torch_kernel_init
 
-__all__ = ["StackedFusionMixer", "stack_fusion_mixer_params"]
+__all__ = ["StackedFusionMixer", "stack_fusion_mixer_params",
+           "stacked_layer_norm"]
+
+
+def stacked_layer_norm(y, s, b):
+    """The stacked-path LayerNorm math (eps 1e-5, params applied in the
+    stream dtype) — one definition shared by the stacked and pipelined
+    mixers so the 'bit-identical fallback' guarantee can't drift."""
+    m = y.mean(axis=-1, keepdims=True)
+    v = ((y - m) ** 2).mean(axis=-1, keepdims=True)
+    return (y - m) * jax.lax.rsqrt(v + 1e-5) * s.astype(y.dtype) + b.astype(y.dtype)
 
 
 class StackedFusionMixer(nn.Module):
@@ -84,10 +94,7 @@ class StackedFusionMixer(nn.Module):
         drop = Dropout(self.dropout)
         dt = self.dtype or x.dtype
 
-        def ln(y, s, b):
-            m = y.mean(axis=-1, keepdims=True)
-            v = ((y - m) ** 2).mean(axis=-1, keepdims=True)
-            return (y - m) * jax.lax.rsqrt(v + 1e-5) * s.astype(y.dtype) + b.astype(y.dtype)
+        ln = stacked_layer_norm
 
         def mm(a, w):
             # f32 MXU accumulation, result carried in the compute dtype

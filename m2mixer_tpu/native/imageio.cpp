@@ -73,20 +73,29 @@ bool decode_jpeg(FILE* f, std::vector<uint8_t>* rgb, int* h, int* w) {
   return true;
 }
 
-// decode a PNG to RGB8 via the libpng simplified API (palette/gray/alpha
-// are converted; alpha is dropped like PIL's convert("RGB"))
+// decode a PNG to RGB8 via the libpng simplified API. Read as RGBA and
+// STRIP the alpha channel: PIL's convert("RGB") drops alpha keeping the
+// raw color channels, whereas asking libpng for PNG_FORMAT_RGB would
+// composite transparent pixels against black — a silent data change.
 bool decode_png(const char* path, std::vector<uint8_t>* rgb, int* h, int* w) {
   png_image image;
   std::memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_file(&image, path)) return false;
-  image.format = PNG_FORMAT_RGB;
+  image.format = PNG_FORMAT_RGBA;
   *h = static_cast<int>(image.height);
   *w = static_cast<int>(image.width);
-  rgb->resize(PNG_IMAGE_SIZE(image));
-  if (!png_image_finish_read(&image, nullptr, rgb->data(), 0, nullptr)) {
+  std::vector<uint8_t> rgba(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, rgba.data(), 0, nullptr)) {
     png_image_free(&image);
     return false;
+  }
+  const size_t n = static_cast<size_t>(*h) * *w;
+  rgb->resize(n * 3);
+  for (size_t i = 0; i < n; ++i) {
+    (*rgb)[i * 3 + 0] = rgba[i * 4 + 0];
+    (*rgb)[i * 3 + 1] = rgba[i * 4 + 1];
+    (*rgb)[i * 3 + 2] = rgba[i * 4 + 2];
   }
   return true;
 }
@@ -223,14 +232,15 @@ void to_chw(const float* hwc, int h, int w, int normalize, float* out) {
 }
 
 int load_one(const char* path, int out_h, int out_w, int normalize, float* out) {
+  if (out_h <= 0 || out_w <= 0) return 1;  // out is sized 3*out_h*out_w
   std::vector<uint8_t> rgb;
   int h = 0, w = 0;
   if (!decode_file(path, &rgb, &h, &w)) return 1;
-  if (out_h <= 0 || out_w <= 0 || (out_h == h && out_w == w)) {
-    // no resize: straight uint8 -> CHW float
+  if (out_h == h && out_w == w) {
+    // no resize needed: straight uint8 -> CHW float
     std::vector<float> hwc(rgb.begin(), rgb.end());
     to_chw(hwc.data(), h, w, normalize, out);
-    return (out_h <= 0 || (out_h == h && out_w == w)) ? 0 : 1;
+    return 0;
   }
   std::vector<float> hwc;
   resize_bicubic(rgb.data(), h, w, out_h, out_w, &hwc);
@@ -243,18 +253,12 @@ int load_one(const char* path, int out_h, int out_w, int normalize, float* out) 
 extern "C" {
 
 // Decode+resize+normalize one image into out (3*out_h*out_w floats, CHW).
-// Returns 0 on success, nonzero on any failure (caller falls back to PIL).
-// out_h/out_w <= 0 means "no resize" — then the caller must have sized the
-// buffer from the file's own dimensions (use m2m_image_size first).
+// Returns 0 on success, nonzero on any failure (caller falls back to PIL);
+// out_h/out_w must be positive — the buffer is always caller-sized to the
+// target shape, so there is no "use the file's own dimensions" mode.
 int m2m_load_image(const char* path, int out_h, int out_w, int normalize,
                    float* out) {
   return load_one(path, out_h, out_w, normalize, out);
-}
-
-// Peek dimensions without a full decode path for the no-resize case.
-int m2m_image_size(const char* path, int* h, int* w) {
-  std::vector<uint8_t> rgb;  // simplified: full decode (rare path)
-  return decode_file(path, &rgb, h, w) ? 0 : 1;
 }
 
 // Batched threaded loader: out is (n, 3, out_h, out_w) float32; status[i]

@@ -101,10 +101,14 @@ _TP_RULES = [
 # FusionMixer (one (L, ...) leaf per role, modules/stacked.py) shard their
 # leading layer axis over 'pipe' so each stage's weights (and Adam moments,
 # which inherit the params layout) LIVE on that stage's devices — the memory
-# point of pipeline parallelism, not just its schedule.
+# point of pipeline parallelism, not just its schedule. Matching is by leaf
+# name, so the paired encoder (modules/paired.py uses the same stacked leaf
+# names but runs replicated on every device) is explicitly excluded — pipe-
+# sharding it would force a weight all-gather every step for zero benefit.
 _PIPE_LEAF = re.compile(
     r"((token|channel)_fc[12]_(kernel|bias)|norm_(token|channel)_(scale|bias))$"
 )
+_PIPE_EXCLUDE = re.compile(r"(^|/)paired_encoder(/|$)")
 
 # Expert parallelism: the expert-stacked kernels of MoEFeedForward
 # (modules/moe.py, leaves (E, ...)) shard their expert axis over 'model' —
@@ -116,7 +120,8 @@ _EXPERT_LEAF = re.compile(r"expert_fc[12]_(kernel|bias)$")
 def _spec_for(path: str, leaf, mesh: Mesh, min_dim: int) -> P:
     pipe_size = mesh.shape.get("pipe", 1)
     if pipe_size > 1 and _PIPE_LEAF.search(path) and leaf.ndim >= 1 \
-            and leaf.shape[0] % pipe_size == 0:
+            and leaf.shape[0] % pipe_size == 0 \
+            and not _PIPE_EXCLUDE.search(path):
         return P("pipe")
     model_size = mesh.shape["model"]
     if model_size == 1:

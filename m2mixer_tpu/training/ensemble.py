@@ -218,14 +218,30 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                          "update schedule vs the sequential protocol)")
     from ..parallel.pipeline import pipeline_mesh, set_pipeline_mesh
 
+    _restore_pipe = False
+    _prev_pipe = None
     if pipeline_mesh() is not None:
         # the member vmap composes with DP/TP/EP sharding but not with the
         # manual shard_map pipeline; PipelinedFusionMixer's sequential
-        # fallback computes identical math, so just clear the context
-        set_pipeline_mesh(None)
+        # fallback computes identical math, so clear the context for the
+        # duration of this fit (restored on return)
+        _prev_pipe = set_pipeline_mesh(None)
+        _restore_pipe = True
         if verbose:
             print("[ensemble] pipeline mesh cleared: pipelined blocks run "
                   "their (math-identical) sequential path under the member vmap")
+    try:
+        return _fit_ensemble_inner(
+            task, datamodule, train_cfg, n_members, reseed, metric_prefix,
+            early_stopping_patience, member_lrs, mesh, verbose)
+    finally:
+        if _restore_pipe:
+            set_pipeline_mesh(_prev_pipe)
+
+
+def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
+                        reseed, metric_prefix, early_stopping_patience,
+                        member_lrs, mesh, verbose) -> EnsembleResult:
     datamodule.setup("fit")
     datamodule.setup("test")
     for stage in ("train", "val", "test"):

@@ -21,6 +21,7 @@ Replaces ``pl.Trainer`` + ``AbstractTrainTestModule``
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Any, Dict, Iterable, NamedTuple, Optional
@@ -253,20 +254,13 @@ class Trainer:
                 pipe=int(train_cfg.get("mesh_pipe", 1)),
             )
         self.mesh = make_mesh(mesh_config)
-        # trace-time pipeline context: pipelined blocks (PipelinedFusionMixer)
-        # stream their layer stack over the mesh's pipe axis; without one
-        # they fall back to sequential stacked math
-        from ..parallel import set_activation_mesh, set_pipeline_mesh
-
-        set_pipeline_mesh(self.mesh if "pipe" in self.mesh.shape else None)
         # sequence parallelism (opt-in): mixer blocks constrain their token
-        # axis over 'model' so LN/dropout/residuals run token-sharded
-        # between the TP GEMMs (parallel/mesh.py::shard_tokens)
-        set_activation_mesh(
-            self.mesh
-            if bool(train_cfg.get("sequence_parallel", False))
+        # axis over 'model' between the TP GEMMs; installed (with the
+        # pipeline context) only for the duration of fit()/test() — see
+        # _parallel_contexts
+        self._sequence_parallel = (
+            bool(train_cfg.get("sequence_parallel", False))
             and self.mesh.shape.get("model", 1) > 1
-            else None
         )
         self.logger = ExperimentLogger(
             work_dir or train_cfg.get("tensorboard_path", "./logs"),
@@ -568,6 +562,24 @@ class Trainer:
             _signal.signal(_signal.SIGTERM, self._prev_sigterm)
             self._prev_sigterm = None
 
+    @contextlib.contextmanager
+    def _parallel_contexts(self):
+        """Install the trace-time parallelism contexts (pipeline mesh for
+        PipelinedFusionMixer, SP activation mesh) for the duration of a
+        fit/test, and restore the previous values after — so traces that
+        happen later in the same process (serving export, another Trainer)
+        never inherit a stale training mesh."""
+        from ..parallel import set_activation_mesh, set_pipeline_mesh
+
+        prev_pipe = set_pipeline_mesh(
+            self.mesh if "pipe" in self.mesh.shape else None)
+        prev_act = set_activation_mesh(self.mesh if self._sequence_parallel else None)
+        try:
+            yield
+        finally:
+            set_pipeline_mesh(prev_pipe)
+            set_activation_mesh(prev_act)
+
     def fit(self, task, datamodule, resume_from: Optional[str] = None) -> None:
         # preemption safety (train.save_on_preemption, default on): TPU
         # maintenance events / spot eviction deliver SIGTERM with a short
@@ -575,7 +587,8 @@ class Trainer:
         # instead of dying mid-epoch; train.auto_resume (or -p) continues
         self._install_preempt_handler()
         try:
-            self._fit_inner(task, datamodule, resume_from)
+            with self._parallel_contexts():
+                self._fit_inner(task, datamodule, resume_from)
         finally:
             self._restore_preempt_handler()
 
@@ -1085,6 +1098,10 @@ class Trainer:
 
     # ------------------------------------------------------------------ test
     def test(self, task, datamodule, ckpt: Optional[str] = "best") -> Dict[str, float]:
+        with self._parallel_contexts():
+            return self._test_inner(task, datamodule, ckpt)
+
+    def _test_inner(self, task, datamodule, ckpt: Optional[str]) -> Dict[str, float]:
         self.task = task
         if datamodule is not self.datamodule:
             self._dev_splits = {}

@@ -70,6 +70,33 @@ def test_native_handles_nonrgb_sources(tmp_path, mode, fname):
     assert diff.mean() <= 1.0
 
 
+def test_transparent_png_keeps_raw_rgb_like_pil(tmp_path):
+    """PIL's convert("RGB") DROPS alpha keeping the raw color channels;
+    libpng's PNG_FORMAT_RGB would composite transparent pixels to black.
+    The kernel must match PIL: fully transparent pixels keep their RGB."""
+    rgba = np.zeros((10, 12, 4), np.uint8)
+    rgba[..., 0], rgba[..., 1], rgba[..., 2] = 255, 128, 64
+    rgba[..., 3] = 0  # fully transparent everywhere
+    p = str(tmp_path / "transparent.png")
+    Image.fromarray(rgba, "RGBA").save(p)
+    nat = load_image_native(p, (10, 12), normalize=False)
+    assert nat is not None
+    expected = np.asarray([255, 128, 64], np.float32) / 255.0
+    np.testing.assert_allclose(nat[:, 0, 0], expected, atol=1e-6)
+    ref = _pil_load(p, (10, 12), normalize=False)
+    np.testing.assert_allclose(nat, ref, atol=1e-6)
+
+
+def test_zero_target_dims_fail_cleanly(tmp_path):
+    """A degenerate resize target must return failure (PIL fallback), not
+    write the file's own dimensions into an undersized buffer."""
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(rng.integers(0, 256, (30, 30, 3), np.uint8)).save(p)
+    assert load_image_native(p, (0, 16)) is None
+    assert load_image_native(p, (16, 0)) is None
+
+
 def test_batch_matches_per_image_and_flags_failures(tmp_path):
     rng = np.random.default_rng(2)
     paths = []

@@ -176,6 +176,27 @@ def _run(tmp_path, data, model):
     return trainer
 
 
+def test_moe_rejected_outside_multiloss_tasks():
+    """Tasks outside the MultiLoss family would silently drop the balance
+    loss; construction must fail loudly instead."""
+    import pytest
+
+    cfg = loads("""
+model:
+  type: AVMnistImageMixer
+  dropout: 0.1
+  modalities:
+    classification: {num_classes: 10}
+    image: {block_type: MoEMLPMixer, in_channels: 1, hidden_dim: 16,
+            patch_size: 14, image_size: [28, 28], token_dim: 8,
+            channel_dim: 32, num_mixers: 1, num_experts: 2}
+train:
+  optimizer: {lr: 1e-3, betas: [0.9, 0.999], eps: 1e-8, weight_decay: 0.0}
+""")
+    with pytest.raises(ValueError, match="MoE"):
+        get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+
+
 def _router_learns(capacity_factor):
     """Two token clusters need two different linear maps; a trained MoE
     must cut the loss by well over half — which requires gradients to flow

@@ -61,6 +61,12 @@ def test_pipe_rule_shards_stacked_leaves():
     assert s["norm_token_scale"].spec == P("pipe")
     assert s["norm_out_scale"].spec == P()
     assert s["token_fc1_kernel_odd"].spec == P()
+    # the paired encoder uses the same stacked leaf names but runs
+    # replicated — it must NOT be pipe-sharded (that would all-gather
+    # encoder weights every step)
+    paired = {"paired_encoder": {"token_fc1_kernel": jnp.zeros((4, 8, 8))}}
+    sp = param_shardings(mesh, paired)
+    assert sp["paired_encoder"]["token_fc1_kernel"].spec == P()
 
 
 def _modules():
@@ -189,6 +195,10 @@ def _run_e2e(tmp_path, pipe: int):
     trainer = Trainer(cfg.train, name=f"pp_{pipe}", full_cfg=cfg)
     try:
         trainer.fit(task, dm)
+        # the trainer must restore the trace-time context on exit so later
+        # traces in this process (serving export, other trainers) never
+        # inherit the training mesh
+        assert pipeline_mesh() is None
         return trainer
     finally:
         set_pipeline_mesh(None)

@@ -19,6 +19,7 @@ from m2mixer_tpu.datasets import get_data_module
 from m2mixer_tpu.models import get_model
 from m2mixer_tpu.parallel import (
     MeshConfig,
+    activation_mesh,
     make_mesh,
     set_activation_mesh,
     shard_tokens,
@@ -104,6 +105,8 @@ def _run(tmp_path, sp: bool):
     trainer = Trainer(cfg.train, name=f"sp_{sp}", full_cfg=cfg)
     try:
         trainer.fit(task, dm)
+        # context must not leak past fit
+        assert activation_mesh() is None
         return trainer
     finally:
         set_activation_mesh(None)
