@@ -460,7 +460,9 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
             if getattr(old, "out_dir", None) is None:
                 raise ValueError("model was not loaded from an artifact "
                                  "directory; cannot reload")
-            new = load_serving(old.out_dir, mesh=getattr(old, "_mesh", None))
+            new = load_serving(old.out_dir, mesh=getattr(old, "_mesh", None),
+                               shard_params=getattr(old, "_shard_params", False),
+                               model_min_dim=getattr(old, "_model_min_dim", 256))
             if warmup:
                 warmup_model(new)  # compile before taking traffic
             old_co = coalescers[name]

@@ -240,9 +240,13 @@ def to_pallas_serving(cfg, params, sample_batch):
     shape-checked against a fresh init of the Pallas task, so a mismatch
     fails loudly here, not at trace time.
     """
+    import copy
+
     from .models import get_model
 
-    new_cfg = cfg.copy()
+    # deepcopy: DictConfig.copy() is shallow and the block_type swaps below
+    # must not mutate the caller's config (it may still drive training)
+    new_cfg = copy.deepcopy(cfg)
     mc = new_cfg.model.modalities
     swapped = []
     for key in mc:
@@ -474,12 +478,23 @@ class ServedModel:
     over chips — parameters are replicated, request batches shard over
     ``data`` (stablehlo format only; buckets that don't divide the data
     axis are dropped at load).
+
+    ``shard_params``: with a mesh whose ``model`` axis is > 1, additionally
+    apply the trainer's tensor-parallel layout rules to the parameters
+    (Megatron-style channel-mix column/row sharding, expert kernels over
+    ``model`` — ``parallel/mesh.py::param_shardings``), so models too large
+    for one chip's HBM serve sharded; XLA's SPMD partitioner inserts the
+    same collectives the training step uses. int8-quantized leaves stay
+    replicated (the rules key on float kernel leaf names).
     """
 
-    def __init__(self, out_dir: str, mesh=None):
+    def __init__(self, out_dir: str, mesh=None, shard_params: bool = False,
+                 model_min_dim: int = 256):
         # remembered for hot reload (server POST /reload re-loads from here)
         self.out_dir = out_dir
         self._mesh = mesh
+        self._shard_params = shard_params
+        self._model_min_dim = model_min_dim
         with open(os.path.join(out_dir, _META)) as f:
             self.meta = json.load(f)
         with open(os.path.join(out_dir, _PARAMS), "rb") as f:
@@ -500,8 +515,14 @@ class ServedModel:
                 raise ValueError(
                     f"no export bucket divides the mesh data axis ({n}); "
                     "re-export with divisible buckets")
-            rep = NamedSharding(mesh, P())
-            self.params = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+            if shard_params and mesh.shape.get("model", 1) > 1:
+                from .parallel.mesh import param_shardings
+
+                self.params = jax.device_put(
+                    params, param_shardings(mesh, params, model_min_dim))
+            else:
+                rep = NamedSharding(mesh, P())
+                self.params = jax.device_put(params, jax.tree.map(lambda _: rep, params))
             self._data_sharding = lambda ndim: NamedSharding(
                 mesh, P("data", *([None] * (ndim - 1))))
         else:
@@ -563,8 +584,22 @@ class ServedModel:
         return jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
 
 
-def load_serving(out_dir: str, mesh=None) -> ServedModel:
-    return ServedModel(out_dir, mesh=mesh)
+def load_serving(out_dir: str, mesh=None, shard_params: bool = False,
+                 model_min_dim: int = 256) -> ServedModel:
+    return ServedModel(out_dir, mesh=mesh, shard_params=shard_params,
+                       model_min_dim=model_min_dim)
+
+
+def _mesh_from_spec(spec: str):
+    """CLI mesh spec ``'DATAxMODEL'`` (``'4x2'``) or ``'DATA'`` (``'4'``)
+    -> a ``jax.sharding.Mesh`` over the local devices."""
+    parts = [int(p) for p in str(spec).lower().split("x")]
+    if not 1 <= len(parts) <= 2 or any(p < 1 for p in parts):
+        raise ValueError(f"bad mesh spec {spec!r}: expected 'DATA' or 'DATAxMODEL'")
+    from .parallel import MeshConfig, make_mesh
+
+    return make_mesh(MeshConfig(data=parts[0],
+                                model=parts[1] if len(parts) > 1 else 1))
 
 
 def _build_task(cfg):
@@ -619,10 +654,18 @@ def main(argv: Optional[Sequence[str]] = None):
                          "Pallas kernels for low-latency serving (~40%% "
                          "lower dispatch latency at batch <= 32; implies "
                          "--format executable)")
+    mesh_help = ("serve over a device mesh, 'DATAxMODEL' (e.g. 4x2): request "
+                 "batches shard over the data axis; with --shard-params the "
+                 "trainer's tensor-parallel rules shard the weights over the "
+                 "model axis (stablehlo format only)")
     be = sub.add_parser("bench")
     be.add_argument("-d", "--dir", required=True)
     be.add_argument("--batch", type=int, default=32)
     be.add_argument("--iters", type=int, default=50)
+    be.add_argument("--mesh", default=None, metavar="DxM", help=mesh_help)
+    be.add_argument("--shard-params", action="store_true")
+    be.add_argument("--model-min-dim", type=int, default=256,
+                    help="smallest kernel dim worth sharding tensor-parallel")
     sv = sub.add_parser("serve", help="HTTP inference endpoint (see server.py)")
     sv.add_argument("-d", "--dir", required=True, action="append",
                     help="artifact directory; repeat with name=dir pairs to "
@@ -642,6 +685,9 @@ def main(argv: Optional[Sequence[str]] = None):
     sv.add_argument("--max-queue", type=int, default=65536, metavar="SAMPLES",
                     help="pending-sample cap; beyond it requests get 429 + "
                          "Retry-After instead of growing host memory")
+    sv.add_argument("--mesh", default=None, metavar="DxM", help=mesh_help)
+    sv.add_argument("--shard-params", action="store_true")
+    sv.add_argument("--model-min-dim", type=int, default=256)
     args, unknown = ap.parse_known_args(argv)
     if unknown and args.cmd != "export":
         ap.error(f"unrecognized arguments: {' '.join(unknown)}")
@@ -705,9 +751,12 @@ def main(argv: Optional[Sequence[str]] = None):
     elif args.cmd == "serve":
         from .server import serve_forever
 
+        mesh_kw = dict(
+            mesh=_mesh_from_spec(args.mesh) if args.mesh else None,
+            shard_params=args.shard_params, model_min_dim=args.model_min_dim)
         dirs = args.dir
         if len(dirs) == 1 and "=" not in dirs[0]:
-            target = load_serving(dirs[0])
+            target = load_serving(dirs[0], **mesh_kw)
         else:
             target = {}
             for spec in dirs:
@@ -717,7 +766,7 @@ def main(argv: Optional[Sequence[str]] = None):
                 name, _, d = spec.partition("=")
                 if not name or name in target:
                     ap.error(f"bad or duplicate model name in {spec!r}")
-                target[name] = load_serving(d)
+                target[name] = load_serving(d, **mesh_kw)
         serve_forever(target, host=args.host, port=args.port,
                       coalesce=not args.no_coalesce, warmup=args.warmup,
                       request_timeout=args.request_timeout,
@@ -725,7 +774,10 @@ def main(argv: Optional[Sequence[str]] = None):
     else:
         import time
 
-        model = load_serving(args.dir)
+        model = load_serving(
+            args.dir,
+            mesh=_mesh_from_spec(args.mesh) if args.mesh else None,
+            shard_params=args.shard_params, model_min_dim=args.model_min_dim)
         feats = {
             k: np.random.rand(args.batch, *shp).astype(model.meta["dtypes"][k])
             for k, shp in model.meta["features"].items()
@@ -743,8 +795,13 @@ def main(argv: Optional[Sequence[str]] = None):
         # device latency: device-resident inputs, pipelined dispatch, one
         # final block — the model's own compute time per request.
         bucket = pick_bucket(args.batch, model.buckets)
+        # under a mesh, device-resident inputs carry the same data-axis
+        # sharding the jitted call expects (a plain device_put would commit
+        # them to one device and force a reshard per request)
+        put = (lambda a: jax.device_put(a, model._data_sharding(a.ndim))) \
+            if model._data_sharding is not None else jax.device_put
         padded = {
-            k: jax.device_put(np.pad(
+            k: put(np.pad(
                 v, [(0, bucket - args.batch)] + [(0, 0)] * (v.ndim - 1)))
             for k, v in feats.items()
         }

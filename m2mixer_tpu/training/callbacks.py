@@ -153,7 +153,7 @@ class CheckpointManager:
     """
 
     def __init__(self, directory: str, monitor: str = "val_loss", mode: str = "min",
-                 top_k: int = 5, save_last: bool = True):
+                 top_k: int = 5, save_last: bool = True, async_save: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.monitor = monitor
@@ -167,7 +167,33 @@ class CheckpointManager:
                 self.index = json.load(f)
         import orbax.checkpoint as ocp
 
-        self._ckptr = ocp.PyTreeCheckpointer()
+        # async_save (train.async_checkpointing): serialization happens on a
+        # background thread so the epoch loop never blocks on checkpoint IO
+        # (device->host array pulls still happen at save() call time; the
+        # disk write is what overlaps the next epoch). Orbax serializes
+        # overlapping saves internally; wait() makes everything durable.
+        self.async_save = bool(async_save)
+        if self.async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
+        self._inflight: Optional[str] = None
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed to disk.
+        No-op for the synchronous checkpointer. Call before reading a
+        just-written checkpoint or handing the directory to another
+        process (the trainer does both automatically)."""
+        if self.async_save:
+            self._ckptr.wait_until_finished()
+        self._inflight = None
+
+    def _rmtree(self, path: str) -> None:
+        # never delete a directory whose async write is still in flight
+        if self._inflight == path:
+            self.wait()
+        if os.path.exists(path):
+            shutil.rmtree(path)
 
     def _write_index(self):
         # monitor name + mode recorded so offline consumers (e.g. serving's
@@ -192,10 +218,11 @@ class CheckpointManager:
         if isinstance(value, float) and math.isnan(value):
             value = None  # NaN sorts arbitrarily; treat as unrankable
         path = self._path(epoch)
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        self._rmtree(path)
         state = jax.tree.map(lambda x: x, state)  # shallow copy of structure
-        self._ckptr.save(path, state)
+        self._ckptr.save(path, state)  # returns immediately under async_save
+        if self.async_save:
+            self._inflight = path
         self.index["entries"] = [e for e in self.index["entries"] if e["epoch"] != epoch]
         self.index["entries"].append({"epoch": epoch, "monitor": value, "path": path})
         self.index["last"] = path
@@ -209,10 +236,10 @@ class CheckpointManager:
         follows 'last'). The entry is unrankable (monitor None) and prunes
         itself once a later normal save supersedes it as 'last'."""
         path = os.path.join(self.directory, "preempted")
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        self._rmtree(path)
         state = jax.tree.map(lambda x: x, state)
         self._ckptr.save(path, state)
+        self.wait()  # the process is about to exit: make the save durable NOW
         self.index["entries"] = [e for e in self.index["entries"] if e["path"] != path]
         self.index["entries"].append(
             {"epoch": int(epoch_label), "monitor": None, "path": path})
@@ -232,8 +259,8 @@ class CheckpointManager:
         keep = entries[: self.top_k]
         keep_paths = {e["path"] for e in keep} | ({self.index["last"]} if self.save_last else set())
         for e in self.index["entries"]:
-            if e["path"] not in keep_paths and os.path.exists(e["path"]):
-                shutil.rmtree(e["path"])
+            if e["path"] not in keep_paths:
+                self._rmtree(e["path"])
         self.index["entries"] = [e for e in self.index["entries"] if e["path"] in keep_paths]
 
     def best_path(self) -> Optional[str]:
@@ -253,6 +280,7 @@ class CheckpointManager:
         arrays directly onto the current mesh instead of warning and reading
         sharding metadata from the checkpoint files (which is wrong across
         topology changes anyway — cross-mesh re-placement happens here)."""
+        self.wait()  # the path may be the save scheduled moments ago
         import orbax.checkpoint as ocp
 
         def restore_arg(leaf):

@@ -270,7 +270,11 @@ class Trainer:
         )
         self.ckpt_dir = os.path.join(self.logger.log_dir, "checkpoints")
         self.checkpoints = CheckpointManager(
-            self.ckpt_dir, monitor=self.monitor, mode=self.monitor_mode, top_k=5, save_last=True
+            self.ckpt_dir, monitor=self.monitor, mode=self.monitor_mode, top_k=5, save_last=True,
+            # train.async_checkpointing: overlap checkpoint disk IO with the
+            # next epoch's compute (the save is made durable before any
+            # restore, at fit() exit, and on preemption)
+            async_save=bool(train_cfg.get("async_checkpointing", False)),
         )
         self.early_stopping = EarlyStopping(monitor="val_loss", patience=early_stopping_patience, mode="min")
 
@@ -705,6 +709,10 @@ class Trainer:
             # reference behavior: fall through to testing the best ckpt
             print("KeyboardInterrupt: proceeding to test with the current best model")
             self.interrupted = True
+        finally:
+            # async checkpointing: every scheduled save is durable before fit
+            # returns (callers read best_path()/hand the dir to other tools)
+            self.checkpoints.wait()
 
     def _run_train_epoch(self, task, datamodule, epoch, train_scores) -> None:
         ctx = self._put_ctx(task.make_ctx(epoch, "train"))

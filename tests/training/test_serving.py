@@ -194,6 +194,35 @@ def test_mesh_sharded_serving(tmp_path, task_and_params):
         load_serving(dx, mesh=mesh)
 
 
+def test_tp_sharded_serving(tmp_path, task_and_params):
+    """shard_params=True over a data x model mesh: the trainer's
+    tensor-parallel rules shard the channel-mix kernels over 'model'
+    (weights live split across chips — the big-model serving path), and
+    logits match the single-device artifact."""
+    from m2mixer_tpu.parallel import make_mesh, MeshConfig
+
+    task, params = task_and_params
+    d = export_serving(task, params, _batch(8), str(tmp_path / "arttp"),
+                       fmt="stablehlo", buckets=(8, 16))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    # the test geometry's channel_dim is 32: lower the TP size floor so the
+    # rules engage (production default 256 targets real mixer widths)
+    model = load_serving(d, mesh=mesh, shard_params=True, model_min_dim=32)
+
+    flat = jax.tree_util.tree_flatten_with_path(model.params)[0]
+    tp_leaves = [jax.tree_util.keystr(p) for p, v in flat
+                 if "model" in str(getattr(v.sharding, "spec", ""))]
+    assert any("channel_mix" in s for s in tp_leaves), \
+        f"no tensor-parallel leaf was sharded; got {tp_leaves}"
+
+    batch = _batch(12, seed=11)
+    out = model.predict(batch)
+    assert out["logits"].shape == (12, 10)
+    np.testing.assert_allclose(out["logits"],
+                               _direct_logits(task, params, batch),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_int8_quantized_export(tmp_path, task_and_params):
     """quantize='int8': weight-only PTQ — the artifact's parameter payload
     shrinks ~4x and logits stay close to the f32 artifact (dequant is baked
