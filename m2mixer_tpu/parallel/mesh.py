@@ -144,6 +144,37 @@ def _spec_for(path: str, leaf, mesh: Mesh, min_dim: int) -> P:
     return P()
 
 
+def _fsdp_spec(spec: P, leaf, mesh: Mesh, min_size: int) -> P:
+    """Compose a ZeRO-3-style ``data``-axis shard onto ``spec``.
+
+    Parameters (and, because Adam moments inherit the params layout, the
+    optimizer state) live split 1/Nth per data-parallel rank; XLA's SPMD
+    partitioner inserts the per-use weight all-gather in the forward, the
+    mirror all-gather in the backward, and a reduce-scatter for the
+    gradients — the exact FSDP/ZeRO-3 collective schedule, derived from
+    layout annotations instead of hand-written hooks (the reference has no
+    distributed code at all, SURVEY.md §2.6).
+
+    Picks the largest dimension not already sharded by a TP/EP/PP rule that
+    the ``data`` axis size divides; leaves smaller than ``min_size``
+    elements stay replicated (gathering tiny leaves costs more in latency
+    than their bytes are worth).
+    """
+    data_size = mesh.shape.get("data", 1)
+    if data_size <= 1 or leaf.ndim == 0 or leaf.size < min_size:
+        return spec
+    taken = list(spec) + [None] * (leaf.ndim - len(spec))
+    best = None
+    for axis in range(leaf.ndim):
+        if taken[axis] is None and leaf.shape[axis] % data_size == 0:
+            if best is None or leaf.shape[axis] > leaf.shape[best]:
+                best = axis
+    if best is None:
+        return spec
+    taken[best] = "data"
+    return P(*taken)
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:
@@ -154,16 +185,26 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_shardings(mesh: Mesh, params: Any, model_min_dim: int = 256):
-    """Per-leaf NamedShardings: TP rules where profitable, replicated else."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(_path_str(path), leaf, mesh, model_min_dim)),
-        params,
-    )
+def param_shardings(mesh: Mesh, params: Any, model_min_dim: int = 256,
+                    fsdp: bool = False, fsdp_min_size: int = 4096):
+    """Per-leaf NamedShardings: TP/EP/PP rules where profitable, replicated
+    else; with ``fsdp`` each leaf additionally splits over the ``data`` axis
+    (ZeRO-3 — see ``_fsdp_spec``), composing with the other rules (a TP
+    kernel becomes 2-D sharded ``P('data', 'model')``)."""
+
+    def spec(path, leaf):
+        s = _spec_for(_path_str(path), leaf, mesh, model_min_dim)
+        if fsdp:
+            s = _fsdp_spec(s, leaf, mesh, fsdp_min_size)
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_params(mesh: Mesh, params: Any, model_min_dim: int = 256):
-    shardings = param_shardings(mesh, params, model_min_dim)
+def shard_params(mesh: Mesh, params: Any, model_min_dim: int = 256,
+                 fsdp: bool = False, fsdp_min_size: int = 4096):
+    shardings = param_shardings(mesh, params, model_min_dim, fsdp=fsdp,
+                                fsdp_min_size=fsdp_min_size)
     return jax.device_put(params, shardings)
 
 

@@ -262,6 +262,16 @@ class Trainer:
             bool(train_cfg.get("sequence_parallel", False))
             and self.mesh.shape.get("model", 1) > 1
         )
+        # train.fsdp (ZeRO-3): params + Adam moments live split 1/Nth per
+        # data rank; XLA derives the all-gather / reduce-scatter schedule
+        # from the layout (parallel/mesh.py::_fsdp_spec). Opt-in; a no-op
+        # on a 1-device data axis.
+        self._fsdp = bool(train_cfg.get("fsdp", False))
+        self._fsdp_min_size = int(train_cfg.get("fsdp_min_size", 4096))
+        if self._fsdp and self.mesh.shape["data"] <= 1:
+            print("[trainer] train.fsdp=true but the mesh data axis is 1; "
+                  "nothing to shard (FSDP disabled)")
+            self._fsdp = False
         self.logger = ExperimentLogger(
             work_dir or train_cfg.get("tensorboard_path", "./logs"),
             name,
@@ -609,7 +619,8 @@ class Trainer:
         init_rng, step_rng = jax.random.split(base_rng)
         if self.params is None:
             params = task.init_params(init_rng, sample)
-            self.params = shard_params(self.mesh, params)
+            self.params = shard_params(self.mesh, params, fsdp=self._fsdp,
+                                       fsdp_min_size=self._fsdp_min_size)
         self._log_params_once(self.params)
         self.optimizer, lr0 = _make_optimizer(task.optimizer_cfg,
                                               task.trainable_mask(self.params))
@@ -1084,7 +1095,8 @@ class Trainer:
         sample = self._put_batch(next(iter(datamodule.test_batches())))
         rng = seed_everything(self.seed)
         params = task.init_params(rng, sample)
-        self.params = shard_params(self.mesh, params)
+        self.params = shard_params(self.mesh, params, fsdp=self._fsdp,
+                                       fsdp_min_size=self._fsdp_min_size)
         self.optimizer, _ = _make_optimizer(task.optimizer_cfg,
                                             task.trainable_mask(self.params))
         self.opt_state = self.optimizer.init(self.params)
