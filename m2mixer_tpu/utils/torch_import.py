@@ -12,16 +12,27 @@ testable whenever a reference checkpoint is available.
 Covers the MLPMixer + FusionMixer + Linear-heads + StandardClassifier
 topology used by every shipped M2-Mixer config (AV-MNIST S/M/B, MM-IMDB,
 and the modality pairs that follow the same shape).
+
+Migration CLI (the reference user's switch-over path)::
+
+    python -m m2mixer_tpu.utils.torch_import last.ckpt \\
+        -c cfg/avmnist/avmnist_m2-mixer_B.yml -o run_dir/checkpoints
+
+writes a native checkpoint directory (Orbax pytree + ``index.json``) that
+``run.py -m test -p DIR/epoch_N`` evaluates and ``-p``/``auto_resume``
+continues training from — the Lightning epoch/global-step counters carry
+over, the optimizer state starts fresh (Lightning's Adam moments are not
+transferable across frameworks).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
 __all__ = ["convert_reference_state_dict", "export_reference_state_dict",
-           "load_lightning_checkpoint"]
+           "load_lightning_checkpoint", "import_checkpoint", "main"]
 
 
 def load_lightning_checkpoint(path: str) -> Dict[str, np.ndarray]:
@@ -156,3 +167,149 @@ def export_reference_state_dict(variables: dict,
     if "classifier" in p and "cls" in p["classifier"]:
         put_linear("classifier_fusion.classifer", p["classifier"]["cls"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# Migration CLI: Lightning .ckpt -> a native checkpoint directory
+# ---------------------------------------------------------------------------
+
+def _sample_batch_from_cfg(model_cfg, modalities) -> Optional[dict]:
+    """Derive a 1-sample init batch from the config's modality shapes.
+    Only image-like MLPMixer modalities (in_channels + image_size) are
+    derivable; returns None — structure check skipped — otherwise."""
+    batch = {}
+    for m in modalities:
+        mc = model_cfg.modalities.get(m)
+        if mc is None or "in_channels" not in mc or "image_size" not in mc:
+            return None
+        size = mc.image_size
+        h, w = (size if isinstance(size, (list, tuple)) else (size, size))
+        batch[m] = np.zeros((1, int(mc.in_channels), int(h), int(w)), np.float32)
+    batch["label"] = np.zeros((1,), np.int32)
+    return batch
+
+
+def _check_structure(task, variables) -> None:
+    """Fail loudly if the converted tree does not match a fresh init of the
+    config's network (wrong config for this checkpoint, or an unsupported
+    topology), listing missing/extra/misshaped leaves."""
+    import jax
+
+    batch = _sample_batch_from_cfg(task.model_cfg, task.modalities)
+    if batch is None:
+        print("[import] modality shapes not derivable from the config; "
+              "skipping the structure check")
+        return
+    fresh = task.init_params(jax.random.PRNGKey(0), batch)
+    want = {jax.tree_util.keystr(p): v.shape
+            for p, v in jax.tree_util.tree_leaves_with_path(fresh)}
+    got = {jax.tree_util.keystr(p): np.shape(v)
+           for p, v in jax.tree_util.tree_leaves_with_path(variables)}
+    problems = []
+    for k in sorted(set(want) - set(got)):
+        problems.append(f"missing from checkpoint: {k} {want[k]}")
+    for k in sorted(set(got) - set(want)):
+        problems.append(f"not in this config's network: {k} {got[k]}")
+    for k in sorted(set(want) & set(got)):
+        if tuple(want[k]) != tuple(got[k]):
+            problems.append(f"shape mismatch at {k}: config wants {want[k]}, "
+                            f"checkpoint has {got[k]}")
+    if problems:
+        raise ValueError(
+            "converted checkpoint does not fit this config's network:\n  "
+            + "\n  ".join(problems))
+
+
+def import_checkpoint(ckpt_path: str, cfg, out_dir: str) -> str:
+    """Convert a reference Lightning ``.ckpt`` into a native checkpoint
+    directory consumable by ``run.py -p`` / ``-m test`` and
+    ``serving export -p``. Returns the written ``epoch_N`` path."""
+    import jax.numpy as jnp
+    import torch
+
+    from ..models import get_model
+    from ..training.callbacks import CheckpointManager
+    from ..training.trainer import _make_optimizer
+
+    raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in raw.get("state_dict", raw).items()}
+    epoch = int(raw.get("epoch", 0) or 0)
+    global_step = int(raw.get("global_step", 0) or 0)
+
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    variables = convert_reference_state_dict(sd, task.modalities)
+    _check_structure(task, variables)
+    variables = {k: _tree_map_np(jnp.asarray, v) for k, v in variables.items()}
+
+    # fresh optimizer state in the trainer's exact layout (Lightning Adam
+    # moments don't transfer; the LR/plateau trajectory restarts too)
+    optimizer, _ = _make_optimizer(task.optimizer_cfg,
+                                   task.trainable_mask(variables))
+    opt_state = optimizer.init(variables)
+
+    nan = float("nan")
+    state = {
+        "params": variables,
+        "opt_state": opt_state,
+        "epoch": np.int32(epoch),
+        "global_step": np.int64(global_step),
+        # neutral callback state: restore treats plateau_lr 0 as "not
+        # restored" and NaN bests as unset (trainer._state / restore)
+        "callbacks": {
+            "plateau_lr": np.float64(0.0),
+            "plateau_best": np.float64(nan),
+            "plateau_num_bad": np.int32(0),
+            "es_best": np.float64(nan),
+            "es_wait": np.int32(0),
+        },
+    }
+    manager = CheckpointManager(
+        out_dir,
+        monitor=str(cfg.train.get("monitor", "val_loss")),
+        mode=str(cfg.train.get("monitor_mode", "min")),
+    )
+    # an import has no monitor value by construction; the save() warning
+    # about last-only retention is noise here
+    manager._warned_monitor = True
+    manager.save(epoch, state, {})
+    path = manager.last_path()
+    print(f"[import] wrote {path} (epoch {epoch}, step {global_step}); "
+          f"evaluate: run.py -c CFG -m test -p {path} | resume training: "
+          f"run.py -c CFG -p {path}")
+    return path
+
+
+def _tree_map_np(fn, tree):
+    if isinstance(tree, dict):
+        return {k: _tree_map_np(fn, v) for k, v in tree.items()}
+    return fn(tree)
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    import argparse
+
+    from .. import config as cfg_lib
+
+    ap = argparse.ArgumentParser(
+        description="Convert a reference PyTorch-Lightning checkpoint into "
+                    "a native checkpoint directory (dotted config overrides "
+                    "accepted, run.py-style)")
+    ap.add_argument("ckpt", help="Lightning .ckpt file from the reference")
+    ap.add_argument("-c", "--cfg", required=True,
+                    help="the reference YAML the checkpoint was trained with")
+    ap.add_argument("-o", "--out", required=True,
+                    help="checkpoint directory to write (epoch_N + index.json)")
+    args, unknown = ap.parse_known_args(argv)
+    cfg = cfg_lib.load(args.cfg)
+    if unknown:
+        overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
+        cfg_lib.warn_unknown_overrides(cfg, overrides)
+        for section in ("model", "train", "dataset"):
+            if section in overrides:
+                cfg_lib.deep_update(cfg[section], overrides[section])
+    import_checkpoint(args.ckpt, cfg, args.out)
+
+
+if __name__ == "__main__":
+    main()
