@@ -4,10 +4,10 @@ and hardware, and emit the winning combination as a config overlay.
 The reference has no performance tooling at all; this operationalizes the
 levers this framework measured on TPU v5e (TODO.md / docs/performance.md):
 hardware-RNG dropout keys, modality-batched paired encoders, tanh GELU,
-uint8-bits dropout masks, bf16 Adam moments, bf16 compute precision, and
-gradient-accumulation micro-batching. Which levers win is geometry- and
-hardware-dependent (several were measured NEUTRAL or negative at some
-shapes), so the honest answer is to measure on the target:
+uint8-bits dropout masks, bf16 Adam moments, and bf16 compute precision.
+Which levers win is geometry- and hardware-dependent (several were measured
+NEUTRAL or negative at some shapes), so the honest answer is to measure on
+the target:
 
     python -m m2mixer_tpu.autotune -c cfg/avmnist/avmnist_m2-mixer_B.yml \
         -o tuned.yml [--steps 64] [--pool 1024] [--levers a,b,...]
@@ -78,6 +78,7 @@ def measure_config(cfg, arrays, batch_size: int, steps: int,
     import optax
 
     from .models import get_model
+    from .training.trainer import _make_optimizer
 
     prng = str(cfg.train.get("prng_impl", "") or "")
     prev_impl = jax.config.jax_default_prng_impl
@@ -89,13 +90,12 @@ def measure_config(cfg, arrays, batch_size: int, steps: int,
         rng = jax.random.PRNGKey(0)
         init_batch = jax.tree.map(lambda a: a[:batch_size], arrays)
         params0 = task.init_params(rng, init_batch)
-        opt_cfg = cfg.train.optimizer
-        betas = opt_cfg.get("betas", [0.9, 0.999])
-        moment = str(opt_cfg.get("moment_dtype", "") or "")
-        opt = optax.adam(
-            float(opt_cfg.lr), b1=float(betas[0]), b2=float(betas[1]),
-            eps=float(opt_cfg.get("eps", 1e-8)),
-            mu_dtype=jnp.bfloat16 if moment == "bf16" else None)
+        # the trainer's exact optimizer (weight decay, trainable mask,
+        # injected LR, moment dtype, params-EMA) — timing a bare Adam would
+        # accept/reject near-threshold levers against a step production
+        # never runs
+        opt, _ = _make_optimizer(task.optimizer_cfg,
+                                 task.trainable_mask(params0))
         ctx = {k: jnp.asarray(v) for k, v in task.make_ctx(0, "train").items()}
         rng_d, rng_s, rng_m = jax.random.split(rng, 3)
         rngs = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
@@ -205,6 +205,8 @@ def autotune(cfg, sample_batch, batch_size: int, steps: int = 64,
 def _overrides_to_yaml(overrides: Dict[str, object]) -> str:
     """Nested-YAML overlay from dotted keys (mergeable via config.deep_update
     or by passing the same keys as run.py dotted CLI overrides)."""
+    import yaml
+
     tree: dict = {}
     for dotted, value in overrides.items():
         node = tree
@@ -212,19 +214,7 @@ def _overrides_to_yaml(overrides: Dict[str, object]) -> str:
         for k in keys[:-1]:
             node = node.setdefault(k, {})
         node[keys[-1]] = value
-
-    def emit(node, indent=0):
-        out = []
-        for k, v in node.items():
-            if isinstance(v, dict):
-                out.append("  " * indent + f"{k}:")
-                out.extend(emit(v, indent + 1))
-            else:
-                sval = ("true" if v is True else "false" if v is False else v)
-                out.append("  " * indent + f"{k}: {sval}")
-        return out
-
-    return "\n".join(emit(tree)) + "\n"
+    return yaml.safe_dump(tree, default_flow_style=False, sort_keys=False)
 
 
 def main(argv: Optional[Sequence[str]] = None):

@@ -26,6 +26,7 @@ __all__ = [
     "merge",
     "find_new_keys",
     "warn_unknown_overrides",
+    "apply_cli_overrides",
 ]
 
 
@@ -105,6 +106,25 @@ def _parse_value(raw: str) -> Any:
         return yaml.safe_load(raw)
     except yaml.YAMLError:
         return raw
+
+
+def apply_cli_overrides(cfg: "DictConfig", raw_args: Iterable[str],
+                        warn: bool = True) -> "DictConfig":
+    """The CLI override contract, in one place (run.py, serving export,
+    significance runner, checkpoint import all share it): parse run.py-style
+    dotted tokens (``--`` prefixes stripped; note ``.replace('--', '')``
+    also mangles values containing ``--`` — kept for parity across every
+    entry point), warn on keys that would be newly created (typo guard;
+    ``warn=False`` for repeat merges of already-guarded tokens), and
+    deep-merge the known sections into ``cfg`` in place. Returns the parsed
+    override tree."""
+    overrides = from_cli([u.replace("--", "") for u in raw_args])
+    if warn:
+        warn_unknown_overrides(cfg, overrides)
+    for section in ("model", "train", "dataset"):
+        if section in overrides:
+            deep_update(cfg[section], overrides[section])
+    return overrides
 
 
 def from_cli(args: Iterable[str]) -> DictConfig:

@@ -495,6 +495,13 @@ class ServedModel:
         self._mesh = mesh
         self._shard_params = shard_params
         self._model_min_dim = model_min_dim
+        if shard_params and (mesh is None or mesh.shape.get("model", 1) <= 1):
+            # silently loading replicated would OOM exactly the big-model
+            # case the flag exists for — fail with the fix spelled out
+            raise ValueError(
+                "shard_params=True needs a mesh with a model axis > 1 "
+                "(e.g. --mesh 4x2); got "
+                + ("no mesh" if mesh is None else f"mesh {dict(mesh.shape)}"))
         with open(os.path.join(out_dir, _META)) as f:
             self.meta = json.load(f)
         with open(os.path.join(out_dir, _PARAMS), "rb") as f:
@@ -593,7 +600,10 @@ def load_serving(out_dir: str, mesh=None, shard_params: bool = False,
 def _mesh_from_spec(spec: str):
     """CLI mesh spec ``'DATAxMODEL'`` (``'4x2'``) or ``'DATA'`` (``'4'``)
     -> a ``jax.sharding.Mesh`` over the local devices."""
-    parts = [int(p) for p in str(spec).lower().split("x")]
+    try:
+        parts = [int(p) for p in str(spec).lower().split("x")]
+    except ValueError:
+        parts = []
     if not 1 <= len(parts) <= 2 or any(p < 1 for p in parts):
         raise ValueError(f"bad mesh spec {spec!r}: expected 'DATA' or 'DATAxMODEL'")
     from .parallel import MeshConfig, make_mesh
@@ -705,11 +715,7 @@ def main(argv: Optional[Sequence[str]] = None):
                      "checkpoint's optimizer state)")
         cfg = load(args.cfg)
         if unknown:  # dotted config overrides, same contract as run.py
-            overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
-            cfg_lib.warn_unknown_overrides(cfg, overrides)
-            for section in ("model", "train", "dataset"):
-                if section in overrides:
-                    cfg_lib.deep_update(cfg[section], overrides[section])
+            cfg_lib.apply_cli_overrides(cfg, unknown)
         task = _build_task(cfg)
         dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
         dm.setup("fit")
@@ -795,6 +801,12 @@ def main(argv: Optional[Sequence[str]] = None):
         # device latency: device-resident inputs, pipelined dispatch, one
         # final block — the model's own compute time per request.
         bucket = pick_bucket(args.batch, model.buckets)
+        if args.batch > bucket:
+            # predict() chunks oversize requests; the single-dispatch device
+            # number is only defined per bucket — measure the top bucket
+            print(f"[serving] --batch {args.batch} exceeds the largest "
+                  f"export bucket ({bucket}); device latency measured at "
+                  f"batch {bucket}")
         # under a mesh, device-resident inputs carry the same data-axis
         # sharding the jitted call expects (a plain device_put would commit
         # them to one device and force a reshard per request)
@@ -802,7 +814,8 @@ def main(argv: Optional[Sequence[str]] = None):
             if model._data_sharding is not None else jax.device_put
         padded = {
             k: put(np.pad(
-                v, [(0, bucket - args.batch)] + [(0, 0)] * (v.ndim - 1)))
+                v[:bucket], [(0, max(0, bucket - args.batch))]
+                + [(0, 0)] * (v.ndim - 1)))
             for k, v in feats.items()
         }
         call = model._calls[bucket]
@@ -817,8 +830,8 @@ def main(argv: Optional[Sequence[str]] = None):
         print(json.dumps({
             "metric": "serving_latency_ms_device", "value": round(dev * 1e3, 3),
             "e2e_latency_ms": round(e2e * 1e3, 3),
-            "batch": args.batch,
-            "device_throughput_samples_per_sec": round(args.batch / dev, 1),
+            "batch": min(args.batch, bucket),
+            "device_throughput_samples_per_sec": round(min(args.batch, bucket) / dev, 1),
             "format": model.meta["format"],
             "device": jax.devices()[0].device_kind,
         }))

@@ -178,14 +178,22 @@ class CheckpointManager:
         else:
             self._ckptr = ocp.PyTreeCheckpointer()
         self._inflight: Optional[str] = None
+        # newest checkpoint KNOWN to be committed on disk — what the on-disk
+        # index's 'last' points at while a newer save is still in flight
+        self._last_durable: Optional[str] = self.index.get("last")
 
     def wait(self) -> None:
-        """Block until any in-flight async save has committed to disk.
-        No-op for the synchronous checkpointer. Call before reading a
-        just-written checkpoint or handing the directory to another
-        process (the trainer does both automatically)."""
+        """Block until any in-flight async save has committed to disk, then
+        publish its index entry. No-op for the synchronous checkpointer.
+        Call before reading a just-written checkpoint or handing the
+        directory to another process (the trainer does both automatically)."""
         if self.async_save:
             self._ckptr.wait_until_finished()
+            if self._inflight is not None:
+                # the entry withheld from the on-disk index is durable now
+                self._inflight = None
+                self._last_durable = self.index.get("last")
+                self._write_index()
         self._inflight = None
 
     def _rmtree(self, path: str) -> None:
@@ -200,8 +208,19 @@ class CheckpointManager:
         # --average top-k checkpoint soup) can rank entries standalone
         self.index["monitor"] = self.monitor
         self.index["mode"] = self.mode
+        disk = self.index
+        if self._inflight is not None:
+            # an async write commits by renaming its tmpdir into place, so
+            # the in-flight directory does not exist on disk yet: publish
+            # only committed entries (a crash mid-write must not leave an
+            # index pointing at a checkpoint that was never materialized)
+            disk = dict(self.index)
+            disk["entries"] = [e for e in self.index["entries"]
+                               if e["path"] != self._inflight]
+            if disk.get("last") == self._inflight:
+                disk["last"] = self._last_durable
         with open(self._index_path, "w") as f:
-            json.dump(self.index, f, indent=2)
+            json.dump(disk, f, indent=2)
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.directory, f"epoch_{epoch}")
@@ -218,11 +237,19 @@ class CheckpointManager:
         if isinstance(value, float) and math.isnan(value):
             value = None  # NaN sorts arbitrarily; treat as unrankable
         path = self._path(epoch)
+        if self.async_save and self._inflight is not None:
+            # cheap: the previous epoch's write had the whole epoch to land
+            # (orbax's AsyncCheckpointer would serialize on it here anyway);
+            # flushing first keeps the on-disk index one durable step behind
+            # at most
+            self.wait()
         self._rmtree(path)
         state = jax.tree.map(lambda x: x, state)  # shallow copy of structure
         self._ckptr.save(path, state)  # returns immediately under async_save
         if self.async_save:
             self._inflight = path
+        else:
+            self._last_durable = path
         self.index["entries"] = [e for e in self.index["entries"] if e["epoch"] != epoch]
         self.index["entries"].append({"epoch": epoch, "monitor": value, "path": path})
         self.index["last"] = path
@@ -240,6 +267,7 @@ class CheckpointManager:
         state = jax.tree.map(lambda x: x, state)
         self._ckptr.save(path, state)
         self.wait()  # the process is about to exit: make the save durable NOW
+        self._last_durable = path
         self.index["entries"] = [e for e in self.index["entries"] if e["path"] != path]
         self.index["entries"].append(
             {"epoch": int(epoch_label), "monitor": None, "path": path})

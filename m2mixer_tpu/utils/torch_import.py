@@ -303,11 +303,7 @@ def main(argv: Optional[Sequence[str]] = None):
     args, unknown = ap.parse_known_args(argv)
     cfg = cfg_lib.load(args.cfg)
     if unknown:
-        overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
-        cfg_lib.warn_unknown_overrides(cfg, overrides)
-        for section in ("model", "train", "dataset"):
-            if section in overrides:
-                cfg_lib.deep_update(cfg[section], overrides[section])
+        cfg_lib.apply_cli_overrides(cfg, unknown)
     import_checkpoint(args.ckpt, cfg, args.out)
 
 

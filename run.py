@@ -50,13 +50,8 @@ def build(args, unknown):
             hint = "\nDid you mean: " + ", ".join(sorted(paths))
         sys.exit(f"error: config file not found: {args.cfg}{hint}")
     cfg = cfg_lib.load(args.cfg)
-    overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
-    # typo guard: a mistyped dotted override would otherwise silently create
-    # a dead key and the run (or a whole sweep) would optimize nothing
-    cfg_lib.warn_unknown_overrides(cfg, overrides)
-    for section in ("model", "train", "dataset"):
-        if section in overrides:
-            cfg_lib.deep_update(cfg[section], overrides[section])
+    # parse + typo-guard + merge, shared with every other entry point
+    cfg_lib.apply_cli_overrides(cfg, unknown)
 
     train_cfg, dataset_cfg, model_cfg = cfg.train, cfg.dataset, cfg.model
     task_cls = models.get_model(model_cfg.type)

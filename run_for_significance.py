@@ -65,11 +65,7 @@ def main():
         from m2mixer_tpu.training.ensemble import run_ensemble_significance
 
         cfg = cfg_lib.load(args.cfg)
-        overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
-        cfg_lib.warn_unknown_overrides(cfg, overrides)
-        for section in ("model", "train", "dataset"):
-            if section in overrides:
-                cfg_lib.deep_update(cfg[section], overrides[section])
+        cfg_lib.apply_cli_overrides(cfg, unknown)
         lrs = ([float(x) for x in args.lrs.split(",")] if args.lrs else None)
         runs = len(lrs) if lrs else args.runs
         scores = run_ensemble_significance(
@@ -87,12 +83,8 @@ def main():
     scores = []
     for run in range(args.runs):
         cfg = cfg_lib.load(args.cfg)
-        overrides = cfg_lib.from_cli([u.replace("--", "") for u in unknown])
-        if run == 0:  # typo guard, once (see run.py)
-            cfg_lib.warn_unknown_overrides(cfg, overrides)
-        for section in ("model", "train", "dataset"):
-            if section in overrides:
-                cfg_lib.deep_update(cfg[section], overrides[section])
+        # typo guard once; repeats merge the same already-guarded tokens
+        cfg_lib.apply_cli_overrides(cfg, unknown, warn=run == 0)
         if args.reseed:
             cfg.train.seed = int(cfg.train.seed) + run
 

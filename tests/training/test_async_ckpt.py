@@ -113,6 +113,40 @@ def test_async_save_survives_buffer_donation(tmp_path):
     np.testing.assert_array_equal(restored["params"]["w"], host_copy)
 
 
+def test_async_on_disk_index_never_references_inflight(tmp_path):
+    """Crash-safety contract: while a save is in flight (the Orbax tmpdir
+    has not been renamed into place yet), the on-disk index.json must not
+    list that entry nor point 'last' at it — a SIGKILL mid-write would
+    otherwise leave an index referencing a directory that never
+    materialized. wait() then publishes the committed entry."""
+    import json
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), async_save=True)
+    mgr.save(0, _state(1.0), {"val_loss": 2.0})
+    mgr.wait()
+
+    # simulate epoch_1 still being in flight at index-write time (the real
+    # window is the background thread's write; the sanitization is what we
+    # can pin deterministically)
+    mgr.index["entries"].append(
+        {"epoch": 1, "monitor": 1.0, "path": mgr._path(1)})
+    mgr.index["last"] = mgr._path(1)
+    mgr._inflight = mgr._path(1)
+    mgr._write_index()
+    with open(mgr._index_path) as f:
+        disk = json.load(f)
+    assert [e["epoch"] for e in disk["entries"]] == [0]
+    assert disk["last"] == mgr._path(0)  # previous durable checkpoint
+    # in-memory index keeps the full picture for the live process
+    assert mgr.index["last"] == mgr._path(1)
+
+    mgr.wait()  # "commit": publishes the withheld entry
+    with open(mgr._index_path) as f:
+        disk = json.load(f)
+    assert {e["epoch"] for e in disk["entries"]} == {0, 1}
+    assert disk["last"] == mgr._path(1)
+
+
 def test_async_e2e_train_and_best_test(tmp_path):
     cfg = loads(CFG.format(tmp=tmp_path))
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)

@@ -223,6 +223,21 @@ def test_tp_sharded_serving(tmp_path, task_and_params):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_shard_params_requires_model_axis(tmp_path, task_and_params):
+    """shard_params without a model axis would silently load replicated and
+    OOM the exact big-model case the flag exists for — must fail loudly."""
+    from m2mixer_tpu.parallel import make_mesh, MeshConfig
+
+    task, params = task_and_params
+    d = export_serving(task, params, _batch(8), str(tmp_path / "artguard"),
+                       fmt="stablehlo", buckets=(8,))
+    with pytest.raises(ValueError, match="model axis"):
+        load_serving(d, mesh=None, shard_params=True)
+    with pytest.raises(ValueError, match="model axis"):
+        load_serving(d, mesh=make_mesh(MeshConfig(data=8, model=1)),
+                     shard_params=True)
+
+
 def test_int8_quantized_export(tmp_path, task_and_params):
     """quantize='int8': weight-only PTQ — the artifact's parameter payload
     shrinks ~4x and logits stay close to the f32 artifact (dequant is baked
