@@ -233,6 +233,15 @@ class Trainer:
         # host->device prefetch lookahead on the per-step (non-device-
         # resident) path: batch N+1's transfer overlaps step N's compute
         self.prefetch = bool(train_cfg.get("prefetch_batches", True))
+        # train.pool_chunk_mb: HBM budget for device-resident pools. Splits
+        # whose resident footprint exceeds it are STREAMED through the
+        # epoch-compiled path in fixed-size chunks — one lax.scan dispatch
+        # per chunk, with the next chunk's host->device transfer overlapping
+        # the current chunk's compute (double-buffered: each chunk gets half
+        # the budget). Extends compiled-epoch training to datasets larger
+        # than device memory; bit-identical to the hoisted path (same
+        # gathers, same rng folding via the cumulative start_step).
+        self.pool_chunk_mb = float(train_cfg.get("pool_chunk_mb", 0) or 0)
         # preemption safety: SIGTERM -> resumable 'last' checkpoint + clean
         # return (TPU maintenance events / spot eviction send SIGTERM)
         self.save_on_preemption = bool(train_cfg.get("save_on_preemption", True))
@@ -546,6 +555,51 @@ class Trainer:
                 )
         return self._dev_splits[stage]
 
+    # ------------------------------------------------------- streamed pools
+    def _row_bytes(self, stage: str) -> int:
+        arrays = self.datamodule.splits[stage]
+        return int(sum(v.dtype.itemsize * int(np.prod(v.shape[1:], dtype=np.int64))
+                       for v in arrays.values()))
+
+    def _stream_chunk_rows(self, stage: str, quant: int) -> Optional[int]:
+        """Rows per streamed chunk (a multiple of ``quant``, the scan's
+        step granularity), or None when the split fits the budget and is
+        hoisted whole. Returns 0 when the budget is set but cannot hold two
+        chunks of even one step — the caller then falls back to the
+        per-step host path instead of overcommitting HBM."""
+        if not self.pool_chunk_mb:
+            return None
+        n = self.datamodule.split_size(stage)
+        row = self._row_bytes(stage)
+        budget = self.pool_chunk_mb * (1 << 20)
+        # what hoisting would cost per device (sharded pools hold 1/Nth)
+        resident = n * row / (self.mesh.shape["data"] if self._pool_sharded(stage) else 1)
+        if resident <= budget:
+            return None
+        rows = int(budget / 2 / row) // quant * quant
+        if rows <= 0 and not getattr(self, "_warned_chunk", False):
+            print(f"[trainer] pool_chunk_mb={self.pool_chunk_mb:g} cannot "
+                  f"hold two chunks of one step ({quant} rows x {row} B); "
+                  f"falling back to per-step host streaming for {stage!r}")
+            self._warned_chunk = True
+        return max(rows, 0)
+
+    def _stream_chunks(self, order: np.ndarray, chunk_rows: int):
+        """Partition a device-path order into chunk index arrays. All chunks
+        but the last share one length, so the scan recompiles at most once
+        (for the shorter last chunk) and both executables are reused every
+        epoch."""
+        order = np.asarray(order)
+        return [order[s : s + chunk_rows] for s in range(0, len(order), chunk_rows)]
+
+    def _put_chunk(self, splits, idx):
+        """Host-gather the chunk's rows and issue ONE async H2D transfer.
+        Replicated across the mesh: per-batch gathers inside the scan are
+        sharding-constrained onto the data axis, exactly like hoisted
+        replicated pools."""
+        rep = replicated(self.mesh)
+        return jax.device_put({k: np.ascontiguousarray(v[idx]) for k, v in splits.items()}, rep)
+
     # ------------------------------------------------------------------ fit
     def _install_preempt_handler(self):
         """SIGTERM -> set a flag; the fit loop checkpoints at the next safe
@@ -791,21 +845,61 @@ class Trainer:
             consume(loss, aux, flat=False)
             return loss
 
-        if self.compiled_epochs and datamodule.device_resident_ok("train"):
-            arrays = self._device_split("train")
+        use_device_path = (self.compiled_epochs
+                           and datamodule.device_resident_ok("train"))
+        stream_rows = (self._stream_chunk_rows("train", datamodule.batch_size * K)
+                       if use_device_path else None)
+        if stream_rows == 0:
+            use_device_path = False  # budget can't hold one step: host path
+        if use_device_path:
             order = datamodule.epoch_order("train", datamodule.train_shuffle_enabled())
             bs = datamodule.batch_size
-            device_order, tail_order = self._split_order(order, "train", bs)
-            if K > 1:
-                # updates consume K consecutive micro-batches; push the
-                # non-multiple remainder through the per-step path
+            if stream_rows:
+                # streamed pool (train.pool_chunk_mb): the split stays on
+                # host; the device path takes the quant-aligned prefix in
+                # fixed-size chunks, the remainder goes per-step
                 quant = bs * K
-                n_full = (len(device_order) // quant) * quant
-                tail_order = np.concatenate(
-                    [device_order[n_full:], tail_order]).astype(device_order.dtype)
-                device_order = device_order[:n_full]
-            sharded = self._pool_sharded("train")
-            if len(device_order):
+                n_full = (len(order) // quant) * quant
+                order = np.asarray(order)
+                device_order, tail_order = order[:n_full], order[n_full:]
+                sharded = False
+            else:
+                arrays = self._device_split("train")
+                device_order, tail_order = self._split_order(order, "train", bs)
+                if K > 1:
+                    # updates consume K consecutive micro-batches; push the
+                    # non-multiple remainder through the per-step path
+                    quant = bs * K
+                    n_full = (len(device_order) // quant) * quant
+                    tail_order = np.concatenate(
+                        [device_order[n_full:], tail_order]).astype(device_order.dtype)
+                    device_order = device_order[:n_full]
+                sharded = self._pool_sharded("train")
+            if stream_rows and len(device_order):
+                splits = datamodule.splits["train"]
+                fn = self._train_epoch_fns[False]
+                chunks = self._stream_chunks(device_order, stream_rows)
+                staged = self._put_chunk(splits, chunks[0])
+                for c, idx in enumerate(chunks):
+                    if self._preempt_requested:
+                        break
+                    chunk_arrays, staged = staged, None
+                    # identity gather within the chunk == the hoisted path's
+                    # global gather of the same rows; the cumulative
+                    # global_step keeps the rng folding identical too
+                    self.params, self.opt_state, losses, aux = fn(
+                        self.params, self.opt_state, chunk_arrays,
+                        jnp.arange(len(idx), dtype=jnp.int32), ctx,
+                        self._step_rng_keys, self.global_step,
+                    )
+                    if c + 1 < len(chunks):
+                        # stage the next chunk's H2D transfer while the
+                        # dispatched scan crunches this one (double-buffer)
+                        staged = self._put_chunk(splits, chunks[c + 1])
+                    consume(losses, aux, flat=True)
+                    self.global_step += len(idx) // (bs * K)
+                    nsteps += len(idx) // bs
+            elif len(device_order):
                 self.params, self.opt_state, losses, aux = self._train_epoch_fns[sharded](
                     self.params, self.opt_state, arrays,
                     jnp.asarray(device_order, jnp.int32), ctx,
@@ -905,17 +999,40 @@ class Trainer:
         split_key = "val" if prefix == "val" else "test"
         dm = self.datamodule
         processed_order = None  # non-natural sample order -> host unpermute
-        if (self.compiled_epochs and dm is not None and batches is None
-                and dm.device_resident_ok(split_key)
-                and getattr(self, "_eval_epoch_fns", None)):
-            arrays = self._device_split(split_key)
+        use_device_path = (self.compiled_epochs and dm is not None
+                           and batches is None
+                           and dm.device_resident_ok(split_key)
+                           and bool(getattr(self, "_eval_epoch_fns", None)))
+        stream_rows = (self._stream_chunk_rows(split_key, dm.batch_size)
+                       if use_device_path else None)
+        if stream_rows == 0:
+            use_device_path = False  # budget can't hold one batch: host path
+        if use_device_path:
             order = np.arange(dm.split_size(split_key))
             bs = dm.batch_size
-            device_order, tail_order = self._split_order(order, split_key, bs)
-            sharded = self._pool_sharded(split_key)
+            if stream_rows:
+                n_full = (len(order) // bs) * bs
+                device_order, tail_order = order[:n_full], order[n_full:]
+                sharded = False
+            else:
+                arrays = self._device_split(split_key)
+                device_order, tail_order = self._split_order(order, split_key, bs)
+                sharded = self._pool_sharded(split_key)
             if sharded:
                 processed_order = np.concatenate([device_order, tail_order])
-            if len(device_order):
+            if stream_rows and len(device_order):
+                splits = dm.splits[split_key]
+                fn = self._eval_epoch_fns[False]
+                chunks = self._stream_chunks(device_order, stream_rows)
+                staged = self._put_chunk(splits, chunks[0])
+                for c, idx in enumerate(chunks):
+                    chunk_arrays, staged = staged, None
+                    losses, aux = fn(eval_params, chunk_arrays,
+                                     jnp.arange(len(idx), dtype=jnp.int32), ctx)
+                    if c + 1 < len(chunks):
+                        staged = self._put_chunk(splits, chunks[c + 1])
+                    consume(losses, aux, flat=True)
+            elif len(device_order):
                 losses, aux = self._eval_epoch_fns[sharded](
                     eval_params, arrays, jnp.asarray(device_order, jnp.int32), ctx
                 )
