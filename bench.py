@@ -24,21 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-# bf16 MXU peak per chip, by device_kind prefix (jax.Device.device_kind)
-_PEAK_BF16 = {
-    "TPU v4": 275e12,
-    "TPU v5 lite": 197e12,  # v5e
-    "TPU v5": 459e12,       # v5p (checked after the 'lite' prefix)
-    "TPU v6 lite": 918e12,  # v6e / Trillium
-}
-
-
-def peak_flops(device) -> float:
-    kind = getattr(device, "device_kind", "")
-    for prefix in ("TPU v5 lite", "TPU v6 lite", "TPU v5", "TPU v4"):
-        if kind.startswith(prefix):
-            return _PEAK_BF16[prefix]
-    return 197e12  # conservative default: v5e
+from m2mixer_tpu.utils.flops import peak_flops  # shared with train.log_mfu
 
 
 def analytic_train_flops_per_sample(cfg) -> float:

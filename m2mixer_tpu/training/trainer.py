@@ -227,6 +227,12 @@ class Trainer:
         # wandb.watch analog (`/root/reference/run.py:53`): track gradient
         # magnitudes (global norm per step, epoch-mean logged)
         self.watch_gradients = bool(train_cfg.get("watch_gradients", False))
+        # train.log_mfu: log train_mfu per epoch — achieved model FLOPs/s
+        # over the chip's bf16 MXU peak, with the step FLOPs taken from
+        # XLA's cost model of the compiled train step (any model family,
+        # no hand-derived formula). One extra single-step compile at first
+        # use (persistent-cache friendly); single-device meshes only.
+        self.log_mfu = bool(train_cfg.get("log_mfu", False))
         # train.grad_accum_steps K: average grads over K micro-batches per
         # optimizer update (large effective batch at micro-batch memory)
         self.grad_accum = max(1, int(train_cfg.get("grad_accum_steps", 1)))
@@ -600,6 +606,59 @@ class Trainer:
         rep = replicated(self.mesh)
         return jax.device_put({k: np.ascontiguousarray(v[idx]) for k, v in splits.items()}, rep)
 
+    # ------------------------------------------------------------- MFU meter
+    def _train_mfu(self, samples_per_sec: float) -> Optional[float]:
+        """train.log_mfu: ``samples/s * FLOPs/sample / bf16 peak``, with the
+        per-sample FLOPs asked of XLA's cost model for the compiled train
+        step (``utils/flops.py``). Single-device meshes only — under SPMD
+        the cost model reports per-partition FLOPs, which would need
+        topology bookkeeping this meter doesn't claim."""
+        if self.mesh.size != 1:
+            if not getattr(self, "_warned_mfu", False):
+                print("[trainer] train.log_mfu is single-device only "
+                      "(SPMD cost analysis is per-partition); skipping")
+                self._warned_mfu = True
+            return None
+        if not hasattr(self, "_mfu_flops_per_sample"):
+            self._mfu_flops_per_sample = self._measure_step_flops()
+            if self._mfu_flops_per_sample is None:
+                print("[trainer] train.log_mfu: no FLOPs estimate available "
+                      "for this step/datamodule; skipping")
+        if not self._mfu_flops_per_sample:
+            return None
+        from ..utils.flops import peak_flops
+
+        return samples_per_sec * self._mfu_flops_per_sample / peak_flops(jax.devices()[0])
+
+    def _measure_step_flops(self) -> Optional[float]:
+        """FLOPs per training sample from XLA's cost analysis of the
+        per-step executable (same math the epoch scan runs per step)."""
+        from ..utils.flops import compiled_step_flops
+
+        dm = self.datamodule
+        if (self._train_step is None or self.params is None or dm is None
+                or not getattr(dm, "splits", None) or "train" not in dm.splits):
+            return None
+
+        def spec(x):
+            dt = getattr(x, "dtype", None)
+            if dt is None:
+                dt = np.asarray(x).dtype
+            return jax.ShapeDtypeStruct(tuple(np.shape(x)), dt)
+
+        bs = dm.batch_size
+        batch_spec = {
+            k: jax.ShapeDtypeStruct((bs, *np.shape(v)[1:]), v.dtype)
+            for k, v in dm.splits["train"].items()
+        }
+        # jnp.asarray matches _put_ctx's dtype canonicalization (f64 -> f32)
+        ctx_spec = {k: spec(jnp.asarray(v))
+                    for k, v in self.task.make_ctx(0, "train").items()}
+        flops = compiled_step_flops(
+            self._train_step, jax.tree.map(spec, self.params),
+            jax.tree.map(spec, self.opt_state), batch_spec, ctx_spec, 0)
+        return None if flops is None else flops / bs
+
     # ------------------------------------------------------------------ fit
     def _install_preempt_handler(self):
         """SIGTERM -> set a flag; the fit loop checkpoints at the next safe
@@ -958,6 +1017,10 @@ class Trainer:
         bs = getattr(datamodule, "batch_size", None)
         if bs:
             logs["train_samples_per_sec"] = nsteps * bs / dt
+            if self.log_mfu:
+                mfu = self._train_mfu(logs["train_samples_per_sec"])
+                if mfu is not None:
+                    logs["train_mfu"] = mfu
         self.callback_metrics.update(logs)
         self.logger.log(logs, self.global_step)
 
