@@ -619,7 +619,12 @@ class Trainer:
                       "(SPMD cost analysis is per-partition); skipping")
                 self._warned_mfu = True
             return None
-        if not hasattr(self, "_mfu_flops_per_sample"):
+        # cache keyed on the live step closures: test()/refit may rebuild
+        # _train_step for a new task or batch geometry, and the FLOPs of the
+        # old executable must not leak onto the new one
+        key = (id(self._steps_task), self._steps_bs)
+        if getattr(self, "_mfu_cache_key", None) != key:
+            self._mfu_cache_key = key
             self._mfu_flops_per_sample = self._measure_step_flops()
             if self._mfu_flops_per_sample is None:
                 print("[trainer] train.log_mfu: no FLOPs estimate available "
@@ -647,8 +652,12 @@ class Trainer:
             return jax.ShapeDtypeStruct(tuple(np.shape(x)), dt)
 
         bs = dm.batch_size
+        # canonicalize host dtypes (f64 -> f32 etc.) exactly as the live
+        # device_put in _put_batch does, so the lowered program matches the
+        # jit path's and the persistent compile cache can hit
         batch_spec = {
-            k: jax.ShapeDtypeStruct((bs, *np.shape(v)[1:]), v.dtype)
+            k: jax.ShapeDtypeStruct((bs, *np.shape(v)[1:]),
+                                    jax.dtypes.canonicalize_dtype(v.dtype))
             for k, v in dm.splits["train"].items()
         }
         # jnp.asarray matches _put_ctx's dtype canonicalization (f64 -> f32)
@@ -915,34 +924,40 @@ class Trainer:
             bs = datamodule.batch_size
             if stream_rows:
                 # streamed pool (train.pool_chunk_mb): the split stays on
-                # host; the device path takes the quant-aligned prefix in
-                # fixed-size chunks, the remainder goes per-step
-                quant = bs * K
-                n_full = (len(order) // quant) * quant
+                # host, replicated fixed-size chunks go through the scan
+                n_full = (len(order) // bs) * bs
                 order = np.asarray(order)
                 device_order, tail_order = order[:n_full], order[n_full:]
                 sharded = False
             else:
                 arrays = self._device_split("train")
                 device_order, tail_order = self._split_order(order, "train", bs)
-                if K > 1:
-                    # updates consume K consecutive micro-batches; push the
-                    # non-multiple remainder through the per-step path
-                    quant = bs * K
-                    n_full = (len(device_order) // quant) * quant
-                    tail_order = np.concatenate(
-                        [device_order[n_full:], tail_order]).astype(device_order.dtype)
-                    device_order = device_order[:n_full]
                 sharded = self._pool_sharded("train")
+            if K > 1:
+                # updates consume K consecutive micro-batches; push the
+                # non-multiple remainder through the per-step path
+                quant = bs * K
+                n_full = (len(device_order) // quant) * quant
+                tail_order = np.concatenate(
+                    [device_order[n_full:], tail_order]).astype(device_order.dtype)
+                device_order = device_order[:n_full]
             if stream_rows and len(device_order):
                 splits = datamodule.splits["train"]
                 fn = self._train_epoch_fns[False]
                 chunks = self._stream_chunks(device_order, stream_rows)
                 staged = self._put_chunk(splits, chunks[0])
+                prev_done = None
                 for c, idx in enumerate(chunks):
                     if self._preempt_requested:
                         break
                     chunk_arrays, staged = staged, None
+                    if prev_done is not None:
+                        # backpressure: wait for the PREVIOUS chunk's scan to
+                        # retire before dispatching the next, so at most two
+                        # chunk buffers (running + staged) are ever in flight
+                        # — without this the host races ahead and resident
+                        # chunks pile up past the budget
+                        jax.block_until_ready(prev_done)
                     # identity gather within the chunk == the hoisted path's
                     # global gather of the same rows; the cumulative
                     # global_step keeps the rng folding identical too
@@ -955,6 +970,7 @@ class Trainer:
                         # stage the next chunk's H2D transfer while the
                         # dispatched scan crunches this one (double-buffer)
                         staged = self._put_chunk(splits, chunks[c + 1])
+                    prev_done = losses
                     consume(losses, aux, flat=True)
                     self.global_step += len(idx) // (bs * K)
                     nsteps += len(idx) // bs
@@ -1088,12 +1104,22 @@ class Trainer:
                 fn = self._eval_epoch_fns[False]
                 chunks = self._stream_chunks(device_order, stream_rows)
                 staged = self._put_chunk(splits, chunks[0])
+                prev_done = None
                 for c, idx in enumerate(chunks):
+                    if self._preempt_requested:
+                        # a streamed eval epoch can run for minutes; honor the
+                        # SIGTERM grace window (partial val metrics may rank
+                        # this epoch's checkpoint slightly off — resume
+                        # follows 'last' regardless)
+                        break
                     chunk_arrays, staged = staged, None
+                    if prev_done is not None:
+                        jax.block_until_ready(prev_done)  # 2-chunk bound
                     losses, aux = fn(eval_params, chunk_arrays,
                                      jnp.arange(len(idx), dtype=jnp.int32), ctx)
                     if c + 1 < len(chunks):
                         staged = self._put_chunk(splits, chunks[c + 1])
+                    prev_done = losses
                     consume(losses, aux, flat=True)
             elif len(device_order):
                 losses, aux = self._eval_epoch_fns[sharded](
