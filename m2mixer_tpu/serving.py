@@ -624,6 +624,8 @@ def main(argv: Optional[Sequence[str]] = None):
     export:  python -m m2mixer_tpu.serving export -c CFG -p CKPT -o DIR
              [--format stablehlo|executable] [--buckets 1,8,32]
     bench:   python -m m2mixer_tpu.serving bench -d DIR [--batch 32] [--iters 50]
+    predict: python -m m2mixer_tpu.serving predict -d DIR -i IN.npz -o OUT.npz
+             (offline batch inference: npz features in, npz outputs out)
     serve:   python -m m2mixer_tpu.serving serve -d DIR [--host H] [--port P]
              (stdlib HTTP endpoint: /healthz /info /predict — see server.py)
     """
@@ -668,6 +670,18 @@ def main(argv: Optional[Sequence[str]] = None):
                  "batches shard over the data axis; with --shard-params the "
                  "trainer's tensor-parallel rules shard the weights over the "
                  "model axis (stablehlo format only)")
+    pr = sub.add_parser("predict", help="offline batch inference over an "
+                                        "npz file of features")
+    pr.add_argument("-d", "--dir", required=True, help="artifact directory")
+    pr.add_argument("-i", "--input", required=True,
+                    help="npz with one array per artifact feature (batch "
+                         "leading; extra keys like 'label' are ignored)")
+    pr.add_argument("-o", "--output", required=True,
+                    help="npz to write: logits, branch_logits_<i>, and any "
+                         "other artifact outputs")
+    pr.add_argument("--mesh", default=None, metavar="DxM", help=mesh_help)
+    pr.add_argument("--shard-params", action="store_true")
+    pr.add_argument("--model-min-dim", type=int, default=256)
     be = sub.add_parser("bench")
     be.add_argument("-d", "--dir", required=True)
     be.add_argument("--batch", type=int, default=32)
@@ -754,6 +768,39 @@ def main(argv: Optional[Sequence[str]] = None):
                              fmt=args.format, buckets=buckets,
                              quantize=args.quantize)
         print(f"[serving] exported {args.format} artifact to {out}")
+    elif args.cmd == "predict":
+        model = load_serving(
+            args.dir,
+            mesh=_mesh_from_spec(args.mesh) if args.mesh else None,
+            shard_params=args.shard_params, model_min_dim=args.model_min_dim)
+        data = np.load(args.input)
+        want = set(model.meta["features"])
+        have = set(data.files)
+        missing = sorted(want - have)
+        if missing:
+            raise SystemExit(f"[serving] {args.input} is missing feature "
+                             f"array(s) {missing}; artifact expects {sorted(want)}")
+        feats = {k: np.asarray(data[k]) for k in want}
+        sizes = {k: np.shape(v)[0] for k, v in feats.items()}
+        if len(set(sizes.values())) != 1:
+            raise SystemExit(f"[serving] inconsistent batch sizes: {sizes}")
+        for k, v in feats.items():
+            shp = tuple(model.meta["features"][k])
+            if tuple(np.shape(v)[1:]) != shp:
+                raise SystemExit(f"[serving] {k} per-sample shape "
+                                 f"{tuple(np.shape(v)[1:])} != artifact's {shp}")
+        out = model.predict(feats)
+        flat = {}
+        for k, v in out.items():
+            if isinstance(v, (tuple, list)):
+                for i, b in enumerate(v):
+                    flat[f"{k}_{i}"] = np.asarray(b)
+            else:
+                flat[k] = np.asarray(v)
+        np.savez(args.output, **flat)
+        n = next(iter(sizes.values()))
+        print(json.dumps({"metric": "predict_samples", "value": n,
+                          "outputs": sorted(flat), "out": args.output}))
     elif args.cmd == "serve":
         from .server import serve_forever
 

@@ -575,3 +575,38 @@ def test_to_pallas_serving_gmlp_parity(tmp_path):
         p_params, **p_task.network_inputs(batch),
         deterministic=True)["logits"])
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_predict_cli_batch_npz(tmp_path, task_and_params, capsys):
+    """serving predict: offline batch inference — npz features in, npz
+    outputs out, through the bucketed/padded predict path."""
+    task, params = task_and_params
+    d = export_serving(task, params, _batch(8), str(tmp_path / "artpred"),
+                       fmt="stablehlo", buckets=(4, 8))
+    batch = _batch(6, seed=21)
+    np.savez(tmp_path / "in.npz", **batch)  # extra 'label' key is ignored
+    main(["predict", "-d", d, "-i", str(tmp_path / "in.npz"),
+          "-o", str(tmp_path / "out.npz")])
+    out = np.load(tmp_path / "out.npz")
+    assert out["logits"].shape == (6, 10)
+    np.testing.assert_allclose(out["logits"], _direct_logits(task, params, batch),
+                               rtol=2e-5, atol=2e-5)
+    assert out["branch_logits_0"].shape == (6, 10)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["value"] == 6 and "logits" in summary["outputs"]
+
+
+def test_predict_cli_rejects_bad_input(tmp_path, task_and_params):
+    task, params = task_and_params
+    d = export_serving(task, params, _batch(8), str(tmp_path / "artpred2"),
+                       fmt="stablehlo", buckets=(4,))
+    batch = _batch(4)
+    np.savez(tmp_path / "missing.npz", image=batch["image"])  # no audio
+    with pytest.raises(SystemExit, match="missing feature"):
+        main(["predict", "-d", d, "-i", str(tmp_path / "missing.npz"),
+              "-o", str(tmp_path / "o.npz")])
+    np.savez(tmp_path / "badshape.npz", image=batch["image"],
+             audio=batch["audio"][:, :, :64])
+    with pytest.raises(SystemExit, match="per-sample shape"):
+        main(["predict", "-d", d, "-i", str(tmp_path / "badshape.npz"),
+              "-o", str(tmp_path / "o.npz")])
