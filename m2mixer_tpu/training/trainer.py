@@ -578,11 +578,14 @@ class Trainer:
         n = self.datamodule.split_size(stage)
         row = self._row_bytes(stage)
         budget = self.pool_chunk_mb * (1 << 20)
+        dd = self.mesh.shape["data"] if self._pool_sharded(stage) else 1
         # what hoisting would cost per device (sharded pools hold 1/Nth)
-        resident = n * row / (self.mesh.shape["data"] if self._pool_sharded(stage) else 1)
+        resident = n * row / dd
         if resident <= budget:
             return None
-        rows = int(budget / 2 / row) // quant * quant
+        # sharded streaming places each chunk split 1/Nth per device, so the
+        # per-device budget affords N-fold larger chunks
+        rows = (int(budget / 2 / row) * dd) // quant * quant
         if rows <= 0 and not getattr(self, "_warned_chunk", False):
             print(f"[trainer] pool_chunk_mb={self.pool_chunk_mb:g} cannot "
                   f"hold two chunks of one step ({quant} rows x {row} B); "
@@ -598,13 +601,42 @@ class Trainer:
         order = np.asarray(order)
         return [order[s : s + chunk_rows] for s in range(0, len(order), chunk_rows)]
 
-    def _put_chunk(self, splits, idx):
+    def _put_chunk(self, splits, idx, sharded: bool = False):
         """Host-gather the chunk's rows and issue ONE async H2D transfer.
-        Replicated across the mesh: per-batch gathers inside the scan are
-        sharding-constrained onto the data axis, exactly like hoisted
-        replicated pools."""
+
+        Replicated (default): per-batch gathers inside the scan are
+        sharding-constrained onto the data axis, like hoisted replicated
+        pools. ``sharded`` (streamed + train.sharded_pool): the chunk is
+        placed split 1/Nth per device over ``data`` — pass the host order
+        from ``_shard_chunk_layout`` so each device's shard holds exactly
+        its per-step quotas for the shard_map gather."""
+        if sharded:
+            put = lambda v: jax.device_put(
+                np.ascontiguousarray(v[idx]),
+                NamedSharding(self.mesh, P("data", *([None] * (v.ndim - 1)))))
+            return {k: put(v) for k, v in splits.items()}
         rep = replicated(self.mesh)
         return jax.device_put({k: np.ascontiguousarray(v[idx]) for k, v in splits.items()}, rep)
+
+    @staticmethod
+    def _shard_chunk_layout(idx: np.ndarray, bs: int, dd: int):
+        """Arrange a chunk's epoch-order rows for a ``data``-sharded
+        placement: returns ``(host_order, inner_order)`` where
+        ``host_order`` permutes ``idx`` device-major (device d's shard holds
+        its per-step quotas contiguously) and ``inner_order`` is the
+        shard-aligned index array the sharded epoch fn gathers with. Batch
+        contents and within-batch ordering come out identical to the
+        replicated path, so results stay bit-identical."""
+        idx = np.asarray(idx)
+        steps = len(idx) // bs
+        per = bs // dd
+        quotas = idx.reshape(steps, dd, per)
+        host = quotas.transpose(1, 0, 2).reshape(-1)
+        shard_rows = steps * per
+        inner = (np.arange(dd)[None, :, None] * shard_rows
+                 + np.arange(steps)[:, None, None] * per
+                 + np.arange(per)[None, None, :]).reshape(-1)
+        return host, inner.astype(np.int32)
 
     # ------------------------------------------------------------- MFU meter
     def _train_mfu(self, samples_per_sec: float) -> Optional[float]:
@@ -924,11 +956,12 @@ class Trainer:
             bs = datamodule.batch_size
             if stream_rows:
                 # streamed pool (train.pool_chunk_mb): the split stays on
-                # host, replicated fixed-size chunks go through the scan
+                # host, fixed-size chunks go through the scan — replicated,
+                # or split 1/Nth per device when train.sharded_pool is on
                 n_full = (len(order) // bs) * bs
                 order = np.asarray(order)
                 device_order, tail_order = order[:n_full], order[n_full:]
-                sharded = False
+                sharded = self._pool_sharded("train")
             else:
                 arrays = self._device_split("train")
                 device_order, tail_order = self._split_order(order, "train", bs)
@@ -943,14 +976,29 @@ class Trainer:
                 device_order = device_order[:n_full]
             if stream_rows and len(device_order):
                 splits = datamodule.splits["train"]
-                fn = self._train_epoch_fns[False]
+                fn = self._train_epoch_fns[sharded]
+                dd = self.mesh.shape["data"]
+
+                def chunk_layout(idx):
+                    # replicated: identity gather within the chunk == the
+                    # hoisted path's global gather of the same rows; sharded:
+                    # device-major host layout + shard-aligned inner order
+                    # (same batch contents/ordering — still bit-identical)
+                    if sharded:
+                        return self._shard_chunk_layout(idx, bs, dd)
+                    return idx, np.arange(len(idx), dtype=np.int32)
+
+                def stage(idx):
+                    host_order, inner = chunk_layout(idx)
+                    return self._put_chunk(splits, host_order, sharded), inner
+
                 chunks = self._stream_chunks(device_order, stream_rows)
-                staged = self._put_chunk(splits, chunks[0])
+                staged = stage(chunks[0])
                 prev_done = None
                 for c, idx in enumerate(chunks):
                     if self._preempt_requested:
                         break
-                    chunk_arrays, staged = staged, None
+                    (chunk_arrays, inner), staged = staged, None
                     if prev_done is not None:
                         # backpressure: wait for the PREVIOUS chunk's scan to
                         # retire before dispatching the next, so at most two
@@ -958,18 +1006,17 @@ class Trainer:
                         # — without this the host races ahead and resident
                         # chunks pile up past the budget
                         jax.block_until_ready(prev_done)
-                    # identity gather within the chunk == the hoisted path's
-                    # global gather of the same rows; the cumulative
-                    # global_step keeps the rng folding identical too
+                    # the cumulative global_step keeps the rng folding
+                    # identical to the hoisted path
                     self.params, self.opt_state, losses, aux = fn(
                         self.params, self.opt_state, chunk_arrays,
-                        jnp.arange(len(idx), dtype=jnp.int32), ctx,
+                        jnp.asarray(inner), ctx,
                         self._step_rng_keys, self.global_step,
                     )
                     if c + 1 < len(chunks):
                         # stage the next chunk's H2D transfer while the
                         # dispatched scan crunches this one (double-buffer)
-                        staged = self._put_chunk(splits, chunks[c + 1])
+                        staged = stage(chunks[c + 1])
                     prev_done = losses
                     consume(losses, aux, flat=True)
                     self.global_step += len(idx) // (bs * K)
@@ -1092,18 +1139,30 @@ class Trainer:
             if stream_rows:
                 n_full = (len(order) // bs) * bs
                 device_order, tail_order = order[:n_full], order[n_full:]
-                sharded = False
+                sharded = self._pool_sharded(split_key)
             else:
                 arrays = self._device_split(split_key)
                 device_order, tail_order = self._split_order(order, split_key, bs)
                 sharded = self._pool_sharded(split_key)
-            if sharded:
+            if sharded and not stream_rows:
+                # (streamed sharded chunks come back in natural batch order —
+                # the shard-aligned layout reassembles each step's samples in
+                # their original within-batch order, so no unpermute needed)
                 processed_order = np.concatenate([device_order, tail_order])
             if stream_rows and len(device_order):
                 splits = dm.splits[split_key]
-                fn = self._eval_epoch_fns[False]
+                fn = self._eval_epoch_fns[sharded]
+                dd = self.mesh.shape["data"]
+
+                def stage(idx):
+                    if sharded:
+                        host_order, inner = self._shard_chunk_layout(idx, bs, dd)
+                    else:
+                        host_order, inner = idx, np.arange(len(idx), dtype=np.int32)
+                    return self._put_chunk(splits, host_order, sharded), inner
+
                 chunks = self._stream_chunks(device_order, stream_rows)
-                staged = self._put_chunk(splits, chunks[0])
+                staged = stage(chunks[0])
                 prev_done = None
                 for c, idx in enumerate(chunks):
                     if self._preempt_requested:
@@ -1112,13 +1171,13 @@ class Trainer:
                         # this epoch's checkpoint slightly off — resume
                         # follows 'last' regardless)
                         break
-                    chunk_arrays, staged = staged, None
+                    (chunk_arrays, inner), staged = staged, None
                     if prev_done is not None:
                         jax.block_until_ready(prev_done)  # 2-chunk bound
                     losses, aux = fn(eval_params, chunk_arrays,
-                                     jnp.arange(len(idx), dtype=jnp.int32), ctx)
+                                     jnp.asarray(inner), ctx)
                     if c + 1 < len(chunks):
-                        staged = self._put_chunk(splits, chunks[c + 1])
+                        staged = stage(chunks[c + 1])
                     prev_done = losses
                     consume(losses, aux, flat=True)
             elif len(device_order):

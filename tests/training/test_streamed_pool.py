@@ -131,3 +131,56 @@ def test_stream_chunk_partition_unit():
     chunks = T._stream_chunks(None, np.arange(100), 32)
     assert [len(c) for c in chunks] == [32, 32, 32, 4]
     np.testing.assert_array_equal(np.concatenate(chunks), np.arange(100))
+
+
+def test_shard_chunk_layout_unit():
+    from m2mixer_tpu.training.trainer import Trainer as T
+
+    idx = np.arange(100, 164)  # 64 rows, bs 16, 4 devices
+    host, inner = T._shard_chunk_layout(idx, bs=16, dd=4)
+    assert sorted(host.tolist()) == sorted(idx.tolist())
+    # the scan's gather of `inner` over the host-arranged chunk must
+    # reproduce the original epoch order exactly (bit-parity invariant)
+    np.testing.assert_array_equal(np.asarray(host)[inner], idx)
+    # each step draws bs/dd items from every device's contiguous shard
+    shard_rows = len(idx) // 4
+    for s in range(len(idx) // 16):
+        step = inner[s * 16:(s + 1) * 16]
+        owners = step // shard_rows
+        assert sorted(owners.tolist()) == [0] * 4 + [1] * 4 + [2] * 4 + [3] * 4
+
+
+def test_streamed_sharded_chunks(tmp_path):
+    """pool_chunk_mb + train.sharded_pool: chunks live split 1/Nth per
+    device (the per-device budget affords N-fold larger chunks), training
+    matches the hoisted single-device run, and eval artifacts come back in
+    dataset order."""
+    import jax
+    from m2mixer_tpu.config import loads
+    import os
+
+    hoisted = run(tmp_path / "a", chunk_mb=0, name="sh_hoisted")
+
+    cfg = loads(CFG.format(tmp=tmp_path / "b", chunk_mb=0.8, accum=1))
+    cfg.train.sharded_pool = True
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="sh_streamed", full_cfg=cfg,
+                      mesh_config=MeshConfig(data=4, model=1))
+    trainer.fit(task, dm)
+    # the budget forced sharded streaming on train (96 rows ~4.9 MB / 4
+    # devices = 1.2 MB resident > 0.8 MB), with dd-scaled chunk rows
+    rows = trainer._stream_chunk_rows("train", 16)
+    assert rows and rows % 16 == 0
+    assert trainer._pool_sharded("train")
+    # a sharded chunk actually lives 1/Nth per device
+    host, _ = trainer._shard_chunk_layout(np.arange(rows), 16, 4)
+    chunk = trainer._put_chunk(dm.splits["train"], host, True)
+    assert chunk["image"].addressable_shards[0].data.shape[0] == rows // 4
+    _assert_same_training(hoisted, trainer, rtol=2e-4, atol=1e-5)
+
+    logs = trainer.test(trainer.task, trainer.datamodule, ckpt="best")
+    assert np.isfinite(logs["test_loss"])
+    data = np.load(os.path.join(trainer.ckpt_dir, "test_preds.npz"))
+    np.testing.assert_array_equal(
+        data["labels"], trainer.datamodule.splits["test"]["label"])
