@@ -49,13 +49,23 @@ class AVMnistDataModule(ArrayDataModule):
     def __init__(self, data_dir: str, batch_size: int, num_workers: int = 0,
                  p_muting: float = 0.0, shuffle_train: bool = False,
                  synthetic: bool = False, synthetic_sizes=(512, 128, 128),
-                 synthetic_learnable: bool = False, **kwargs):
+                 synthetic_learnable: bool = False, mmap: bool = False,
+                 **kwargs):
         super().__init__(batch_size=batch_size, shuffle_train=shuffle_train, shuffle_test=True)
         self.data_dir = data_dir
         self.p_muting = float(p_muting)
         self.synthetic = synthetic
         self.synthetic_sizes = synthetic_sizes
         self.synthetic_learnable = synthetic_learnable
+        #: dataset.params.mmap: keep the monolithic npy files memory-mapped
+        #: instead of materialized in host RAM — splits become views, and
+        #: only the rows a batch (or a train.pool_chunk_mb chunk) touches
+        #: are ever read. With pool streaming this completes the memory
+        #: hierarchy: disk -> (mmap) host pages -> (chunks) HBM, so neither
+        #: host RAM nor device memory bounds the dataset size. Files whose
+        #: stored dtype isn't the final one are materialized with a note
+        #: (float32 on disk keeps the mapping).
+        self.mmap = bool(mmap)
         self._mute_rng = np.random.RandomState(1234)
 
     def setup(self, stage: Optional[str] = None) -> None:
@@ -73,12 +83,25 @@ class AVMnistDataModule(ArrayDataModule):
             return
 
         def load(stage_name):
-            img = np.load(os.path.join(self.data_dir, "image", f"{stage_name}_data.npy"))
-            aud = np.load(os.path.join(self.data_dir, "audio", f"{stage_name}_data.npy"))
+            mm = "r" if self.mmap else None
+            img = np.load(os.path.join(self.data_dir, "image", f"{stage_name}_data.npy"),
+                          mmap_mode=mm)
+            aud = np.load(os.path.join(self.data_dir, "audio", f"{stage_name}_data.npy"),
+                          mmap_mode=mm)
             lab = np.load(os.path.join(self.data_dir, f"{stage_name}_labels.npy"))
+
+            def finalize(a, dtype):
+                if a.dtype == dtype:
+                    return a  # reshape/newaxis keep the memmap a view
+                if self.mmap:
+                    print(f"[avmnist] mmap: {stage_name} stored as {a.dtype}, "
+                          f"materializing as {np.dtype(dtype).name} (store "
+                          "float32 npys to keep the mapping)")
+                return np.asarray(a, dtype)
+
             return {
-                "image": img.reshape(img.shape[0], 1, 28, 28).astype(np.float32),
-                "audio": aud[:, None, :, :].astype(np.float32),
+                "image": finalize(img.reshape(img.shape[0], 1, 28, 28), np.float32),
+                "audio": finalize(aud[:, None, :, :], np.float32),
                 "label": lab.astype(np.int32),
             }
 

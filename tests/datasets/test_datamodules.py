@@ -78,3 +78,92 @@ class TestMIMIC:
         dm = MIMICDataModule.synthetic(n=100, batch_size=10)
         b = next(iter(dm.val_batches()))
         assert b["static"].shape == (10, 5)
+
+
+class TestAVMnistMmap:
+    @staticmethod
+    def _write(tmp_path, n=24, m=12, audio_dtype=np.float32):
+        rng = np.random.RandomState(0)
+        (tmp_path / "image").mkdir()
+        (tmp_path / "audio").mkdir()
+        for stage, k in (("train", n), ("test", m)):
+            np.save(tmp_path / "image" / f"{stage}_data.npy",
+                    rng.rand(k, 784).astype(np.float32))
+            np.save(tmp_path / "audio" / f"{stage}_data.npy",
+                    rng.rand(k, 112, 112).astype(audio_dtype))
+            np.save(tmp_path / f"{stage}_labels.npy",
+                    rng.randint(0, 10, (k,)).astype(np.int64))
+
+    def test_mmap_splits_are_views_and_equal(self, tmp_path):
+        """dataset.params.mmap: float32 npys stay memory-mapped (splits are
+        views, no host-RAM materialization) and every batch matches the
+        in-RAM loader exactly."""
+        self._write(tmp_path)
+        mapped = AVMnistDataModule(str(tmp_path), batch_size=4, mmap=True)
+        mapped.setup()
+        plain = AVMnistDataModule(str(tmp_path), batch_size=4)
+        plain.setup()
+        assert isinstance(mapped.splits["train"]["image"], np.memmap)
+        assert isinstance(mapped.splits["val"]["audio"], np.memmap)
+        for stage in ("train", "val", "test"):
+            for k in ("image", "audio", "label"):
+                np.testing.assert_array_equal(
+                    np.asarray(mapped.splits[stage][k]), plain.splits[stage][k])
+
+    def test_mmap_materializes_on_dtype_mismatch(self, tmp_path, capsys):
+        """uint8-stored files can't stay mapped (the model wants f32): the
+        loader materializes with a note instead of serving wrong dtypes."""
+        self._write(tmp_path, audio_dtype=np.uint8)
+        dm = AVMnistDataModule(str(tmp_path), batch_size=4, mmap=True)
+        dm.setup()
+        assert not isinstance(dm.splits["train"]["audio"], np.memmap)
+        assert dm.splits["train"]["audio"].dtype == np.float32
+        assert "materializing" in capsys.readouterr().out
+
+    def test_mmap_streams_through_trainer(self, tmp_path):
+        """The full hierarchy: disk -> mmap host pages -> pool_chunk_mb HBM
+        chunks; metrics match the in-RAM hoisted run."""
+        from m2mixer_tpu.config import loads
+        from m2mixer_tpu.models import get_model
+        from m2mixer_tpu.parallel import MeshConfig
+        from m2mixer_tpu.training import Trainer
+
+        self._write(tmp_path, n=32, m=8)
+        cfg_t = """
+train:
+  tensorboard_path: {tmp}/logs
+  epochs: 1
+  pool_chunk_mb: {chunk}
+  optimizer: {{lr: 1e-3, weight_decay: 0.0}}
+  seed: 5
+  monitor: val_loss
+  monitor_mode: min
+dataset: {{type: AVMnistDataModule, params: {{}}}}
+model:
+  type: AVMnistMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 10, classifier: StandardClassifier,
+                      input_shape: [16, 8, 16]}}
+    image: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 14,
+             image_size: [28, 28], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    audio: {{block_type: MLPMixer, in_channels: 1, hidden_dim: 16, patch_size: 56,
+             image_size: [112, 112], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1}}
+"""
+        results = {}
+        for name, (chunk, mm) in (("ram", (0, False)), ("mmap", (0.5, True))):
+            cfg = loads(cfg_t.format(tmp=tmp_path / name, chunk=chunk))
+            task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+            dm = AVMnistDataModule(str(tmp_path), batch_size=4, mmap=mm)
+            trainer = Trainer(cfg.train, name=f"mm_{name}", full_cfg=cfg,
+                              mesh_config=MeshConfig(data=1, model=1))
+            trainer.fit(task, dm)
+            if mm:
+                assert trainer._stream_chunk_rows("train", 4)  # streamed
+                assert isinstance(dm.splits["train"]["image"], np.memmap)
+            results[name] = trainer.callback_metrics
+        for key in ("train_loss", "val_loss"):
+            np.testing.assert_allclose(results["mmap"][key], results["ram"][key],
+                                       rtol=2e-5, atol=2e-6)
