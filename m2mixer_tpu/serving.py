@@ -228,8 +228,11 @@ def _stack_from_paired(src: dict, m: int) -> dict:
 
 def to_pallas_serving(cfg, params, sample_batch):
     """Convert a task + trained params to the fused-Pallas-kernel blocks
-    for low-latency serving (kbench34: ~40% lower dispatch latency at
-    batch <= 32; requires the 'executable' artifact format).
+    for serving (requires the 'executable' artifact format). Latency vs
+    the XLA blocks is geometry- and host-dependent — bench your own shape
+    (kbench34 measured a small-batch win under a timing protocol kbench39
+    later showed unreliable through remote-device tunnels; batch 512
+    clearly favors XLA).
 
     Swaps ``MLPMixer`` -> ``PallasStackedMLPMixer`` and ``FusionMixer`` ->
     ``PallasStackedFusionMixer`` in a COPY of ``cfg`` (other block types —
@@ -663,9 +666,9 @@ def main(argv: Optional[Sequence[str]] = None):
                          "optimizer state instead of the raw params")
     ex.add_argument("--pallas", action="store_true",
                     help="re-lay MLPMixer/FusionMixer stacks onto the fused "
-                         "Pallas kernels for low-latency serving (~40%% "
-                         "lower dispatch latency at batch <= 32; implies "
-                         "--format executable)")
+                         "Pallas kernels (latency is geometry/host-"
+                         "dependent — run 'bench' on your own shape; "
+                         "implies --format executable)")
     mesh_help = ("serve over a device mesh, 'DATAxMODEL' (e.g. 4x2): request "
                  "batches shard over the data axis; with --shard-params the "
                  "trainer's tensor-parallel rules shard the weights over the "
@@ -685,7 +688,9 @@ def main(argv: Optional[Sequence[str]] = None):
     be = sub.add_parser("bench")
     be.add_argument("-d", "--dir", required=True)
     be.add_argument("--batch", type=int, default=32)
-    be.add_argument("--iters", type=int, default=50)
+    # enough pipeline depth to amortize the one completion-fetch round trip
+    # (~28 ms through a remote-device tunnel, microseconds on a local host)
+    be.add_argument("--iters", type=int, default=200)
     be.add_argument("--mesh", default=None, metavar="DxM", help=mesh_help)
     be.add_argument("--shard-params", action="store_true")
     be.add_argument("--model-min-dim", type=int, default=256,
@@ -866,12 +871,22 @@ def main(argv: Optional[Sequence[str]] = None):
             for k, v in feats.items()
         }
         call = model._calls[bucket]
-        call(model.params, padded)  # warm this exact shape
+
+        def fetch(o):
+            # hard completion barrier: one device->host fetch of the last
+            # output. In-order execution means every queued call finished;
+            # jax.block_until_ready alone can return early through remote-
+            # device tunnels and both under- and over-counts (kbench39:
+            # 'blocked' b512 readings ranged 0.07-4.8 ms across runs while
+            # the fetch-barriered number is stable at ~0.9-1.2 ms).
+            return np.asarray(jax.tree.leaves(o)[0])
+
+        fetch(call(model.params, padded))  # warm this exact shape
         t0 = time.perf_counter()
         out = None
         for _ in range(args.iters):
             out = call(model.params, padded)
-        jax.block_until_ready(out)
+        fetch(out)
         dev = (time.perf_counter() - t0) / args.iters
 
         print(json.dumps({
