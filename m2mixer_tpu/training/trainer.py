@@ -1004,8 +1004,11 @@ class Trainer:
                         # retire before dispatching the next, so at most two
                         # chunk buffers (running + staged) are ever in flight
                         # — without this the host races ahead and resident
-                        # chunks pile up past the budget
-                        jax.block_until_ready(prev_done)
+                        # chunks pile up past the budget. A hard fetch of the
+                        # (tiny) losses array, not block_until_ready: the
+                        # latter can return early through remote-device
+                        # tunnels (kbench39) and void the bound.
+                        np.asarray(prev_done)
                     # the cumulative global_step keeps the rng folding
                     # identical to the hoisted path
                     self.params, self.opt_state, losses, aux = fn(
@@ -1173,7 +1176,7 @@ class Trainer:
                         break
                     (chunk_arrays, inner), staged = staged, None
                     if prev_done is not None:
-                        jax.block_until_ready(prev_done)  # 2-chunk bound
+                        np.asarray(prev_done)  # hard 2-chunk bound (kbench39)
                     losses, aux = fn(eval_params, chunk_arrays,
                                      jnp.asarray(inner), ctx)
                     if c + 1 < len(chunks):
