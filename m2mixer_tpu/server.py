@@ -61,6 +61,8 @@ from typing import Dict
 
 import numpy as np
 
+from .serving import validate_features as _validate  # shared with predict CLI
+
 __all__ = ["make_server", "serve_forever", "RequestCoalescer", "ServerStats",
            "render_metrics", "warmup_model", "ServerOverloaded",
            "RequestTimeout"]
@@ -103,24 +105,6 @@ def _parse_npz_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
                 for k in z.files if k != "label"}
 
 
-def _validate(features: Dict[str, np.ndarray], meta: dict) -> None:
-    want = meta["features"]
-    missing = sorted(set(want) - set(features))
-    extra = sorted(set(features) - set(want))
-    if missing or extra:
-        raise ValueError(f"feature mismatch: missing={missing} extra={extra} "
-                         f"(artifact expects {sorted(want)})")
-    sizes = set()
-    for k, shp in want.items():
-        a = features[k]
-        if tuple(a.shape[1:]) != tuple(shp):
-            raise ValueError(f"feature {k!r}: trailing shape {a.shape[1:]} "
-                             f"!= artifact spec {tuple(shp)}")
-        sizes.add(int(a.shape[0]))
-    if len(sizes) != 1:
-        raise ValueError(f"inconsistent batch sizes across features: {sizes}")
-    if 0 in sizes:
-        raise ValueError("empty batch")
 
 
 class _Pending:

@@ -42,7 +42,8 @@ import numpy as np
 
 __all__ = ["export_serving", "export_ensemble_serving", "load_serving",
            "ServedModel", "pick_bucket", "quantize_weights",
-           "dequantize_weights", "average_checkpoints", "to_pallas_serving"]
+           "dequantize_weights", "average_checkpoints", "to_pallas_serving",
+           "validate_features"]
 
 _META = "serving.json"
 _PARAMS = "params.pkl"
@@ -58,6 +59,30 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
         if b >= n:
             return b
     return max(buckets)
+
+
+def validate_features(features: Dict[str, np.ndarray], meta: dict) -> None:
+    """Request-shape contract shared by the HTTP endpoint and the predict
+    CLI: every artifact feature present (and nothing extra), per-sample
+    shapes matching the export spec, one consistent non-zero batch size.
+    Raises ValueError with the mismatch spelled out."""
+    want = meta["features"]
+    missing = sorted(set(want) - set(features))
+    extra = sorted(set(features) - set(want))
+    if missing or extra:
+        raise ValueError(f"feature mismatch: missing={missing} extra={extra} "
+                         f"(artifact expects {sorted(want)})")
+    sizes = set()
+    for k, shp in want.items():
+        a = features[k]
+        if tuple(a.shape[1:]) != tuple(shp):
+            raise ValueError(f"feature {k!r}: trailing shape {a.shape[1:]} "
+                             f"!= artifact spec {tuple(shp)}")
+        sizes.add(int(a.shape[0]))
+    if len(sizes) != 1:
+        raise ValueError(f"inconsistent batch sizes across features: {sizes}")
+    if 0 in sizes:
+        raise ValueError("empty batch")
 
 
 def _serve_fn(task):
@@ -626,7 +651,7 @@ def main(argv: Optional[Sequence[str]] = None):
 
     export:  python -m m2mixer_tpu.serving export -c CFG -p CKPT -o DIR
              [--format stablehlo|executable] [--buckets 1,8,32]
-    bench:   python -m m2mixer_tpu.serving bench -d DIR [--batch 32] [--iters 50]
+    bench:   python -m m2mixer_tpu.serving bench -d DIR [--batch 32] [--iters 200]
     predict: python -m m2mixer_tpu.serving predict -d DIR -i IN.npz -o OUT.npz
              (offline batch inference: npz features in, npz outputs out)
     serve:   python -m m2mixer_tpu.serving serve -d DIR [--host H] [--port P]
@@ -678,7 +703,8 @@ def main(argv: Optional[Sequence[str]] = None):
     pr.add_argument("-d", "--dir", required=True, help="artifact directory")
     pr.add_argument("-i", "--input", required=True,
                     help="npz with one array per artifact feature (batch "
-                         "leading; extra keys like 'label' are ignored)")
+                         "leading; a 'label' key is ignored, other unknown "
+                         "keys are rejected — same contract as POST /predict)")
     pr.add_argument("-o", "--output", required=True,
                     help="npz to write: logits, branch_logits_<i>, and any "
                          "other artifact outputs")
@@ -779,21 +805,16 @@ def main(argv: Optional[Sequence[str]] = None):
             mesh=_mesh_from_spec(args.mesh) if args.mesh else None,
             shard_params=args.shard_params, model_min_dim=args.model_min_dim)
         data = np.load(args.input)
-        want = set(model.meta["features"])
-        have = set(data.files)
-        missing = sorted(want - have)
-        if missing:
-            raise SystemExit(f"[serving] {args.input} is missing feature "
-                             f"array(s) {missing}; artifact expects {sorted(want)}")
-        feats = {k: np.asarray(data[k]) for k in want}
+        # cast to the artifact's dtypes (a float64/uint8 npz would otherwise
+        # reach the pinned executable avals raw — same contract as the HTTP
+        # endpoint's npz parser), drop 'label', validate shapes loudly
+        feats = {k: np.asarray(data[k], dtype=model.meta["dtypes"].get(k))
+                 for k in data.files if k != "label"}
+        try:
+            validate_features(feats, model.meta)
+        except ValueError as e:
+            raise SystemExit(f"[serving] {args.input}: {e}")
         sizes = {k: np.shape(v)[0] for k, v in feats.items()}
-        if len(set(sizes.values())) != 1:
-            raise SystemExit(f"[serving] inconsistent batch sizes: {sizes}")
-        for k, v in feats.items():
-            shp = tuple(model.meta["features"][k])
-            if tuple(np.shape(v)[1:]) != shp:
-                raise SystemExit(f"[serving] {k} per-sample shape "
-                                 f"{tuple(np.shape(v)[1:])} != artifact's {shp}")
         out = model.predict(feats)
         flat = {}
         for k, v in out.items():

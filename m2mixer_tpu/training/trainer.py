@@ -578,13 +578,13 @@ class Trainer:
         n = self.datamodule.split_size(stage)
         row = self._row_bytes(stage)
         budget = self.pool_chunk_mb * (1 << 20)
-        dd = self.mesh.shape["data"] if self._pool_sharded(stage) else 1
         # what hoisting would cost per device (sharded pools hold 1/Nth)
-        resident = n * row / dd
+        resident = n * row / (self.mesh.shape["data"] if self._pool_sharded(stage) else 1)
         if resident <= budget:
             return None
         # sharded streaming places each chunk split 1/Nth per device, so the
         # per-device budget affords N-fold larger chunks
+        dd = self.mesh.shape["data"] if self._stream_sharded(stage) else 1
         rows = (int(budget / 2 / row) * dd) // quant * quant
         if rows <= 0 and not getattr(self, "_warned_chunk", False):
             print(f"[trainer] pool_chunk_mb={self.pool_chunk_mb:g} cannot "
@@ -592,6 +592,33 @@ class Trainer:
                   f"falling back to per-step host streaming for {stage!r}")
             self._warned_chunk = True
         return max(rows, 0)
+
+    def _stream_sharded(self, stage: str) -> bool:
+        """Sharded chunk placement for STREAMED pools. Unlike hoisted
+        sharding (``_pool_sharded``), this does NOT require the full split
+        to divide the data axis — streamed chunks are always whole batches
+        (the ragged tail goes per-step), so ``bs % dd == 0`` is the only
+        divisibility the shard-aligned layout needs."""
+        return (self._sharding_pools()
+                and self.datamodule.batch_size % self.mesh.shape["data"] == 0)
+
+    def _chunk_stager(self, splits, bs: int, sharded: bool):
+        """The staging closure shared by the streamed train and eval loops:
+        ``stage(idx) -> (device_chunk, inner_order)``. Replicated chunks use
+        an identity inner order (== the hoisted path's global gather of the
+        same rows); sharded chunks use the device-major host layout +
+        shard-aligned inner order of ``_shard_chunk_layout`` (same batch
+        contents and ordering, so still bit-identical)."""
+        dd = self.mesh.shape["data"]
+
+        def stage(idx):
+            if sharded:
+                host_order, inner = self._shard_chunk_layout(idx, bs, dd)
+            else:
+                host_order, inner = idx, np.arange(len(idx), dtype=np.int32)
+            return self._put_chunk(splits, host_order, sharded), inner
+
+        return stage
 
     def _stream_chunks(self, order: np.ndarray, chunk_rows: int):
         """Partition a device-path order into chunk index arrays. All chunks
@@ -961,7 +988,7 @@ class Trainer:
                 n_full = (len(order) // bs) * bs
                 order = np.asarray(order)
                 device_order, tail_order = order[:n_full], order[n_full:]
-                sharded = self._pool_sharded("train")
+                sharded = self._stream_sharded("train")
             else:
                 arrays = self._device_split("train")
                 device_order, tail_order = self._split_order(order, "train", bs)
@@ -975,23 +1002,8 @@ class Trainer:
                     [device_order[n_full:], tail_order]).astype(device_order.dtype)
                 device_order = device_order[:n_full]
             if stream_rows and len(device_order):
-                splits = datamodule.splits["train"]
                 fn = self._train_epoch_fns[sharded]
-                dd = self.mesh.shape["data"]
-
-                def chunk_layout(idx):
-                    # replicated: identity gather within the chunk == the
-                    # hoisted path's global gather of the same rows; sharded:
-                    # device-major host layout + shard-aligned inner order
-                    # (same batch contents/ordering — still bit-identical)
-                    if sharded:
-                        return self._shard_chunk_layout(idx, bs, dd)
-                    return idx, np.arange(len(idx), dtype=np.int32)
-
-                def stage(idx):
-                    host_order, inner = chunk_layout(idx)
-                    return self._put_chunk(splits, host_order, sharded), inner
-
+                stage = self._chunk_stager(datamodule.splits["train"], bs, sharded)
                 chunks = self._stream_chunks(device_order, stream_rows)
                 staged = stage(chunks[0])
                 prev_done = None
@@ -1142,28 +1154,19 @@ class Trainer:
             if stream_rows:
                 n_full = (len(order) // bs) * bs
                 device_order, tail_order = order[:n_full], order[n_full:]
-                sharded = self._pool_sharded(split_key)
+                sharded = self._stream_sharded(split_key)
+                # (streamed sharded chunks come back in natural batch order —
+                # the shard-aligned layout reassembles each step's samples in
+                # their original within-batch order, so no unpermute needed)
             else:
                 arrays = self._device_split(split_key)
                 device_order, tail_order = self._split_order(order, split_key, bs)
                 sharded = self._pool_sharded(split_key)
-            if sharded and not stream_rows:
-                # (streamed sharded chunks come back in natural batch order —
-                # the shard-aligned layout reassembles each step's samples in
-                # their original within-batch order, so no unpermute needed)
-                processed_order = np.concatenate([device_order, tail_order])
+                if sharded:
+                    processed_order = np.concatenate([device_order, tail_order])
             if stream_rows and len(device_order):
-                splits = dm.splits[split_key]
                 fn = self._eval_epoch_fns[sharded]
-                dd = self.mesh.shape["data"]
-
-                def stage(idx):
-                    if sharded:
-                        host_order, inner = self._shard_chunk_layout(idx, bs, dd)
-                    else:
-                        host_order, inner = idx, np.arange(len(idx), dtype=np.int32)
-                    return self._put_chunk(splits, host_order, sharded), inner
-
+                stage = self._chunk_stager(dm.splits[split_key], bs, sharded)
                 chunks = self._stream_chunks(device_order, stream_rows)
                 staged = stage(chunks[0])
                 prev_done = None

@@ -602,11 +602,21 @@ def test_predict_cli_rejects_bad_input(tmp_path, task_and_params):
                        fmt="stablehlo", buckets=(4,))
     batch = _batch(4)
     np.savez(tmp_path / "missing.npz", image=batch["image"])  # no audio
-    with pytest.raises(SystemExit, match="missing feature"):
+    with pytest.raises(SystemExit, match="missing=\\['audio'\\]"):
         main(["predict", "-d", d, "-i", str(tmp_path / "missing.npz"),
               "-o", str(tmp_path / "o.npz")])
     np.savez(tmp_path / "badshape.npz", image=batch["image"],
              audio=batch["audio"][:, :, :64])
-    with pytest.raises(SystemExit, match="per-sample shape"):
+    with pytest.raises(SystemExit, match="trailing shape"):
         main(["predict", "-d", d, "-i", str(tmp_path / "badshape.npz"),
               "-o", str(tmp_path / "o.npz")])
+    # dtype contract: a float64 npz is cast to the artifact's dtype (same
+    # as the HTTP endpoint) instead of crashing the pinned executable avals
+    np.savez(tmp_path / "f64.npz",
+             image=batch["image"].astype(np.float64),
+             audio=batch["audio"].astype(np.float64))
+    main(["predict", "-d", d, "-i", str(tmp_path / "f64.npz"),
+          "-o", str(tmp_path / "o64.npz")])
+    ref = _direct_logits(task, params, batch)
+    np.testing.assert_allclose(np.load(tmp_path / "o64.npz")["logits"], ref,
+                               rtol=2e-5, atol=2e-5)

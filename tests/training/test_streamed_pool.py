@@ -184,3 +184,30 @@ def test_streamed_sharded_chunks(tmp_path):
     data = np.load(os.path.join(trainer.ckpt_dir, "test_preds.npz"))
     np.testing.assert_array_equal(
         data["labels"], trainer.datamodule.splits["test"]["label"])
+
+
+def test_streamed_sharded_uneven_split(tmp_path):
+    """Sharded streaming needs only bs % dd == 0 — a split that does NOT
+    divide the data axis (hoisted sharding's requirement) still streams
+    sharded chunks (whole batches; the ragged tail goes per-step)."""
+    cfg0 = loads(CFG.format(tmp=tmp_path / "a", chunk_mb=0, accum=1))
+    cfg0.dataset.params.synthetic_sizes = [90, 48, 48]  # 90 % 4 != 0
+    task0 = get_model(cfg0.model.type)(cfg0.model, cfg0.train.optimizer)
+    dm0 = get_data_module(cfg0.dataset.type)(**cfg0.dataset.params)
+    hoisted = Trainer(cfg0.train, name="us_h", full_cfg=cfg0,
+                      mesh_config=MeshConfig(data=1, model=1))
+    hoisted.fit(task0, dm0)
+
+    cfg = loads(CFG.format(tmp=tmp_path / "b", chunk_mb=0.8, accum=1))
+    cfg.dataset.params.synthetic_sizes = [90, 48, 48]
+    cfg.train.sharded_pool = True
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="us_s", full_cfg=cfg,
+                      mesh_config=MeshConfig(data=4, model=1))
+    trainer.fit(task, dm)
+    assert not trainer._pool_sharded("train")   # hoisting couldn't shard...
+    assert trainer._stream_sharded("train")     # ...but streaming can
+    rows = trainer._stream_chunk_rows("train", 16)
+    assert rows == ((int(0.8 * (1 << 20) / 2 / ROW_BYTES) * 4) // 16) * 16
+    _assert_same_training(hoisted, trainer, rtol=2e-4, atol=1e-5)
