@@ -298,6 +298,66 @@ def test_quantize_weights_per_channel():
     assert (err <= np.asarray(q["stacked"]["scale"]) / 2 + 1e-7).all()
 
 
+def test_quantize_weights_int4_groupwise():
+    """mode='int4': packed-nibble group-wise quantization — two values per
+    byte, per-group scales over the input axis, scale/2 reconstruction
+    bound, int8 fallback when the input axis can't pack pairs."""
+    from m2mixer_tpu.serving import dequantize_weights, quantize_weights
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "kernel": rng.randn(128, 16).astype(np.float32),  # two 64-row groups
+        "ragged": rng.randn(96, 8).astype(np.float32),  # gs drops to 48
+        "odd_in": rng.randn(65, 128).astype(np.float32),  # odd axis: int8
+        "stacked": (rng.randn(3, 2, 64, 32) * 0.1).astype(np.float32),
+        "bias": rng.randn(32).astype(np.float32),  # 1-D: stays float
+    }
+    q = quantize_weights(tree, min_size=64, mode="int4")
+    assert q["kernel"]["__q4__"].dtype == np.uint8
+    assert q["kernel"]["__q4__"].shape == (2, 32, 16)  # (G, gs/2, out)
+    assert q["kernel"]["scale"].shape == (2, 1, 16)
+    assert q["ragged"]["__q4__"].shape == (2, 24, 8)  # largest even divisor
+    assert "__q8__" in q["odd_in"] and "__q4__" not in q["odd_in"]
+    assert q["stacked"]["__q4__"].shape == (3, 2, 1, 32, 32)
+    assert isinstance(q["bias"], np.ndarray)
+
+    deq = dequantize_weights(q)
+    for k, gs in (("kernel", 64), ("ragged", 48), ("stacked", 64)):
+        got = np.asarray(deq[k])
+        assert got.shape == tree[k].shape
+        err = np.abs(got - tree[k])
+        grouped = err.reshape(*err.shape[:-2], err.shape[-2] // gs, gs,
+                              err.shape[-1])
+        assert (grouped <= np.asarray(q[k]["scale"]) / 2 + 1e-7).all()
+
+    with pytest.raises(ValueError, match="quantize mode"):
+        quantize_weights(tree, mode="int2")
+
+
+def test_int4_quantized_export(tmp_path, task_and_params):
+    """quantize='int4': the artifact payload shrinks below the int8 one and
+    the served logits stay close to the f32 artifact."""
+    task, params = task_and_params
+    d32 = export_serving(task, params, _batch(8), str(tmp_path / "f32"),
+                         fmt="stablehlo", buckets=(8,))
+    d8 = export_serving(task, params, _batch(8), str(tmp_path / "q8"),
+                        fmt="stablehlo", buckets=(8,), quantize="int8")
+    d4 = export_serving(task, params, _batch(8), str(tmp_path / "q4"),
+                        fmt="stablehlo", buckets=(8,), quantize="int4")
+    size32 = os.path.getsize(os.path.join(d32, "params.pkl"))
+    size8 = os.path.getsize(os.path.join(d8, "params.pkl"))
+    size4 = os.path.getsize(os.path.join(d4, "params.pkl"))
+    assert size4 < 0.9 * size8 < size32  # nibble packing halves the big leaves
+
+    batch = _batch(8, seed=5)
+    ref = load_serving(d32).predict(batch)["logits"]
+    got = load_serving(d4).predict(batch)["logits"]
+    # group-wise scales keep 4-bit error usable: close logits, stable ranking
+    assert np.max(np.abs(got - ref)) < 0.15 * (np.max(np.abs(ref)) + 1.0)
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.95
+    assert json.load(open(os.path.join(d4, "serving.json")))["quantize"] == "int4"
+
+
 def test_serving_cli(tmp_path, capsys):
     cfg_path = tmp_path / "cfg.yml"
     cfg_path.write_text(CFG.format(tmp=tmp_path))
