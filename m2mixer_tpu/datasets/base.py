@@ -26,6 +26,13 @@ class DataModule:
     def setup(self, stage: Optional[str] = None) -> None:  # pragma: no cover
         pass
 
+    def serving_preprocess(self) -> Dict[str, dict]:
+        """Raw-input spec for serving artifacts (``m2mixer_tpu/preprocess``):
+        how each batch feature is derived from raw text/images, so
+        ``serving export`` can ship the preprocessing inside the artifact.
+        Empty when the module's features ARE the raw inputs (AV-MNIST)."""
+        return {}
+
     def train_batches(self) -> Iterator[Batch]:
         raise NotImplementedError
 

@@ -32,6 +32,11 @@ class MemotionDataModule(LazyDataModule):
         self.featurizer = TextFeaturizer(vocab, projection, max_seq_len)
         self.frames: dict = {}
 
+    def serving_preprocess(self):
+        return {"image": {"kind": "image", "normalize": "imagenet"},
+                "text": self.featurizer.serving_spec(),
+                "textlen": {"kind": "text_len", "of": "text"}}
+
     def setup(self, stage: Optional[str] = None) -> None:
         if self.frames:
             return

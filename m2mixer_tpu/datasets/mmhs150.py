@@ -51,6 +51,19 @@ class MMHS150DataModule(LazyDataModule):
         self.ids: dict = {}
         self.texts: dict = {}
 
+    def serving_preprocess(self):
+        """Raw-input serving spec (pnlp projection only — the word2vec path
+        needs the GoogleNews binary, which artifacts don't ship): raw tweet
+        image + tweet/OCR text; the use_features flags are always 1 under
+        the pnlp projection (`load_sample` above)."""
+        if self.featurizer is None:
+            return {}
+        text_spec = self.featurizer.serving_spec()
+        return {"image": {"kind": "image", "normalize": "imagenet"},
+                "text": text_spec, "ocr": text_spec,
+                "use_features": {"kind": "const", "value": 1.0},
+                "use_features_ocr": {"kind": "const", "value": 1.0}}
+
     def setup(self, stage: Optional[str] = None) -> None:
         if self.ids:
             return

@@ -33,6 +33,13 @@ class MMIMDBDataModule(LazyDataModule):
         self.featurizer = TextFeaturizer(vocab, projection, max_seq_len)
         self.ruin = RandomApply(RuinModality(p=0.3), p=0.6)  # `mmimdb.py:38`
 
+    def serving_preprocess(self):
+        """Ship load_sample's pipeline in serving artifacts: ImageNet-
+        normalized posters + the pnlp text projection + derived textlen."""
+        return {"image": {"kind": "image", "normalize": "imagenet"},
+                "text": self.featurizer.serving_spec(),
+                "textlen": {"kind": "text_len", "of": "text"}}
+
     def setup(self, stage: Optional[str] = None) -> None:
         for split, size in _SPLIT_SIZES.items():
             # honor actual directory contents when smaller (e.g. debug dumps)
@@ -73,6 +80,21 @@ class MMIMDBExtDataModule(LazyDataModule):
         self.data_dir = data_dir
         self.max_seq_len = max_seq_len
         self.text_shape = tuple(text_shape)
+        self._vocab_cfg, self._proj_cfg = vocab, projection
+
+    def serving_preprocess(self):
+        """Raw-input serving for the processed-npy layout: artifacts accept
+        raw posters + raw text (projected then padded/reshaped onto the
+        text grid by the preprocessor's flatten rule) when the config
+        carries vocab/projection params."""
+        spec = {"image": {"kind": "image", "normalize": "imagenet"}}
+        if self._vocab_cfg and self._proj_cfg:
+            from .text_pipeline import TextFeaturizer
+
+            spec["text"] = TextFeaturizer(
+                self._vocab_cfg, self._proj_cfg, self.max_seq_len).serving_spec()
+            spec["textlen"] = {"kind": "text_len", "of": "text"}
+        return spec
 
     def setup(self, stage: Optional[str] = None) -> None:
         for split, size in _SPLIT_SIZES.items():

@@ -38,6 +38,9 @@ class PnlpMixerDataModule(LazyDataModule):
         self.data: dict = {}
         self.label_map: dict = {}
 
+    def serving_preprocess(self):
+        return {"text": self.featurizer.serving_spec()}
+
     def setup(self, stage: Optional[str] = None) -> None:
         if self.data:
             return

@@ -39,11 +39,22 @@ class TextFeaturizer:
     """text -> (max_seq_len, (2w+1)*feature_size) hashed features."""
 
     def __init__(self, vocab_cfg, projection_cfg, max_seq_len: int):
+        self.vocab_cfg = vocab_cfg
+        self.projection_cfg = projection_cfg
         self.tokenizer = build_tokenizer(vocab_cfg)
         self.projection = Projection(
             vocab_cfg.vocab_path, projection_cfg.feature_size, projection_cfg.window_size
         )
         self.max_seq_len = max_seq_len
+
+    def serving_spec(self) -> dict:
+        """This featurizer as a serving-artifact ``preprocess`` entry
+        (``m2mixer_tpu/preprocess.py``) so exported models accept raw text."""
+        from ..config import todict
+
+        return {"kind": "pnlp_text", "vocab": todict(self.vocab_cfg),
+                "projection": todict(self.projection_cfg),
+                "max_seq_len": int(self.max_seq_len)}
 
     def normalize(self, text: str) -> str:
         return text.replace("<br />", " ")

@@ -23,7 +23,11 @@ Endpoints:
     POST /predict   -> model outputs
         Content-Type: application/json  body {"image": [[...]], ...}
           (nested lists per feature; reply is JSON with "logits" and
-          "branch_logits" as nested lists)
+          "branch_logits" as nested lists). Artifacts exported with an
+          embedded preprocess spec additionally accept RAW inputs — text
+          features as lists of strings, image features as lists of
+          base64-encoded image files — featurized server-side with the
+          exact training pipeline (see m2mixer_tpu/preprocess.py)
         Content-Type: application/x-npz  body = .npz bytes with one array
           per feature; reply is .npz with "logits" and "branch_logits_<i>"
           (the efficient binary path)
@@ -86,23 +90,48 @@ class CoalescerClosed(RuntimeError):
     instead of 500'd."""
 
 
-def _parse_json_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
+def _parse_json_features(body: bytes, meta: dict) -> Dict[str, object]:
+    """JSON body -> feature dict. Raw values (text strings, base64 image
+    lists) are left as-is for the artifact's preprocessor; numeric arrays
+    stay uncast too — ``ServedModel.preprocess_inputs`` casts everything to
+    the artifact dtypes after featurization."""
+    from .preprocess import is_raw_value
+
     obj = json.loads(body.decode("utf-8"))
     if not isinstance(obj, dict):
         raise ValueError("JSON body must be an object mapping feature "
-                         "names to arrays")
-    return {k: np.asarray(v, dtype=meta["dtypes"].get(k))
+                         "names to arrays (or raw text/base64-image lists "
+                         "for artifacts with embedded preprocessing)")
+    return {k: v if is_raw_value(v) else np.asarray(v)
             for k, v in obj.items() if k != "label"}
 
 
 def _parse_npz_features(body: bytes, meta: dict) -> Dict[str, np.ndarray]:
-    # cast to the artifact's dtypes: a float64 body would otherwise reach
-    # the model raw — the executable format's pinned input avals cannot
-    # absorb it (no recompile at serve time), and under coalescing one
-    # f64 request would upcast its whole shared batch
+    # arrays come out uncast; ServedModel.preprocess_inputs casts to the
+    # artifact's dtypes (a float64 body must never reach the model raw —
+    # the executable format's pinned input avals cannot absorb it, and
+    # under coalescing one f64 request would upcast its whole shared
+    # batch). String-dtype arrays are raw text for the preprocessor.
     with np.load(io.BytesIO(body)) as z:
-        return {k: np.asarray(z[k], dtype=meta["dtypes"].get(k))
-                for k in z.files if k != "label"}
+        return {k: z[k] for k in z.files if k != "label"}
+
+
+def _featurize(mdl, features: Dict[str, object]) -> Dict[str, np.ndarray]:
+    """Route parsed request entries through the model's raw-input
+    preprocessing and dtype casting. Model-like objects without
+    ``preprocess_inputs`` (test stubs) get the plain cast-and-reject-raw
+    behavior."""
+    fn = getattr(mdl, "preprocess_inputs", None)
+    if fn is not None:
+        return fn(features)
+    from .preprocess import is_raw_value
+
+    raw = sorted(k for k, v in features.items() if is_raw_value(v))
+    if raw:
+        raise ValueError(f"raw inputs {raw} but this model has no "
+                         "preprocessing; send numeric feature arrays")
+    return {k: np.asarray(v, dtype=mdl.meta["dtypes"].get(k))
+            for k, v in features.items()}
 
 
 
@@ -482,6 +511,9 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
             "format": meta["format"],
             **{k: meta[k] for k in ("ensemble_members", "quantize")
                if meta.get(k) is not None},
+            **({"preprocess": {k: s.get("kind")
+                               for k, s in meta["preprocess"].items()}}
+               if meta.get("preprocess") else {}),
         }
 
     def unknown(path):
@@ -585,6 +617,10 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
                     features = _parse_npz_features(body, mdl.meta)
                 else:
                     features = _parse_json_features(body, mdl.meta)
+                # featurize raw entries via the artifact's embedded
+                # preprocessing (raw with no spec -> a clear 400) and cast
+                # everything to the artifact dtypes
+                features = _featurize(mdl, features)
                 _validate(features, mdl.meta)
             except Exception as e:  # malformed request
                 st.record(0, 0.0, error=True)

@@ -420,7 +420,8 @@ def export_serving(task, params, sample_batch, out_dir: str,
                    fmt: str = "stablehlo",
                    buckets: Sequence[int] = _DEFAULT_BUCKETS,
                    quantize: Optional[str] = None,
-                   serve_fn=None, extra_meta: Optional[dict] = None) -> str:
+                   serve_fn=None, extra_meta: Optional[dict] = None,
+                   preprocess: Optional[dict] = None) -> str:
     """Write a self-contained serving artifact for ``task`` to ``out_dir``.
 
     ``serve_fn``: override the traced forward (default: the task network's
@@ -435,6 +436,12 @@ def export_serving(task, params, sample_batch, out_dir: str,
     ``quantize='int8'`` / ``'int4'``: weight-only post-training quantization
     (``quantize_weights``) — ~4x / ~7x smaller parameter payload,
     dequantization baked into the exported forward.
+
+    ``preprocess``: raw-input featurization spec (usually the datamodule's
+    ``serving_preprocess()``, see ``m2mixer_tpu/preprocess.py``) — written
+    into serving.json with its asset files (tokenizer vocab, MinHash cache)
+    copied into ``out_dir/assets``, so the loaded model and the HTTP
+    endpoint accept raw text strings / encoded images.
     """
     # validate before ANY side effect (no half-written artifact dirs, no
     # pointless device->host parameter pull on the error path)
@@ -444,7 +451,13 @@ def export_serving(task, params, sample_batch, out_dir: str,
     if quantize not in (None, "int8", "int4"):
         raise ValueError(f"Unknown quantize mode: {quantize!r} "
                          "(expected 'int8' or 'int4')")
+    if preprocess:
+        from .preprocess import packaged_spec
+
+        packaged_spec(preprocess, out_dir, copy_assets=False)  # validate only
     os.makedirs(out_dir, exist_ok=True)
+    if preprocess:
+        preprocess = packaged_spec(preprocess, out_dir)  # copy assets in
     spec = _feature_spec(sample_batch)
     base_fn = serve_fn if serve_fn is not None else _serve_fn(task)
     params = jax.tree.map(np.asarray, params)
@@ -469,6 +482,8 @@ def export_serving(task, params, sample_batch, out_dir: str,
             "dtypes": {k: v[1] for k, v in spec.items()},
             "buckets": sorted(int(b) for b in buckets),
             "quantize": quantize, **(extra_meta or {})}
+    if preprocess:
+        meta["preprocess"] = preprocess
 
     if fmt == "stablehlo":
         from jax import export as jexport
@@ -517,7 +532,8 @@ def export_serving(task, params, sample_batch, out_dir: str,
 def export_ensemble_serving(task, stacked_params, sample_batch, out_dir: str,
                             fmt: str = "stablehlo",
                             buckets: Sequence[int] = _DEFAULT_BUCKETS,
-                            quantize: Optional[str] = None) -> str:
+                            quantize: Optional[str] = None,
+                            preprocess: Optional[dict] = None) -> str:
     """Deploy ALL ensemble members as ONE artifact.
 
     ``stacked_params``: every leaf carries a leading member axis ``(N, …)``
@@ -549,7 +565,8 @@ def export_ensemble_serving(task, stacked_params, sample_batch, out_dir: str,
     n = int(np.shape(jax.tree.leaves(stacked_params)[0])[0])
     return export_serving(task, stacked_params, sample_batch, out_dir,
                           fmt=fmt, buckets=buckets, quantize=quantize,
-                          serve_fn=fn, extra_meta={"ensemble_members": n})
+                          serve_fn=fn, extra_meta={"ensemble_members": n},
+                          preprocess=preprocess)
 
 
 class ServedModel:
@@ -652,6 +669,47 @@ class ServedModel:
                     blob["payload"], blob["in_tree"], blob["out_tree"])
                 self._calls[b] = loaded
 
+    @property
+    def preprocessor(self):
+        """Raw-input featurizer built from the artifact's ``preprocess``
+        block (None when the artifact carries none). Lazy: tokenizer/hash
+        assets load on first raw request."""
+        if self.meta.get("preprocess") is None:
+            return None
+        if getattr(self, "_preprocessor", None) is None:
+            from .preprocess import ServingPreprocessor
+
+            self._preprocessor = ServingPreprocessor(
+                self.meta["preprocess"], self.out_dir,
+                self.meta["features"], self.meta["dtypes"])
+        return self._preprocessor
+
+    def preprocess_inputs(self, inputs: Dict[str, object]) -> Dict[str, np.ndarray]:
+        """Featurize raw entries (text strings / base64-encoded images)
+        against the artifact's preprocess spec; numeric entries pass
+        through. Everything comes out cast to the artifact dtypes."""
+        from .preprocess import is_raw_value
+
+        pp = self.preprocessor
+        if pp is not None:
+            inputs = pp(inputs)
+        else:
+            raw = sorted(k for k, v in inputs.items() if is_raw_value(v))
+            if raw:
+                raise ValueError(
+                    f"raw inputs {raw} but this artifact carries no "
+                    "preprocess spec; send numeric feature arrays (or "
+                    "re-export from a datamodule with serving_preprocess())")
+        return {k: np.asarray(v, dtype=self.meta["dtypes"].get(k))
+                for k, v in inputs.items() if k != "label"}
+
+    def predict_raw(self, inputs: Dict[str, object]) -> Dict[str, np.ndarray]:
+        """``predict`` over raw inputs: featurize via the artifact's
+        preprocess spec, validate the resulting features, infer."""
+        features = self.preprocess_inputs(inputs)
+        validate_features(features, self.meta)
+        return self.predict(features)
+
     def _run_bucket(self, features: Dict[str, np.ndarray], n: int):
         bucket = pick_bucket(n, self.buckets)
         padded = {
@@ -748,6 +806,10 @@ def main(argv: Optional[Sequence[str]] = None):
                     help="export the Polyak-averaged (train.optimizer."
                          "ema_decay) weights carried in the checkpoint's "
                          "optimizer state instead of the raw params")
+    ex.add_argument("--no-preprocess", action="store_true",
+                    help="don't embed the datamodule's raw-input "
+                         "preprocessing (text projection / image pipeline) "
+                         "in the artifact")
     ex.add_argument("--pallas", action="store_true",
                     help="re-lay MLPMixer/FusionMixer stacks onto the fused "
                          "Pallas kernels (latency is geometry/host-"
@@ -763,7 +825,10 @@ def main(argv: Optional[Sequence[str]] = None):
     pr.add_argument("-i", "--input", required=True,
                     help="npz with one array per artifact feature (batch "
                          "leading; a 'label' key is ignored, other unknown "
-                         "keys are rejected — same contract as POST /predict)")
+                         "keys are rejected — same contract as POST "
+                         "/predict), or a .json file that may mix numeric "
+                         "arrays with RAW inputs (text strings / base64 "
+                         "images) when the artifact embeds preprocessing")
     pr.add_argument("-o", "--output", required=True,
                     help="npz to write: logits, branch_logits_<i>, and any "
                          "other artifact outputs")
@@ -853,23 +918,50 @@ def main(argv: Optional[Sequence[str]] = None):
                 print("[serving] --pallas kernels pick tiles from the "
                       "concrete batch size; using --format executable")
                 args.format = "executable"
+        preprocess = None
+        if not args.no_preprocess:
+            preprocess = dm.serving_preprocess() or None
+            if preprocess:
+                from .preprocess import packaged_spec
+
+                try:  # CLI degrades gracefully when assets aren't built
+                    packaged_spec(preprocess, args.out, copy_assets=False)
+                except FileNotFoundError as e:
+                    print(f"[serving] {e}")
+                    print("[serving] exporting WITHOUT raw-input "
+                          "preprocessing (numeric features only)")
+                    preprocess = None
         buckets = tuple(int(b) for b in args.buckets.split(","))
         out = export_serving(task, params, sample, args.out,
                              fmt=args.format, buckets=buckets,
-                             quantize=args.quantize)
-        print(f"[serving] exported {args.format} artifact to {out}")
+                             quantize=args.quantize, preprocess=preprocess)
+        extra = (f" (raw-input preprocessing: "
+                 f"{ {k: s['kind'] for k, s in preprocess.items()} })"
+                 if preprocess else "")
+        print(f"[serving] exported {args.format} artifact to {out}{extra}")
     elif args.cmd == "predict":
         model = load_serving(
             args.dir,
             mesh=_mesh_from_spec(args.mesh) if args.mesh else None,
             shard_params=args.shard_params, model_min_dim=args.model_min_dim)
-        data = np.load(args.input)
-        # cast to the artifact's dtypes (a float64/uint8 npz would otherwise
-        # reach the pinned executable avals raw — same contract as the HTTP
-        # endpoint's npz parser), drop 'label', validate shapes loudly
-        feats = {k: np.asarray(data[k], dtype=model.meta["dtypes"].get(k))
-                 for k in data.files if k != "label"}
+        if args.input.endswith(".json"):
+            # raw-input requests (text strings / base64 images) — the
+            # artifact's embedded preprocess spec featurizes them
+            with open(args.input) as f:
+                obj = json.load(f)
+            if not isinstance(obj, dict):
+                raise SystemExit(f"[serving] {args.input}: JSON input must "
+                                 "be an object mapping feature names to "
+                                 "arrays or raw values")
+            feats = {k: v for k, v in obj.items() if k != "label"}
+        else:
+            data = np.load(args.input)
+            feats = {k: data[k] for k in data.files if k != "label"}
         try:
+            # featurizes raw entries and casts to the artifact's dtypes (a
+            # float64/uint8 npz would otherwise reach the pinned executable
+            # avals raw — same contract as the HTTP endpoint)
+            feats = model.preprocess_inputs(feats)
             validate_features(feats, model.meta)
         except ValueError as e:
             raise SystemExit(f"[serving] {args.input}: {e}")

@@ -1,0 +1,286 @@
+"""Raw-input serving: artifacts that embed the dataset preprocessing
+(m2mixer_tpu/preprocess.py) accept raw text / encoded images and reproduce
+the training featurization exactly — self-contained (assets copied in),
+through predict_raw, the HTTP endpoint, and the predict CLI."""
+
+import base64
+import io
+import json
+import os
+import shutil
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from m2mixer_tpu.config import DictConfig, loads
+from m2mixer_tpu.models import get_model
+from m2mixer_tpu.serving import export_serving, load_serving
+
+MMIMDB_CFG = """
+train:
+  tensorboard_path: {tmp}/logs
+  epochs: 1
+  optimizer: {{lr: 1e-3, weight_decay: 0.0}}
+  seed: 0
+  monitor: val_loss
+  monitor_mode: min
+model:
+  type: MMIMDBMixerMultiLoss
+  dropout: 0.0
+  pos_weight: [1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1]
+  modalities:
+    classification: {{num_classes: 23, classifier: StandardClassifier,
+                      input_shape: [16, 8, 16]}}
+    image: {{block_type: MLPMixer, in_channels: 3, hidden_dim: 16, patch_size: 16,
+             image_size: [32, 32], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    text: {{block_type: PNLPMixer, max_seq_len: 8, mlp_hidden_dim: 16,
+            bottleneck_window_size: 1, bottleneck_features_size: 32,
+            hidden_dim: 16, num_mixers: 1}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1}}
+"""
+
+TEXTS = ["a great movie plot", "the movie was bad", "a bad plot"]
+
+
+def _make_vocab(tmp):
+    from m2mixer_tpu.utils.projection import build_vocab_cache
+
+    vocab_file = tmp / "vocab.txt"
+    vocab_file.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "a", "the", "movie", "was", "great", "bad", "plot"]))
+    cache = tmp / "vocab.npy"
+    build_vocab_cache(str(vocab_file), str(cache))
+    return DictConfig({
+        "tokenizer_type": "wordpiece",
+        "tokenizer": {"vocab": str(vocab_file), "lowercase": True,
+                      "strip_accents": False, "clean_text": False},
+        "vocab_path": str(cache),
+    })
+
+
+PROJ = DictConfig({"num_hashes": 64, "feature_size": 32, "window_size": 1})
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    """A tiny MM-IMDB artifact with embedded preprocessing, plus the raw
+    sources (image bytes + texts) and the datamodule-featurized batch.
+    The vocab/cache source files are DELETED after export to prove the
+    artifact is self-contained."""
+    tmp = tmp_path_factory.mktemp("rawsrv")
+    vocab = _make_vocab(tmp)
+    rng = np.random.RandomState(0)
+    data = tmp / "data"
+    image_bytes = []
+    for split in ("train", "dev", "test"):
+        for sub in ("images", "labels", "text"):
+            os.makedirs(data / split / sub)
+        for i in range(4):
+            p = data / split / "images" / f"image_{i}.jpeg"
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(p)
+            np.save(data / split / "labels" / f"label_{i}.npy", rng.randint(0, 2, 23))
+            (data / split / "text" / f"text_{i}.txt").write_text(TEXTS[i % 3])
+            if split == "test" and i < 3:
+                image_bytes.append(p.read_bytes())
+
+    from m2mixer_tpu.datasets.mmimdb import MMIMDBDataModule
+
+    dm = MMIMDBDataModule(str(data), batch_size=4, vocab=vocab,
+                          projection=PROJ, max_seq_len=8)
+    dm.setup()
+    # datamodule-featurized reference batch (test split: no RuinModality)
+    samples = [dm.load_sample("test", i) for i in range(3)]
+    feats = {k: np.stack([s[k] for s in samples])
+             for k in ("image", "text", "textlen")}
+
+    cfg = loads(MMIMDB_CFG.format(tmp=tmp))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    sample_batch = {**{k: v for k, v in feats.items()},
+                    "label": np.zeros((3, 23), np.int32)}
+    params = task.init_params(jax.random.PRNGKey(0), sample_batch)
+    art = export_serving(task, params, sample_batch, str(tmp / "art"),
+                         fmt="stablehlo", buckets=(4,),
+                         preprocess=dm.serving_preprocess())
+    # self-containment: the original assets disappear, the artifact serves on
+    os.remove(vocab.tokenizer.vocab)
+    os.remove(vocab.vocab_path)
+    raw = {"image": [base64.b64encode(b).decode() for b in image_bytes],
+           "text": [TEXTS[i % 3] for i in range(3)]}
+    return art, raw, feats
+
+
+def test_artifact_self_contained_and_raw_parity(artifact):
+    art, raw, feats = artifact
+    meta = json.load(open(os.path.join(art, "serving.json")))
+    pp = meta["preprocess"]
+    assert pp["text"]["kind"] == "pnlp_text"
+    assert pp["image"] == {"kind": "image", "normalize": "imagenet"}
+    assert pp["textlen"] == {"kind": "text_len", "of": "text"}
+    # asset paths rewritten artifact-relative and present
+    assert pp["text"]["vocab"]["tokenizer"]["vocab"].startswith("assets/")
+    assert pp["text"]["vocab"]["vocab_path"].startswith("assets/")
+    for rel in (pp["text"]["vocab"]["tokenizer"]["vocab"],
+                pp["text"]["vocab"]["vocab_path"]):
+        assert os.path.exists(os.path.join(art, rel))
+
+    model = load_serving(art)  # sources deleted: must load from assets/
+    # raw request == datamodule-featurized request, bit for bit
+    got = model.predict_raw(raw)
+    ref = model.predict(feats)
+    np.testing.assert_array_equal(got["logits"], ref["logits"])
+
+    # preprocess_inputs reproduces the datamodule features exactly
+    pf = model.preprocess_inputs(raw)
+    np.testing.assert_array_equal(pf["text"], feats["text"].astype(np.float32))
+    np.testing.assert_allclose(pf["image"], feats["image"].astype(np.float32),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(pf["textlen"], feats["textlen"])
+
+    # client-supplied numeric values for a synthesized feature pass through
+    mixed = dict(raw, textlen=feats["textlen"])
+    np.testing.assert_array_equal(model.predict_raw(mixed)["logits"],
+                                  ref["logits"])
+
+
+def test_raw_without_spec_fails_loudly(artifact, tmp_path):
+    art, raw, feats = artifact
+    # strip the preprocess block -> raw inputs must 400/ValueError clearly
+    bare = tmp_path / "bare"
+    shutil.copytree(art, bare)
+    meta = json.load(open(bare / "serving.json"))
+    del meta["preprocess"]
+    json.dump(meta, open(bare / "serving.json", "w"))
+    model = load_serving(str(bare))
+    with pytest.raises(ValueError, match="no preprocess spec"):
+        model.predict_raw(raw)
+    np.testing.assert_array_equal(  # numeric path unaffected
+        model.predict(feats)["logits"], load_serving(art).predict(feats)["logits"])
+
+
+def test_server_raw_json(artifact):
+    from m2mixer_tpu.server import make_server
+
+    art, raw, feats = artifact
+    model = load_serving(art)
+    srv = make_server(model, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = "http://%s:%s" % srv.server_address[:2]
+    try:
+        with urllib.request.urlopen(base + "/info", timeout=30) as r:
+            info = json.loads(r.read())
+        assert info["preprocess"] == {"image": "image", "text": "pnlp_text",
+                                      "textlen": "text_len"}
+        req = urllib.request.Request(
+            base + "/predict", data=json.dumps(raw).encode(), method="POST",
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            out = json.loads(r.read())
+        ref = model.predict(feats)
+        np.testing.assert_allclose(np.asarray(out["logits"], np.float32),
+                                   ref["logits"], rtol=1e-5, atol=1e-5)
+        # raw text through the npz protocol (string-dtype array)
+        buf = io.BytesIO()
+        np.savez(buf, text=np.asarray(raw["text"]), image=feats["image"],
+                 textlen=feats["textlen"])
+        req = urllib.request.Request(
+            base + "/predict", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/x-npz"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            with np.load(io.BytesIO(r.read())) as z:
+                np.testing.assert_allclose(z["logits"], ref["logits"],
+                                           rtol=1e-5, atol=1e-5)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=10)
+
+
+def test_predict_cli_json_input(artifact, tmp_path, capsys):
+    from m2mixer_tpu.serving import main
+
+    art, raw, feats = artifact
+    inp = tmp_path / "in.json"
+    inp.write_text(json.dumps(raw))
+    out = tmp_path / "out.npz"
+    main(["predict", "-d", art, "-i", str(inp), "-o", str(out)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 3
+    with np.load(out) as z:
+        ref = load_serving(art).predict(feats)
+        np.testing.assert_allclose(z["logits"], ref["logits"],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_preprocessor_units(tmp_path):
+    """Unit behaviors: image pipeline parity with transforms, grid reshape,
+    synthesized const, unknown kinds rejected, missing assets rejected."""
+    from m2mixer_tpu.preprocess import ServingPreprocessor, packaged_spec
+    from m2mixer_tpu.datasets.transforms import (image_to_chw,
+                                                 imagenet_normalize)
+
+    rng = np.random.RandomState(3)
+    p = tmp_path / "img.png"
+    Image.fromarray(rng.randint(0, 255, (20, 24, 3), dtype=np.uint8)).save(p)
+    spec = {"image": {"kind": "image", "normalize": "imagenet"},
+            "flag": {"kind": "const", "value": 1.0}}
+    pp = ServingPreprocessor(spec, str(tmp_path),
+                             {"image": [3, 16, 16], "flag": []},
+                             {"image": "float32", "flag": "float32"})
+    out = pp({"image": [base64.b64encode(p.read_bytes()).decode()]})
+    img = Image.open(p).convert("RGB").resize((16, 16), Image.BICUBIC)
+    want = imagenet_normalize(image_to_chw(img))
+    np.testing.assert_allclose(out["image"][0], want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(out["flag"], np.ones((1,), np.float32))
+
+    # normalize: scale -> ToTensor only
+    pp2 = ServingPreprocessor({"image": {"kind": "image", "normalize": "scale"}},
+                              str(tmp_path), {"image": [3, 16, 16]}, {})
+    out2 = pp2({"image": [p.read_bytes()]})  # raw bytes also accepted
+    np.testing.assert_allclose(out2["image"][0], image_to_chw(img),
+                               rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="unknown kind"):
+        ServingPreprocessor({"x": {"kind": "w2v"}}, ".", {}, {})
+    with pytest.raises(ValueError, match="unknown kind"):
+        packaged_spec({"x": {"kind": "w2v"}}, str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        packaged_spec({"t": {"kind": "pnlp_text", "max_seq_len": 4,
+                             "projection": {"feature_size": 8, "window_size": 0},
+                             "vocab": {"tokenizer": {"vocab": "/nope/v.txt"},
+                                       "vocab_path": "/nope/v.npy"}}},
+                      str(tmp_path))
+
+
+def test_text_grid_reshape(tmp_path):
+    """The MMIMDBExt rule: projected text flattens + zero-pads onto the
+    artifact's grid shape when they differ."""
+    from m2mixer_tpu.preprocess import ServingPreprocessor
+
+    vocab = _make_vocab(tmp_path)
+    spec = {"text": {"kind": "pnlp_text", "vocab": dict(
+                         tokenizer=dict(vocab.tokenizer),
+                         tokenizer_type="wordpiece",
+                         vocab_path=vocab.vocab_path),
+                     "projection": {"feature_size": 32, "window_size": 1},
+                     "max_seq_len": 8}}
+    grid = (1, 16, 24)
+    pp = ServingPreprocessor(spec, str(tmp_path), {"text": list(grid)},
+                             {"text": "float32"})
+    out = pp({"text": ["a great movie plot"]})
+    assert out["text"].shape == (1, *grid)
+
+    from m2mixer_tpu.datasets.text_pipeline import TextFeaturizer
+
+    flat = TextFeaturizer(vocab, PROJ, 8)("a great movie plot").reshape(-1)
+    want = np.zeros(int(np.prod(grid)), np.float32)
+    want[: min(want.size, flat.size)] = flat[: want.size]
+    np.testing.assert_array_equal(out["text"][0], want.reshape(grid))
