@@ -9,7 +9,18 @@ stratified split with the fixed RNG seed [2014, 8, 6] working from the
 rarest class up, and optional word2vec vocab filtering (skipped when gensim
 / the GoogleNews vectors are unavailable — the words are kept unfiltered).
 
-Usage: python -m m2mixer_tpu.datasets.make_mmimdb RAW_DIR OUT_DIR
+Usage:
+    python -m m2mixer_tpu.datasets.make_mmimdb RAW_DIR OUT_DIR [W2V_BIN]
+    python -m m2mixer_tpu.datasets.make_mmimdb --surrogate --out OUT [-n N]
+
+``--surrogate`` (no real MM-IMDB raw dump is obtainable in an offline
+environment): synthesizes a class-structured raw dump — each synthetic
+movie draws 1-3 of the 23 genres, its plot carries genre keywords, and its
+poster carries genre-colored stripes — then runs the NORMAL build over it
+(same stratified split, crop, text normalization), and writes a matching
+``vocab.txt`` + MinHash ``vocab.npy`` so training runs end to end from
+files. The result demonstrates the full pipeline and is learnable; it is
+NOT comparable to published MM-IMDB numbers.
 """
 
 from __future__ import annotations
@@ -123,8 +134,82 @@ def build(raw_dir: str, out_dir: str, img_size=(256, 160), n_classes: int = 23,
         print(f"[make_mmimdb] {split}: {len(idxs)} samples")
 
 
+_FILLERS = ["the", "movie", "follows", "a", "story", "about", "people",
+            "who", "must", "find", "their", "way", "through", "an",
+            "unexpected", "turn", "of", "events", "in", "town"]
+
+
+def surrogate_raw(raw_dir: str, n_movies: int = 2000, img_size=(256, 160),
+                  n_classes: int = 23, seed: int = 0) -> list:
+    """Synthesize a class-structured raw dump in the real MM-IMDB layout
+    (per-movie ``{id}.json`` + ``{id}.jpeg``). Genre g contributes keywords
+    ``genreGGwordK`` to the plot and paints a fixed-color stripe across the
+    poster, so both modalities carry signal. Genre frequencies are skewed
+    (p ~ 1/(rank+2)) so the rarest-first stratified split has real work.
+    Returns the word list (for the surrogate vocab)."""
+    os.makedirs(raw_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    genres = [f"genre{i:02d}" for i in range(n_classes)]
+    keywords = {g: [f"{genres[g]}word{k}" for k in range(3)]
+                for g in range(n_classes)}
+    p = 1.0 / (np.arange(n_classes) + 2.0)
+    p /= p.sum()
+    palette = np.random.RandomState(7).randint(64, 256, (n_classes, 3))
+    w, h = img_size
+    for mid in range(n_movies):
+        k = 1 + rng.randint(3)
+        gs = rng.choice(n_classes, size=k, replace=False, p=p)
+        # every active genre named at least once, then a random mix
+        words = [keywords[int(g)][0] for g in gs]
+        for _ in range(40 - len(words)):
+            if rng.rand() < 0.5:
+                g = int(gs[rng.randint(k)])
+                words.append(keywords[g][rng.randint(3)])
+            else:
+                words.append(_FILLERS[rng.randint(len(_FILLERS))])
+        img = rng.randint(0, 48, (h, w, 3))
+        band = max(1, h // n_classes)
+        for g in gs:
+            rows = slice(int(g) * band, min(h, (int(g) + 1) * band))
+            img[rows] = palette[int(g)] + rng.randint(-16, 16, (1, 1, 3))
+        with open(os.path.join(raw_dir, f"{mid:07d}.json"), "w") as f:
+            json.dump({"genres": [genres[int(g)] for g in gs],
+                       "plot": [" ".join(words)]}, f)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            os.path.join(raw_dir, f"{mid:07d}.jpeg"))
+    return sorted(set(_FILLERS) | {kw for kws in keywords.values() for kw in kws})
+
+
+def surrogate_vocab(out_dir: str, words) -> None:
+    """Write ``vocab.txt`` (wordpiece specials + the surrogate word list)
+    and build its MinHash cache ``vocab.npy`` next to it."""
+    from ..utils.projection import build_vocab_cache
+
+    vocab_file = os.path.join(out_dir, "vocab.txt")
+    with open(vocab_file, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                          + list(words)))
+    build_vocab_cache(vocab_file, os.path.join(out_dir, "vocab.npy"))
+    print(f"[make_mmimdb] wrote {vocab_file} + vocab.npy "
+          f"({len(words)} words)")
+
+
 if __name__ == "__main__":
+    import argparse
     import sys
 
-    build(sys.argv[1], sys.argv[2],
-          word2vec_path=sys.argv[3] if len(sys.argv) > 3 else None)
+    if sys.argv[1:] and not sys.argv[1].startswith("-"):
+        # reference-style positional form: RAW_DIR OUT_DIR [W2V_BIN]
+        build(sys.argv[1], sys.argv[2],
+              word2vec_path=sys.argv[3] if len(sys.argv) > 3 else None)
+    else:
+        ap = argparse.ArgumentParser(description=__doc__)
+        ap.add_argument("--surrogate", action="store_true", required=True)
+        ap.add_argument("--out", required=True)
+        ap.add_argument("-n", "--n-movies", type=int, default=2000)
+        ap.add_argument("--seed", type=int, default=0)
+        args = ap.parse_args()
+        raw = os.path.join(args.out, "raw")
+        words = surrogate_raw(raw, n_movies=args.n_movies, seed=args.seed)
+        build(raw, args.out)
+        surrogate_vocab(args.out, words)

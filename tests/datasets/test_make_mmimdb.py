@@ -93,3 +93,58 @@ def test_built_dump_loads_via_datamodule(raw_dump, tmp_path, tmp_path_factory):
     assert batch["image"].shape == (2, 3, 48, 36)
     assert batch["text"].shape == (2, 8, 3 * 32)
     assert batch["label"].shape == (2, 3)
+
+
+def test_surrogate_builds_learnable_dump(tmp_path):
+    """--surrogate: class-structured raw dump -> normal build -> per-file
+    layout + matching vocab assets, consumable by MMIMDBDataModule, with
+    genre signal present in both modalities."""
+    from m2mixer_tpu.datasets.make_mmimdb import (surrogate_raw,
+                                                  surrogate_vocab)
+    from m2mixer_tpu.datasets.mmimdb import MMIMDBDataModule
+
+    out = tmp_path / "sur"
+    words = surrogate_raw(str(out / "raw"), n_movies=40, seed=0)
+    build(str(out / "raw"), str(out))
+    surrogate_vocab(str(out), words)
+
+    # vocab covers every keyword the plots can contain
+    vocab_words = set((out / "vocab.txt").read_text().splitlines())
+    assert set(words) <= vocab_words
+    assert (out / "vocab.npy").exists()
+
+    dm = MMIMDBDataModule(
+        str(out), batch_size=4,
+        vocab=DictConfig({
+            "tokenizer_type": "wordpiece",
+            "tokenizer": {"vocab": str(out / "vocab.txt"), "lowercase": True,
+                          "strip_accents": False, "clean_text": False},
+            "vocab_path": str(out / "vocab.npy")}),
+        projection=DictConfig({"num_hashes": 64, "feature_size": 32,
+                               "window_size": 1}),
+        max_seq_len=16)
+    dm.setup()
+    assert sum(dm.split_sizes.values()) == 40
+    batch = next(iter(dm.test_batches()))
+    assert batch["image"].shape == (4, 3, 160, 256)
+    assert batch["text"].shape == (4, 16, 3 * 32)
+    assert batch["label"].shape == (4, 23)
+
+    # modality signal: the plot text names exactly the labeled genres
+    # (label columns are FREQUENCY-ranked by build(), like the reference's
+    # top-23 most_common ordering — replicate that mapping here)
+    from collections import Counter, OrderedDict
+
+    counts = Counter()
+    for jf in sorted((out / "raw").glob("*.json")):
+        counts.update(json.load(open(jf))["genres"])
+    target_index = {g: i for i, g in
+                    enumerate(OrderedDict(counts.most_common()))}
+    for split in ("train", "dev", "test"):
+        n = len(os.listdir(out / split / "labels"))
+        for i in range(n):
+            y = np.load(out / split / "labels" / f"label_{i}.npy")
+            text = (out / split / "text" / f"text_{i}.txt").read_text()
+            named = {target_index[w[:7]] for w in text.split()
+                     if w.startswith("genre")}
+            assert named == set(np.flatnonzero(y).tolist())
