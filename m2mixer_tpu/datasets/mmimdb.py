@@ -86,7 +86,12 @@ class MMIMDBExtDataModule(LazyDataModule):
         """Raw-input serving for the processed-npy layout: artifacts accept
         raw posters + raw text (projected then padded/reshaped onto the
         text grid by the preprocessor's flatten rule) when the config
-        carries vocab/projection params."""
+        carries vocab/projection params. NOTE: raw-path ``textlen`` is the
+        whitespace word count, while ``load_sample`` reports the processed
+        npy's ROW count — these can differ when the offline prep capped the
+        rows; no shipped network consumes textlen, but parity tooling
+        comparing the two paths on this Ext layout should compare text
+        features, not textlen."""
         spec = {"image": {"kind": "image", "normalize": "imagenet"}}
         if self._vocab_cfg and self._proj_cfg:
             from .text_pipeline import TextFeaturizer

@@ -62,7 +62,12 @@ def _as_raw_list(v):
     if isinstance(v, (str, bytes)):
         return [v]
     if isinstance(v, np.ndarray):
-        return [x for x in v.tolist()]
+        if v.ndim != 1:
+            # an (n, 1) string column would tolist() into nested lists and
+            # str()-ify into garbage features — reject it loudly instead
+            raise ValueError("raw feature arrays must be 1-D (one string "
+                             f"per sample); got shape {v.shape}")
+        return list(v.tolist())
     return list(v)
 
 
@@ -206,17 +211,19 @@ def packaged_spec(spec: Optional[Dict[str, dict]], out_dir: str,
                              f"{s.get('kind')!r} (expected one of {KINDS})")
 
     def move(path: str) -> str:
-        rel = os.path.join("assets", os.path.basename(path))
-        if path.replace(os.sep, "/").startswith("assets/"):
-            return path  # already packaged (idempotent re-export)
+        rel = "assets/" + os.path.basename(path)
+        dst = os.path.join(out_dir, rel)
         if not os.path.exists(path):
+            if os.path.exists(dst):
+                # idempotent re-export into an artifact that already holds
+                # the asset (spec paths were rewritten artifact-relative)
+                return rel
             raise FileNotFoundError(
                 f"preprocess asset {path!r} does not exist; build it first "
                 "(e.g. python -m m2mixer_tpu.utils.projection -v VOCAB.txt) "
                 "or export with --no-preprocess")
         if copy_assets:
             os.makedirs(os.path.join(out_dir, "assets"), exist_ok=True)
-            dst = os.path.join(out_dir, rel)
             if os.path.abspath(path) != os.path.abspath(dst):
                 shutil.copyfile(path, dst)
         return rel

@@ -150,6 +150,11 @@ def quantize_weights(params, min_size: int = _Q_MIN_SIZE, mode: str = "int8",
         gs = min(group_size, in_dim)
         while in_dim % gs or gs % 2:
             gs -= 1
+        if gs <= 8:
+            # per-element cost is 0.5 B packed + 4/gs B of f32 scale: at
+            # gs <= 8 the scales erase the packing win (gs=2 is 2.4x
+            # BIGGER than int8) — int8's one scale per channel wins
+            return q8(a)
         g = a.reshape(*a.shape[:-2], in_dim // gs, gs, a.shape[-1])
         amax = np.abs(g).max(axis=-2, keepdims=True)
         scale = (amax / 7.0 + 1e-12).astype(np.float32)
@@ -960,10 +965,13 @@ def main(argv: Optional[Sequence[str]] = None):
         try:
             # featurizes raw entries and casts to the artifact's dtypes (a
             # float64/uint8 npz would otherwise reach the pinned executable
-            # avals raw — same contract as the HTTP endpoint)
+            # avals raw — same contract as the HTTP endpoint). Broad catch:
+            # bad base64/image bytes raise PIL OSErrors, missing artifact
+            # assets FileNotFoundError — all are request/artifact problems
+            # that deserve the clean CLI error, not a traceback.
             feats = model.preprocess_inputs(feats)
             validate_features(feats, model.meta)
-        except ValueError as e:
+        except Exception as e:
             raise SystemExit(f"[serving] {args.input}: {e}")
         sizes = {k: np.shape(v)[0] for k, v in feats.items()}
         out = model.predict(feats)

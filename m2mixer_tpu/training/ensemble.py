@@ -503,7 +503,21 @@ def run_ensemble_significance(cfg, runs: int, metric: str = "test_acc",
         from ..serving import export_ensemble_serving
 
         sample = next(iter(dm.train_batches()))
-        out = export_ensemble_serving(task, result.best_params, sample, export_dir)
+        # ensemble artifacts embed the datamodule's raw-input preprocessing
+        # like single-model exports do (degrade gracefully if assets are
+        # unbuilt — the artifact then takes numeric features only)
+        preprocess = dm.serving_preprocess() or None
+        if preprocess:
+            from ..preprocess import packaged_spec
+
+            try:
+                packaged_spec(preprocess, export_dir, copy_assets=False)
+            except FileNotFoundError as e:
+                print(f"[significance] {e}; exporting without raw-input "
+                      "preprocessing")
+                preprocess = None
+        out = export_ensemble_serving(task, result.best_params, sample,
+                                      export_dir, preprocess=preprocess)
         if verbose:
             print(f"[significance] exported {runs}-member on-device-ensembled "
                   f"serving artifact to {out}")

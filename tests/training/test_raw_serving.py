@@ -284,3 +284,44 @@ def test_text_grid_reshape(tmp_path):
     want = np.zeros(int(np.prod(grid)), np.float32)
     want[: min(want.size, flat.size)] = flat[: want.size]
     np.testing.assert_array_equal(out["text"][0], want.reshape(grid))
+
+
+def test_packaged_spec_self_containment_rules(tmp_path, monkeypatch):
+    """Review fixes: a SOURCE asset that happens to live under a relative
+    'assets/' path is still validated and copied; re-exporting a spec whose
+    paths were already rewritten reuses the artifact's copies; 2-D string
+    arrays are rejected instead of silently str()-ified."""
+    from m2mixer_tpu.preprocess import (ServingPreprocessor, _as_raw_list,
+                                        packaged_spec)
+
+    def text_spec(vpath, cpath):
+        return {"t": {"kind": "pnlp_text", "max_seq_len": 4,
+                      "projection": {"feature_size": 8, "window_size": 0},
+                      "vocab": {"tokenizer": {"vocab": vpath},
+                                "vocab_path": cpath}}}
+
+    # a cwd-relative assets/ SOURCE must be copied, not skipped
+    cwd = tmp_path / "cwd"
+    os.makedirs(cwd / "assets")
+    (cwd / "assets" / "v.txt").write_text("[UNK]\nword")
+    np.save(cwd / "assets" / "v.npy", {"word": np.zeros(64, np.int32)})
+    monkeypatch.chdir(cwd)
+    art = tmp_path / "art"
+    out = packaged_spec(text_spec("assets/v.txt", "assets/v.npy"), str(art))
+    assert os.path.exists(art / "assets" / "v.txt")
+    assert os.path.exists(art / "assets" / "v.npy")
+    assert out["t"]["vocab"]["tokenizer"]["vocab"] == "assets/v.txt"
+
+    # idempotent re-export: sources gone, artifact copies present -> reuse
+    shutil.rmtree(cwd / "assets")
+    out2 = packaged_spec(out, str(art))
+    assert out2["t"]["vocab"]["vocab_path"] == "assets/v.npy"
+    # but a missing asset with no artifact copy still fails loudly
+    with pytest.raises(FileNotFoundError):
+        packaged_spec(text_spec("assets/nope.txt", "assets/v.npy"), str(art))
+
+    with pytest.raises(ValueError, match="1-D"):
+        _as_raw_list(np.asarray([["plot a"], ["plot b"]]))
+    pp = ServingPreprocessor(out2, str(art), {"t": [4, 8]}, {"t": "float32"})
+    with pytest.raises(ValueError, match="1-D"):
+        pp({"t": np.asarray([["plot a"], ["plot b"]])})

@@ -309,6 +309,7 @@ def test_quantize_weights_int4_groupwise():
         "kernel": rng.randn(128, 16).astype(np.float32),  # two 64-row groups
         "ragged": rng.randn(96, 8).astype(np.float32),  # gs drops to 48
         "odd_in": rng.randn(65, 128).astype(np.float32),  # odd axis: int8
+        "tiny_groups": rng.randn(74, 16).astype(np.float32),  # gs would be 2
         "stacked": (rng.randn(3, 2, 64, 32) * 0.1).astype(np.float32),
         "bias": rng.randn(32).astype(np.float32),  # 1-D: stays float
     }
@@ -318,6 +319,9 @@ def test_quantize_weights_int4_groupwise():
     assert q["kernel"]["scale"].shape == (2, 1, 16)
     assert q["ragged"]["__q4__"].shape == (2, 24, 8)  # largest even divisor
     assert "__q8__" in q["odd_in"] and "__q4__" not in q["odd_in"]
+    # 74 = 2*37: the largest even divisor <= 64 is 2, where f32 group
+    # scales would make "int4" BIGGER than int8 — must fall back
+    assert "__q8__" in q["tiny_groups"] and "__q4__" not in q["tiny_groups"]
     assert q["stacked"]["__q4__"].shape == (3, 2, 1, 32, 32)
     assert isinstance(q["bias"], np.ndarray)
 
