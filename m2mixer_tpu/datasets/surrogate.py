@@ -210,6 +210,7 @@ def gen_memotion(out: str, n: int = 300, seed: int = 0) -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(out, "images"), exist_ok=True)
     levels = ["funny", "hilarious", "not_funny"]
+    sentiments = ["positive", "negative", "neutral"]  # shipped config's task
     words = {0: ["chuckleword"], 1: ["hilariousword"], 2: ["dryword"]}
     rows = ["image_name,text_corrected,humour,sarcasm,offensive,"
             "motivational,overall_sentiment"]
@@ -218,7 +219,7 @@ def gen_memotion(out: str, n: int = 300, seed: int = 0) -> None:
         name = f"image_{i}.jpg"
         _save_jpeg(os.path.join(out, "images", name), _image(rng, label, 3))
         rows.append(f"{name},{_sentence(rng, words[label])},{levels[label]},"
-                    "general,not_offensive,not_motivational,positive")
+                    f"general,not_offensive,not_motivational,{sentiments[label]}")
     with open(os.path.join(out, "labels.csv"), "w") as f:
         f.write("\n".join(rows) + "\n")
     np.save(os.path.join(out, "shuffled.npy"),
