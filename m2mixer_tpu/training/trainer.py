@@ -103,27 +103,58 @@ def ema_params_from_opt_state(opt_state):
     return found[0] if found else None
 
 
+_OPTIMIZER_TYPES = ("adam", "adamw", "sgd", "lion", "lamb", "adafactor")
+
+
 def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
-    """torch.optim.Adam semantics (L2 via grad += wd*p before moments),
-    with the learning rate injected so the plateau scheduler can change it
+    """Config-driven optimizer (``train.optimizer.type``), with the learning
+    rate injected so the plateau scheduler / LR schedules can change it
     between steps without recompiling.
 
-    ``trainable_mask`` (``task.trainable_mask``): non-parameter collections
-    (BN running stats) are excluded via ``optax.masked``, so Adam allocates
-    no moments for them and their leaves skip the optimizer pass entirely
-    (they refresh through the mutable-state path instead).
+    The default (``adam``) keeps torch.optim.Adam semantics — coupled L2
+    via grad += wd*p BEFORE the moment updates — which is what the
+    reference's ``configure_optimizers`` builds
+    (`/root/reference/modules/train_test_module.py:166-175`). Beyond the
+    reference, ``type`` selects:
 
-    ``optimizer.moment_dtype: bf16`` stores the first Adam moment in
-    bfloat16. Measured on TPU v5e at the B-geometry headline (batch 32,
-    epoch-compiled): the optimizer pass is HBM-traffic bound — bf16 mu cuts
-    step time 0.408 -> 0.380 ms (+7.4% throughput) with no measurable
-    convergence change (the variance moment stays f32; mu only steers the
-    direction and bf16's 8 mantissa bits round it far below gradient noise).
+    - ``adamw``  — decoupled weight decay (torch.optim.AdamW semantics:
+      the decay term joins the update AFTER the Adam moments).
+    - ``sgd``    — momentum SGD (``optimizer.momentum``, default 0.9;
+      ``optimizer.nesterov``), coupled L2 like torch.optim.SGD.
+    - ``lion``   — sign-momentum (Chen et al. 2023), decoupled decay;
+      default betas (0.9, 0.99) per the paper.
+    - ``lamb``   — Adam + decoupled decay + per-layer trust-ratio scaling
+      (You et al. 2020) for very-large-batch training.
+    - ``adafactor`` — factored second moments (Shazeer & Stern 2018): the
+      memory-light choice for the large-geometry configs, O(r+c) optimizer
+      state per matrix instead of O(r*c).
+
+    ``trainable_mask`` (``task.trainable_mask``): non-parameter collections
+    (BN running stats) are excluded via ``optax.masked``, so the optimizer
+    allocates no moments for them and their leaves skip the optimizer pass
+    entirely (they refresh through the mutable-state path instead).
+
+    ``optimizer.moment_dtype: bf16`` stores the momentum-like state in
+    bfloat16 (Adam/AdamW/LAMB mu, SGD trace, Lion mu). Measured on TPU v5e
+    at the B-geometry headline (batch 32, epoch-compiled): the optimizer
+    pass is HBM-traffic bound — bf16 mu cuts step time 0.408 -> 0.380 ms
+    (+7.4% throughput) with no measurable convergence change (the variance
+    moment stays f32; mu only steers the direction and bf16's 8 mantissa
+    bits round it far below gradient noise). Not applicable to adafactor
+    (its factored stats are already tiny).
     """
+    opt_type = str(optimizer_cfg.get("type", "adam") or "adam").lower()
+    if opt_type not in _OPTIMIZER_TYPES:
+        raise ValueError(
+            f"train.optimizer.type={opt_type!r} — expected one of "
+            f"{', '.join(_OPTIMIZER_TYPES)}")
     lr = float(optimizer_cfg.get("lr", 1e-3))
-    betas = tuple(optimizer_cfg.get("betas", (0.9, 0.999)))
+    default_betas = (0.9, 0.99) if opt_type == "lion" else (0.9, 0.999)
+    betas = tuple(optimizer_cfg.get("betas", default_betas))
     eps = float(optimizer_cfg.get("eps", 1e-8))
     wd = float(optimizer_cfg.get("weight_decay", 0.0))
+    momentum = float(optimizer_cfg.get("momentum", 0.9))
+    nesterov = bool(optimizer_cfg.get("nesterov", False))
     moment_dtype = optimizer_cfg.get("moment_dtype", None)
     _mu_dtypes = {None: None, "f32": None, "float32": None,
                   "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}
@@ -132,6 +163,10 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
             f"train.optimizer.moment_dtype={moment_dtype!r} — expected one "
             f"of {sorted(k for k in _mu_dtypes if k)} (or unset for f32)")
     mu_dtype = _mu_dtypes[moment_dtype]
+    if opt_type == "adafactor" and mu_dtype is not None:
+        raise ValueError(
+            "train.optimizer.moment_dtype is not applicable to adafactor "
+            "(its factored second-moment state is already O(rows+cols))")
     ema_decay = float(optimizer_cfg.get("ema_decay", 0.0) or 0.0)
     if not 0.0 <= ema_decay < 1.0:
         raise ValueError(f"train.optimizer.ema_decay={ema_decay} — expected "
@@ -139,10 +174,35 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
 
     def make(learning_rate):
         steps = []
-        if wd:
-            steps.append(optax.add_decayed_weights(wd))
-        steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
-                                         mu_dtype=mu_dtype))
+        if opt_type == "adam":
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                             eps=eps, mu_dtype=mu_dtype))
+        elif opt_type == "adamw":
+            steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                             eps=eps, mu_dtype=mu_dtype))
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+        elif opt_type == "sgd":
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            if momentum:
+                steps.append(optax.trace(decay=momentum, nesterov=nesterov,
+                                         accumulator_dtype=mu_dtype))
+        elif opt_type == "lion":
+            steps.append(optax.scale_by_lion(b1=betas[0], b2=betas[1],
+                                             mu_dtype=mu_dtype))
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+        elif opt_type == "lamb":
+            steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                             eps=eps, mu_dtype=mu_dtype))
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            steps.append(optax.scale_by_trust_ratio())
+        else:  # adafactor
+            steps.append(optax.scale_by_factored_rms())
         if trainable_mask is not None:
             # wrap ONLY in the masked case so the common opt_state pytree
             # (and checkpoints/compile-cache keys) keep the flat layout
