@@ -129,6 +129,11 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
       memory-light choice for the large-geometry configs, O(r+c) optimizer
       state per matrix instead of O(r*c).
 
+    ``optimizer.grad_clip_norm`` / ``grad_clip_value`` clip raw gradients
+    (global L2 norm / elementwise) before everything else in the chain —
+    torch ``clip_grad_norm_``/``clip_grad_value_`` semantics, available to
+    every ``type``.
+
     ``trainable_mask`` (``task.trainable_mask``): non-parameter collections
     (BN running stats) are excluded via ``optax.masked``, so the optimizer
     allocates no moments for them and their leaves skip the optimizer pass
@@ -171,9 +176,25 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
     if not 0.0 <= ema_decay < 1.0:
         raise ValueError(f"train.optimizer.ema_decay={ema_decay} — expected "
                          "0 <= decay < 1 (0/unset disables the params EMA)")
+    clip_norm = float(optimizer_cfg.get("grad_clip_norm", 0.0) or 0.0)
+    clip_value = float(optimizer_cfg.get("grad_clip_value", 0.0) or 0.0)
+    if clip_norm < 0 or clip_value < 0:
+        raise ValueError(
+            "train.optimizer.grad_clip_norm/grad_clip_value must be >= 0 "
+            f"(got {clip_norm}, {clip_value}; 0/unset disables clipping)")
 
     def make(learning_rate):
+        # gradient clipping leads the chain (torch clip_grad_norm_ order:
+        # raw grads are clipped BEFORE coupled L2 / moments). It sits inside
+        # the trainable_mask wrap below, so frozen/mutable-collection leaves
+        # never contribute to the global norm; under pjit the norm is over
+        # logical (global) arrays, so FSDP/TP sharding needs no special-case
+        # — XLA inserts the cross-shard reduction.
         steps = []
+        if clip_norm:
+            steps.append(optax.clip_by_global_norm(clip_norm))
+        if clip_value:
+            steps.append(optax.clip(clip_value))
         if opt_type == "adam":
             if wd:
                 steps.append(optax.add_decayed_weights(wd))

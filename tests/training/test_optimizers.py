@@ -108,6 +108,36 @@ def test_default_type_is_reference_adam():
     _assert_tree_close(_run_steps(ours), _run_steps(ref))
 
 
+def test_grad_clip_norm_matches_optax_chain():
+    """grad_clip_norm leads the chain: raw grads are clipped before the
+    coupled-L2 term and the Adam moments (torch clip_grad_norm_ order)."""
+    ours, _ = _make_optimizer(_opt_cfg(lr="1e-2", weight_decay=0.03,
+                                       grad_clip_norm=0.1))
+    ref = optax.chain(optax.clip_by_global_norm(0.1),
+                      optax.add_decayed_weights(0.03),
+                      optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                      optax.scale_by_learning_rate(1e-2))
+    _assert_tree_close(_run_steps(ours), _run_steps(ref))
+    # and it actually bites: unclipped Adam lands somewhere else
+    unclipped, _ = _make_optimizer(_opt_cfg(lr="1e-2", weight_decay=0.03))
+    a = np.concatenate([np.ravel(l) for l in jax.tree.leaves(_run_steps(ours))])
+    b = np.concatenate([np.ravel(l)
+                        for l in jax.tree.leaves(_run_steps(unclipped))])
+    assert not np.allclose(a, b)
+
+
+def test_grad_clip_value_matches_optax_chain():
+    ours, _ = _make_optimizer(_opt_cfg(type="sgd", lr="1e-2", momentum=0,
+                                       grad_clip_value=0.05))
+    ref = optax.chain(optax.clip(0.05), optax.scale_by_learning_rate(1e-2))
+    _assert_tree_close(_run_steps(ours), _run_steps(ref))
+
+
+def test_negative_clip_rejected():
+    with pytest.raises(ValueError, match="grad_clip"):
+        _make_optimizer(_opt_cfg(lr="1e-2", grad_clip_norm=-1))
+
+
 def test_unknown_type_rejected():
     with pytest.raises(ValueError, match="train.optimizer.type"):
         _make_optimizer(_opt_cfg(type="adamax", lr=1e-2))
