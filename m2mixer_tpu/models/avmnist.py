@@ -30,10 +30,13 @@ __all__ = [
 ]
 
 
-def _multiclass_scores(num_classes: int, extended: bool) -> Dict[str, tm._BaseMetric]:
+def _multiclass_scores(num_classes: int, extended: bool,
+                       calibration: bool = False) -> Dict[str, tm._BaseMetric]:
     """The reference's torchmetrics sets: 4 macro metrics for the MultiLoss
     models (`models/avmnist.py:366-380`), plus micro variants for the
-    single-loss models (`:56-79`)."""
+    single-loss models (`:56-79`). ``calibration`` (beyond reference,
+    ``model.log_calibration``) adds top-label ECE over the predicted
+    probabilities the task emits under the same flag."""
     scores = dict(
         acc=tm.Accuracy(task="multiclass", num_classes=num_classes),
         f1m=tm.F1Score(task="multiclass", num_classes=num_classes, average="macro"),
@@ -46,6 +49,9 @@ def _multiclass_scores(num_classes: int, extended: bool) -> Dict[str, tm._BaseMe
             prec_mi=tm.Precision(task="multiclass", num_classes=num_classes, average="micro"),
             rec_mi=tm.Recall(task="multiclass", num_classes=num_classes, average="micro"),
         )
+    if calibration:
+        scores["ece"] = tm.CalibrationError(task="multiclass",
+                                            num_classes=num_classes)
     return scores
 
 
@@ -169,10 +175,16 @@ class AVMnistMixerMultiLoss(MultiLossTask):
             "fusion": cross_entropy_loss(outputs["logits"], labels),
         }
 
+    @property
+    def log_calibration(self) -> bool:
+        """``model.log_calibration`` (beyond reference): adds a top-label
+        ECE score fed from the fusion-head probabilities."""
+        return bool(self.model_cfg.get("log_calibration", False))
+
     def predictions(self, outputs, batch):
         img_logits, aud_logits = outputs["branch_logits"]
         sm = lambda z: jnp.argmax(jax.nn.softmax(z, axis=1), axis=1)
-        return {
+        out = {
             "preds": sm(outputs["logits"]),
             "preds_image": sm(img_logits),
             "preds_audio": sm(aud_logits),
@@ -181,9 +193,14 @@ class AVMnistMixerMultiLoss(MultiLossTask):
             "image_logits": img_logits,
             "audio_logits": aud_logits,
         }
+        if self.log_calibration:
+            out["probs"] = jax.nn.softmax(outputs["logits"], axis=1)
+        return out
 
     def setup_scores(self):
-        return [_multiclass_scores(self.num_classes, extended=False) for _ in range(3)]
+        return [_multiclass_scores(self.num_classes, extended=False,
+                                   calibration=self.log_calibration)
+                for _ in range(3)]
 
     def test_artifact_keys(self):
         # parity with the reference's test_preds dump (`models/avmnist.py:382-398`)
@@ -233,7 +250,7 @@ class AVMnistMixerMultiLossUQ(AVMnistMixerMultiLoss):
         combined = jnp.take_along_axis(
             branch_preds, jnp.argmin(branch_u, axis=0)[None, :], axis=0
         )[0]
-        return {
+        out = {
             "preds": combined,
             "preds_image": preds_i,
             "preds_audio": preds_a,
@@ -245,6 +262,13 @@ class AVMnistMixerMultiLossUQ(AVMnistMixerMultiLoss):
             "uncertainty_image": u_i.mean(),
             "uncertainty_audio": u_a.mean(),
         }
+        if self.log_calibration:
+            # EDL predictive probabilities of the fusion head: alpha / S
+            # (Sensoy et al. 2018) — the distribution the EDL loss trains,
+            # so ECE here measures the evidential calibration directly
+            alpha = ev + 1.0
+            out["probs"] = alpha / alpha.sum(axis=1, keepdims=True)
+        return out
 
     def epoch_scalar_keys(self):
         # per-epoch mean uncertainties (`models/avmnist.py:556-572`), plus

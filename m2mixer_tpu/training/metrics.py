@@ -26,6 +26,7 @@ __all__ = [
     "Recall",
     "AUROC",
     "AveragePrecision",
+    "CalibrationError",
     "MeanAbsoluteError",
     "MeanSquaredError",
     "PearsonCorrCoef",
@@ -274,6 +275,68 @@ class AveragePrecision(_BaseMetric):
             for k in range(self.num_classes)
         ])
         return _ovr_average(vals, labels, self.num_classes, self.average)
+
+
+class CalibrationError(_BaseMetric):
+    """Top-label calibration error, torchmetrics ``CalibrationError``
+    semantics: ``n_bins`` equal-width confidence bins over [0, 1];
+    ``norm='l1'`` is the standard ECE (bin-proportion-weighted |acc - conf|),
+    ``'l2'`` the RMS variant, ``'max'`` the worst bin (MCE).
+
+    multiclass: confidence = max predicted probability, hit = argmax == label.
+    binary: confidence = max(p, 1-p), hit = (p >= 0.5) == label.
+    Feeds from probabilities (``wants_scores``), like AUROC/AP.
+    """
+
+    wants_scores = True
+
+    def __init__(self, *args, n_bins: int = 15, norm: str = "l1", **kwargs):
+        super().__init__(*args, **kwargs)
+        if norm not in ("l1", "l2", "max"):
+            raise ValueError(f"norm={norm!r} — expected l1 | l2 | max")
+        if int(n_bins) < 1:
+            raise ValueError(f"n_bins={n_bins} — expected >= 1")
+        self.n_bins = int(n_bins)
+        self.norm = norm
+
+    def __call__(self, preds, labels):
+        batch = CalibrationError(task=self.task, num_classes=self.num_classes,
+                                 n_bins=self.n_bins, norm=self.norm)
+        batch.update(preds, labels)
+        self.update(preds, labels)
+        return batch.compute()
+
+    def compute(self) -> float:
+        scores, labels = self._gather()
+        if scores.size == 0:
+            return 0.0
+        labels = labels.reshape(-1).astype(np.int64)
+        if self.task == "binary":
+            p = scores.reshape(-1).astype(np.float64)
+            conf = np.maximum(p, 1.0 - p)
+            hit = ((p >= 0.5).astype(np.int64) == labels)
+        elif self.task == "multiclass":
+            p = scores.reshape(-1, self.num_classes).astype(np.float64)
+            conf = p.max(axis=1)
+            hit = (p.argmax(axis=1) == labels)
+        else:
+            raise ValueError("CalibrationError supports binary/multiclass "
+                             "(torchmetrics has no multilabel variant)")
+        edges = np.linspace(0.0, 1.0, self.n_bins + 1)
+        idx = np.clip(np.searchsorted(edges[1:-1], conf, side="right"),
+                      0, self.n_bins - 1)
+        n_b = np.bincount(idx, minlength=self.n_bins).astype(np.float64)
+        conf_b = _safe_div(np.bincount(idx, weights=conf,
+                                       minlength=self.n_bins), n_b)
+        acc_b = _safe_div(np.bincount(idx, weights=hit.astype(np.float64),
+                                      minlength=self.n_bins), n_b)
+        gap = np.abs(acc_b - conf_b)
+        prop = n_b / conf.size
+        if self.norm == "l1":
+            return float((gap * prop).sum())
+        if self.norm == "max":
+            return float(gap.max())
+        return float(np.sqrt(((acc_b - conf_b) ** 2 * prop).sum()))
 
 
 # ---------------------------------------------------------------- regression
