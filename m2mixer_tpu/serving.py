@@ -103,6 +103,63 @@ def _serve_fn(task):
     return fn
 
 
+# ------------------------------------------------- temperature calibration
+def fit_temperature(logits, labels) -> float:
+    """Post-hoc temperature scaling (Guo et al. 2017): the scalar T > 0
+    minimizing the NLL of ``softmax(logits / T)`` against integer labels.
+    The NLL is smooth and unimodal in log T — golden-section search over
+    log T in [ln 0.05, ln 20] converges to ~1e-4 without a grad library.
+    """
+    logits = np.asarray(logits, np.float64)
+    labels = np.asarray(labels).reshape(-1).astype(np.int64)
+    if logits.ndim != 2 or logits.shape[0] != labels.shape[0]:
+        raise ValueError(f"fit_temperature: logits {logits.shape} vs labels "
+                         f"{labels.shape} — expected (N, C) and (N,)")
+
+    def nll(log_t):
+        z = logits / np.exp(log_t)
+        z = z - z.max(axis=1, keepdims=True)
+        return float(np.mean(np.log(np.exp(z).sum(axis=1))
+                             - z[np.arange(len(labels)), labels]))
+
+    lo, hi = np.log(0.05), np.log(20.0)
+    invphi = (np.sqrt(5.0) - 1) / 2
+    a, b = lo, hi
+    c, d = b - invphi * (b - a), a + invphi * (b - a)
+    fc, fd = nll(c), nll(d)
+    for _ in range(80):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - invphi * (b - a)
+            fc = nll(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + invphi * (b - a)
+            fd = nll(d)
+    t = float(np.exp((a + b) / 2))
+    if t > 19.0 or t < 0.06:
+        print(f"[serving] WARNING: fitted temperature T={t:.2f} sits at the "
+              "search boundary — the model is near-uniform (or degenerate) "
+              "on the fitting set; calibration is unlikely to be meaningful")
+    return t
+
+
+def collect_val_logits(task, params, datamodule, max_batches: int = 0):
+    """Eval-mode fusion-head logits + labels over the val split (host
+    numpy) — the fitting set for ``fit_temperature``."""
+    fn = jax.jit(lambda p, feats: _serve_fn(task)(p, feats)["logits"])
+    logits, labels = [], []
+    for i, batch in enumerate(datamodule.val_batches()):
+        if max_batches and i >= max_batches:
+            break
+        feats = {k: v for k, v in batch.items() if k != "label"}
+        logits.append(np.asarray(fn(params, feats)))
+        labels.append(np.asarray(batch["label"]))
+    if not logits:
+        raise ValueError("temperature fitting: the val split is empty")
+    return np.concatenate(logits), np.concatenate(labels)
+
+
 # ------------------------------------------------------ int8/int4 weights
 _QK = "__q8__"  # marker key of a quantized leaf {"__q8__": int8, "scale": f32}
 _Q4K = "__q4__"  # group-wise int4 leaf: two nibbles packed per uint8 byte
@@ -426,7 +483,8 @@ def export_serving(task, params, sample_batch, out_dir: str,
                    buckets: Sequence[int] = _DEFAULT_BUCKETS,
                    quantize: Optional[str] = None,
                    serve_fn=None, extra_meta: Optional[dict] = None,
-                   preprocess: Optional[dict] = None) -> str:
+                   preprocess: Optional[dict] = None,
+                   temperature: Optional[float] = None) -> str:
     """Write a self-contained serving artifact for ``task`` to ``out_dir``.
 
     ``serve_fn``: override the traced forward (default: the task network's
@@ -442,6 +500,12 @@ def export_serving(task, params, sample_batch, out_dir: str,
     (``quantize_weights``) — ~4x / ~7x smaller parameter payload,
     dequantization baked into the exported forward.
 
+    ``temperature``: post-hoc calibration scalar (Guo et al. 2017) baked
+    into the traced forward — the served ``logits`` are divided by T, so any
+    consumer's softmax is calibrated with zero runtime cost (``branch_*``
+    outputs stay raw: T is fit on the fusion head). Recorded in
+    serving.json. Fit it with ``fit_temperature`` / ``--temperature auto``.
+
     ``preprocess``: raw-input featurization spec (usually the datamodule's
     ``serving_preprocess()``, see ``m2mixer_tpu/preprocess.py``) — written
     into serving.json with its asset files (tokenizer vocab, MinHash cache)
@@ -456,6 +520,8 @@ def export_serving(task, params, sample_batch, out_dir: str,
     if quantize not in (None, "int8", "int4"):
         raise ValueError(f"Unknown quantize mode: {quantize!r} "
                          "(expected 'int8' or 'int4')")
+    if temperature is not None and not float(temperature) > 0:
+        raise ValueError(f"temperature={temperature} — expected > 0")
     if preprocess:
         from .preprocess import packaged_spec
 
@@ -477,6 +543,13 @@ def export_serving(task, params, sample_batch, out_dir: str,
         fn = lambda p, feats: base_fn(dequantize_weights(p), feats)
     else:
         fn = base_fn
+    if temperature is not None and float(temperature) != 1.0:
+        t = float(temperature)
+
+        def fn(p, feats, _inner=fn):
+            out = dict(_inner(p, feats))
+            out["logits"] = out["logits"] / jnp.asarray(t, out["logits"].dtype)
+            return out
     leaf_spec = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
     p_spec = jax.tree.map(leaf_spec, params)
 
@@ -487,6 +560,8 @@ def export_serving(task, params, sample_batch, out_dir: str,
             "dtypes": {k: v[1] for k, v in spec.items()},
             "buckets": sorted(int(b) for b in buckets),
             "quantize": quantize, **(extra_meta or {})}
+    if temperature is not None:
+        meta["temperature"] = float(temperature)
     if preprocess:
         meta["preprocess"] = preprocess
 
@@ -807,6 +882,10 @@ def main(argv: Optional[Sequence[str]] = None):
                     help="model soup: export the uniform average of the "
                          "top-K ranked checkpoints (-p must be the run's "
                          "checkpoints/ directory; 0 = all rankable)")
+    ex.add_argument("--temperature", default=None, metavar="T|auto",
+                    help="post-hoc temperature calibration: a float bakes "
+                         "logits/T into the artifact; 'auto' fits T on the "
+                         "config's val split first (Guo et al. 2017)")
     ex.add_argument("--ema", action="store_true",
                     help="export the Polyak-averaged (train.optimizer."
                          "ema_decay) weights carried in the checkpoint's "
@@ -917,6 +996,23 @@ def main(argv: Optional[Sequence[str]] = None):
                              "(train with train.optimizer.ema_decay > 0)")
                 params = ema
                 print("[serving] exporting the Polyak-averaged (EMA) weights")
+        temperature = None
+        if args.temperature is not None:
+            if args.temperature == "auto":
+                if not args.ckpt:
+                    ap.error("--temperature auto calibrates TRAINED weights; "
+                             "pass -p (a fresh init has nothing to calibrate)")
+                # dm.setup("fit") above already prepared the val split
+                logits, labels = collect_val_logits(task, params, dm)
+                temperature = fit_temperature(logits, labels)
+                print(f"[serving] fitted temperature T={temperature:.4f} on "
+                      f"{len(labels)} val samples")
+            else:
+                try:
+                    temperature = float(args.temperature)
+                except ValueError:
+                    ap.error(f"--temperature {args.temperature!r}: expected "
+                             "a float or 'auto'")
         if args.pallas:
             task, params = to_pallas_serving(cfg, params, sample)
             if args.format == "stablehlo":
@@ -939,7 +1035,8 @@ def main(argv: Optional[Sequence[str]] = None):
         buckets = tuple(int(b) for b in args.buckets.split(","))
         out = export_serving(task, params, sample, args.out,
                              fmt=args.format, buckets=buckets,
-                             quantize=args.quantize, preprocess=preprocess)
+                             quantize=args.quantize, preprocess=preprocess,
+                             temperature=temperature)
         extra = (f" (raw-input preprocessing: "
                  f"{ {k: s['kind'] for k, s in preprocess.items()} })"
                  if preprocess else "")

@@ -684,3 +684,100 @@ def test_predict_cli_rejects_bad_input(tmp_path, task_and_params):
     ref = _direct_logits(task, params, batch)
     np.testing.assert_allclose(np.load(tmp_path / "o64.npz")["logits"], ref,
                                rtol=2e-5, atol=2e-5)
+
+
+# ------------------------------------------------- temperature calibration
+def test_fit_temperature_recovers_known_scale():
+    """Logits drawn calibrated, then multiplied by 3: the fitted T undoes
+    the scale (labels sampled FROM softmax(logits) make T=1 optimal for the
+    raw logits, so 3x-hot logits fit T ~= 3)."""
+    from m2mixer_tpu.serving import fit_temperature
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(4000, 5) * 1.5
+    p = np.exp(z) / np.exp(z).sum(1, keepdims=True)
+    labels = np.array([rng.choice(5, p=pi) for pi in p])
+    t_hot = fit_temperature(z * 3.0, labels)
+    assert 2.5 < t_hot < 3.6, t_hot
+    t_raw = fit_temperature(z, labels)
+    assert 0.85 < t_raw < 1.2, t_raw
+
+
+def test_fit_temperature_rejects_bad_shapes():
+    from m2mixer_tpu.serving import fit_temperature
+
+    with pytest.raises(ValueError, match="logits"):
+        fit_temperature(np.zeros((4,)), np.zeros(4))
+
+
+def test_temperature_baked_into_artifact(tmp_path, task_and_params):
+    """export_serving(temperature=T) divides the served logits by T inside
+    the traced forward; branch logits stay raw; serving.json records T."""
+    task, params = task_and_params
+    d = export_serving(task, params, _batch(8), str(tmp_path / "cal"),
+                       fmt="stablehlo", buckets=(8,), temperature=2.5)
+    assert json.load(open(os.path.join(d, "serving.json")))["temperature"] == 2.5
+    model = load_serving(d)
+    batch = _batch(8, seed=3)
+    out = model.predict(batch)
+    raw = _direct_logits(task, params, batch)
+    np.testing.assert_allclose(out["logits"], raw / 2.5, rtol=2e-5, atol=2e-5)
+    raw_branch = task.network.apply(params, **task.network_inputs(batch),
+                                    deterministic=True)["branch_logits"][0]
+    np.testing.assert_allclose(out["branch_logits"][0], np.asarray(raw_branch),
+                               rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError, match="temperature"):
+        export_serving(task, params, _batch(8), str(tmp_path / "bad"),
+                       temperature=0.0)
+
+
+def test_temperature_cli_auto(tmp_path):
+    """`serving export --temperature auto` fits T on the config's val split
+    from a trained checkpoint and bakes it in."""
+    import yaml
+
+    from m2mixer_tpu.config import loads as cfg_loads, todict
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.training import Trainer
+
+    cfg = cfg_loads(CFG.format(tmp=tmp_path))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="cal", full_cfg=cfg)
+    trainer.fit(task, dm)
+    cfg_file = tmp_path / "cal.yml"
+    cfg_file.write_text(yaml.safe_dump(todict(cfg)))
+
+    art = tmp_path / "art_auto"
+    main(["export", "-c", str(cfg_file), "-p",
+          trainer.checkpoints.last_path(), "-o", str(art)])
+    assert "temperature" not in json.load(open(art / "serving.json"))
+
+    art2 = tmp_path / "art_cal"
+    main(["export", "-c", str(cfg_file), "-p",
+          trainer.checkpoints.last_path(), "-o", str(art2),
+          "--temperature", "auto"])
+    meta = json.load(open(art2 / "serving.json"))
+    t = meta["temperature"]
+    assert t > 0
+    plain, cal = load_serving(str(art)), load_serving(str(art2))
+    batch = _batch(8, seed=5)
+    np.testing.assert_allclose(cal.predict(batch)["logits"],
+                               plain.predict(batch)["logits"] / t,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_temperature_cli_guards(tmp_path):
+    import yaml
+
+    from m2mixer_tpu.config import loads as cfg_loads, todict
+
+    cfg = cfg_loads(CFG.format(tmp=tmp_path))
+    cfg_file = tmp_path / "g.yml"
+    cfg_file.write_text(yaml.safe_dump(todict(cfg)))
+    with pytest.raises(SystemExit):  # auto without -p
+        main(["export", "-c", str(cfg_file), "-o", str(tmp_path / "x"),
+              "--temperature", "auto"])
+    with pytest.raises(SystemExit):  # not a float
+        main(["export", "-c", str(cfg_file), "-o", str(tmp_path / "x"),
+              "--temperature", "warm"])
