@@ -15,11 +15,16 @@ through the same config-merge + Trainer path as ``run.py``, and ranks them
 by the sweep's metric (best-epoch value from the run summary).
 
 Search strategy: ``grid`` enumerates the cross-product (requires every
-parameter to be a ``values`` list); ``random`` samples; ``bayes`` falls
-back to random search with a note (a hosted Gaussian-process controller is
-wandb infrastructure, not part of this framework). For learning-rate-only
-sweeps on device-resident datasets, ``run_for_significance.py --vmap
---lrs ...`` explores all rates in ONE compiled program instead.
+parameter to be a ``values`` list); ``random`` samples; ``bayes`` runs a
+local Tree-structured Parzen Estimator (Bergstra et al. 2011) — the first
+``startup`` trials are random, then each proposal maximizes the density
+ratio l(x)/g(x) of Parzen mixtures fit to the best-quantile vs the rest of
+the observed trials (per-parameter, log space for log distributions,
+count-smoothed categoricals) — so the sequential search the reference
+delegates to wandb's hosted controller runs entirely offline here. For
+learning-rate-only sweeps on device-resident datasets,
+``run_for_significance.py --vmap --lrs ...`` explores all rates in ONE
+compiled program instead.
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ from typing import Any, Dict, Iterator, Optional
 import numpy as np
 import yaml
 
-__all__ = ["parse_sweep", "sample_value", "trial_params", "run_sweep"]
+__all__ = ["parse_sweep", "sample_value", "trial_params", "tpe_propose",
+           "run_sweep"]
 
 
 def _flatten_parameters(tree: Dict[str, Any], prefix: str = "") -> Dict[str, dict]:
@@ -110,7 +116,9 @@ def sample_value(spec: dict, rng: np.random.RandomState):
 def trial_params(sweep: Dict[str, Any], trials: Optional[int],
                  seed: int = 0) -> Iterator[Dict[str, Any]]:
     """Yield {dotted: value} per trial. grid = full cross-product (capped at
-    ``trials`` when given); random/bayes = ``trials`` independent draws."""
+    ``trials`` when given); random = ``trials`` independent draws. (bayes
+    runs sequentially inside ``run_sweep`` — its proposals depend on the
+    observed results; used standalone, this falls back to random draws.)"""
     params = sweep["parameters"]
     if sweep["method"] == "grid":
         bad = [k for k, s in params.items()
@@ -131,6 +139,132 @@ def trial_params(sweep: Dict[str, Any], trials: Optional[int],
         yield {k: sample_value(s, rng) for k, s in params.items()}
 
 
+# --------------------------------------------------------------- TPE (bayes)
+_TPE_STARTUP = 5      # random trials before the Parzen model kicks in
+_TPE_GAMMA = 0.25     # top quantile that defines the "good" set
+_TPE_CANDIDATES = 24  # candidates drawn from l(x) per parameter
+
+
+def _spec_dist(spec: dict) -> str:
+    dist = spec.get("distribution")
+    if dist is None:  # wandb inference rule, same as sample_value
+        both_int = isinstance(spec["min"], int) and isinstance(spec["max"], int)
+        dist = "int_uniform" if both_int else "uniform"
+    return dist
+
+
+def _internal_space(spec: dict):
+    """(to_internal, from_internal, lo, hi): the space where TPE's kernels
+    live — log space for log distributions so multiplicative neighborhoods
+    are gaussian, identity otherwise. lo/hi are internal-space bounds."""
+    dist = _spec_dist(spec)
+    lo, hi = float(spec["min"]), float(spec["max"])
+    if dist in ("log_uniform_values", "q_log_uniform_values"):
+        return math.log, math.exp, math.log(lo), math.log(hi)
+    if dist == "log_uniform":  # legacy: bounds already ARE log space
+        return math.log, math.exp, lo, hi
+    return (lambda v: float(v)), (lambda v: float(v)), lo, hi
+
+
+def _finalize(spec: dict, value: float):
+    """Clip a value-space draw to the spec's bounds and apply the same
+    q-quantization / int rounding as ``sample_value``."""
+    dist = _spec_dist(spec)
+    if dist == "log_uniform":  # bounds in log space -> value bounds are exp
+        lo, hi = math.exp(float(spec["min"])), math.exp(float(spec["max"]))
+    else:
+        lo, hi = float(spec["min"]), float(spec["max"])
+    q = spec.get("q")
+    v = float(np.clip(value, lo, hi))
+    if q:
+        v = float(np.clip(round(v / q) * q, lo, hi))
+    if dist in ("int_uniform", "q_uniform_int"):
+        return int(round(v))
+    return v
+
+
+def _parzen_logpdf(x: np.ndarray, points: np.ndarray, sigma: float,
+                   span: float) -> np.ndarray:
+    """log density of an equal-weight gaussian mixture on ``points`` plus
+    one uniform component over the domain (the prior that keeps g(x) > 0
+    everywhere and stops l/g exploding outside the observed range)."""
+    n = len(points)
+    dens = np.full(x.shape, 1.0 / span)  # the uniform prior component
+    if n:
+        z = (x[:, None] - points[None, :]) / sigma
+        dens = dens + np.exp(-0.5 * z * z).sum(axis=1) / (
+            sigma * math.sqrt(2 * math.pi))
+    return np.log(dens / (n + 1))
+
+
+def tpe_propose(params: Dict[str, dict], observations, rng,
+                gamma: float = _TPE_GAMMA,
+                n_candidates: int = _TPE_CANDIDATES) -> Dict[str, Any]:
+    """One Tree-structured Parzen Estimator proposal (Bergstra et al. 2011,
+    "Algorithms for Hyper-Parameter Optimization").
+
+    ``observations`` is a list of ``(flat_params, loss)`` with loss oriented
+    so SMALLER IS BETTER (the caller sign-flips maximize goals). The trials
+    are split at the ``gamma`` quantile into good/bad sets; per parameter,
+    candidates are drawn from the good-set Parzen mixture l(x) and the one
+    maximizing ``log l(x) - log g(x)`` wins (parameters are modeled
+    independently, so the factorized ratio optimizes per-dimension).
+    Categorical parameters use count-smoothed probability ratios.
+    """
+    if not observations:
+        raise ValueError("tpe_propose needs at least one observation")
+    order = np.argsort([loss for _, loss in observations], kind="stable")
+    n_good = max(1, int(math.ceil(gamma * len(observations))))
+    good_set = set(order[:n_good].tolist())
+
+    out: Dict[str, Any] = {}
+    for name, spec in params.items():
+        if "value" in spec:
+            out[name] = spec["value"]
+            continue
+        good = [obs[name] for i, (obs, _) in enumerate(observations)
+                if i in good_set and name in obs]
+        bad = [obs[name] for i, (obs, _) in enumerate(observations)
+               if i not in good_set and name in obs]
+        if not good:  # parameter absent from every good trial: explore
+            out[name] = sample_value(spec, rng)
+            continue
+
+        if "values" in spec:
+            vals = list(spec["values"])
+
+            def probs(drawn):
+                counts = np.array(
+                    [1.0 + sum(1 for d in drawn if d == v) for v in vals])
+                return counts / counts.sum()
+
+            pg, pb = probs(good), probs(bad)
+            cand = rng.choice(len(vals), size=n_candidates, p=pg)
+            best = max(set(cand.tolist()), key=lambda j: pg[j] / pb[j])
+            out[name] = vals[int(best)]
+            continue
+
+        fwd, inv, lo, hi = _internal_space(spec)
+        span = hi - lo
+        if span <= 0:  # degenerate min==max
+            out[name] = _finalize(spec, inv(lo))
+            continue
+        g_pts = np.array([fwd(v) for v in good], dtype=np.float64)
+        b_pts = np.array([fwd(v) for v in bad], dtype=np.float64)
+        # hyperopt-style bandwidth: shrinks as the good set grows, floored
+        # so late-stage kernels still explore ~1% of the domain
+        sigma_g = max(span / (len(g_pts) + 2.0), 0.01 * span)
+        sigma_b = max(span / (len(b_pts) + 2.0), 0.01 * span) if len(b_pts) \
+            else span
+        # candidates ~ l(x): a random good kernel plus gaussian noise
+        centers = g_pts[rng.randint(len(g_pts), size=n_candidates)]
+        cand = np.clip(centers + rng.randn(n_candidates) * sigma_g, lo, hi)
+        score = (_parzen_logpdf(cand, g_pts, sigma_g, span)
+                 - _parzen_logpdf(cand, b_pts, sigma_b, span))
+        out[name] = _finalize(spec, inv(float(cand[int(np.argmax(score))])))
+    return out
+
+
 def _nest(flat: Dict[str, Any]) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for dotted, v in flat.items():
@@ -145,17 +279,20 @@ def _nest(flat: Dict[str, Any]) -> Dict[str, Any]:
 def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
               cfg_path: Optional[str] = None, out_dir: str = "sweep_out",
               extra_overrides: Optional[Dict[str, Any]] = None,
-              epochs: Optional[int] = None, verbose: bool = True) -> dict:
+              epochs: Optional[int] = None, verbose: bool = True,
+              startup: int = _TPE_STARTUP) -> dict:
     """Execute a sweep locally; returns {'best': {...}, 'results': [...]}
-    and writes ``sweep_results.jsonl`` under ``out_dir``."""
+    and writes ``sweep_results.jsonl`` under ``out_dir``. ``startup`` is the
+    number of random warmup trials before ``method: bayes`` switches to TPE
+    proposals (ignored by grid/random)."""
     from . import config as cfg_lib
     from . import datasets, models
     from .training import Trainer
 
     sweep = parse_sweep(sweep_path)
     if sweep["method"] == "bayes" and verbose:
-        print("[sweep] method 'bayes' runs as random search locally "
-              "(no hosted controller)")
+        print(f"[sweep] method 'bayes': local TPE ({startup} random warmup "
+              "trials, then Parzen-ratio proposals)")
     cfg_file = cfg_path or sweep["cfg"]
     if cfg_file is None:
         raise ValueError("sweep file has no '-c CFG' in command:; pass cfg_path")
@@ -163,9 +300,23 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
     results_path = os.path.join(out_dir, "sweep_results.jsonl")
     sign = 1.0 if sweep["goal"] == "minimize" else -1.0
     results = []
+    observations = []  # (flat_params, sign*value) feeding the TPE proposals
+
+    if sweep["method"] == "bayes":
+        def _bayes_trials():
+            rng = np.random.RandomState(seed)
+            for _ in range(10 if trials is None else trials):
+                if len(observations) < startup:
+                    yield {k: sample_value(s, rng)
+                           for k, s in sweep["parameters"].items()}
+                else:
+                    yield tpe_propose(sweep["parameters"], observations, rng)
+        trial_iter = _bayes_trials()
+    else:
+        trial_iter = trial_params(sweep, trials, seed)
 
     with open(results_path, "w") as results_f:
-        for i, flat in enumerate(trial_params(sweep, trials, seed)):
+        for i, flat in enumerate(trial_iter):
             cfg = cfg_lib.load(cfg_file)
             merged = _nest(flat)
             if extra_overrides:
@@ -204,6 +355,7 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
             row = {"trial": i, "params": flat, "metric": sweep["metric"],
                    "value": float(value)}
             results.append(row)
+            observations.append((flat, sign * float(value)))
             results_f.write(json.dumps(row) + "\n")
             results_f.flush()
             if verbose:
@@ -235,6 +387,9 @@ def main(argv=None):
     ap.add_argument("-o", "--out", default="sweep_out")
     ap.add_argument("--epochs", type=int, default=None,
                     help="cap train.epochs per trial (budgeted search)")
+    ap.add_argument("--startup", type=int, default=_TPE_STARTUP,
+                    help="random warmup trials before 'bayes' switches to "
+                         "TPE proposals")
     args, unknown = ap.parse_known_args(argv)
 
     from .config import from_cli, todict
@@ -254,7 +409,8 @@ def main(argv=None):
 
     run_sweep(args.sweep, trials=args.trials, seed=args.seed,
               cfg_path=args.cfg, out_dir=args.out,
-              extra_overrides=flatten(extra), epochs=args.epochs)
+              extra_overrides=flatten(extra), epochs=args.epochs,
+              startup=args.startup)
 
 
 if __name__ == "__main__":

@@ -244,3 +244,124 @@ def test_shipped_sweep_files_expand_to_valid_overrides():
             for part in name.split(".")[:-1]:
                 assert part in node, (fname, name)
                 node = node[part]
+
+
+# ------------------------------------------------------------- TPE (bayes)
+def test_tpe_concentrates_on_continuous_optimum():
+    """Sequential TPE on |x - 0.2| over uniform [0, 1]: after 5 random
+    warmup trials the proposals concentrate around 0.2 and the best trial
+    beats a same-seed/same-budget pure-random search by an order of
+    magnitude (calibrated offline: 2.4e-4 vs 5.7e-2)."""
+    import numpy as np
+
+    from m2mixer_tpu.sweep import sample_value, tpe_propose
+
+    spec = {"x": {"distribution": "uniform", "min": 0.0, "max": 1.0}}
+    rng = np.random.RandomState(0)
+    obs = []
+    for _ in range(40):
+        if len(obs) < 5:
+            p = {"x": sample_value(spec["x"], rng)}
+        else:
+            p = tpe_propose(spec, obs, rng)
+        assert 0.0 <= p["x"] <= 1.0
+        obs.append((p, abs(p["x"] - 0.2)))
+    best = min(loss for _, loss in obs)
+    rng2 = np.random.RandomState(0)
+    random_best = min(abs(sample_value(spec["x"], rng2) - 0.2)
+                      for _ in range(40))
+    assert best < random_best / 10, (best, random_best)
+    late = [p["x"] for p, _ in obs[-15:]]
+    assert np.mean([abs(x - 0.2) < 0.15 for x in late]) >= 0.8, late
+
+
+def test_tpe_log_space_and_categorical():
+    """Log-distributed parameters are modeled in log space (proposals land
+    in the optimum's decade), and categoricals lock onto the good value via
+    the smoothed count ratio."""
+    import math
+
+    import numpy as np
+
+    from m2mixer_tpu.sweep import sample_value, tpe_propose
+
+    spec = {"lr": {"distribution": "log_uniform_values",
+                   "min": 1e-5, "max": 1e-1}}
+    rng = np.random.RandomState(1)
+    obs = []
+    for _ in range(40):
+        p = ({"lr": sample_value(spec["lr"], rng)} if len(obs) < 5
+             else tpe_propose(spec, obs, rng))
+        obs.append((p, abs(math.log10(p["lr"]) + 3)))  # optimum 1e-3
+    late = [p["lr"] for p, _ in obs[-15:]]
+    assert np.mean([1e-4 <= v <= 1e-2 for v in late]) >= 0.8, late
+
+    cat = {"c": {"values": ["a", "b", "c"]}}
+    cat_obs = [({"c": "a"}, 0.1), ({"c": "a"}, 0.12), ({"c": "b"}, 1.0),
+               ({"c": "c"}, 1.1), ({"c": "b"}, 0.9), ({"c": "a"}, 0.11),
+               ({"c": "c"}, 1.2), ({"c": "b"}, 1.05)]
+    rng = np.random.RandomState(2)
+    picks = [tpe_propose(cat, cat_obs, rng)["c"] for _ in range(50)]
+    assert picks.count("a") >= 45, picks.count("a")
+
+
+def test_tpe_respects_spec_shapes_and_edges():
+    """int specs return in-bounds ints, q specs quantize, constant `value`
+    passes through, a parameter missing from every observation still draws
+    in-bounds, and a single observation is enough to propose."""
+    import numpy as np
+    import pytest
+
+    from m2mixer_tpu.sweep import tpe_propose
+
+    spec = {"n": {"distribution": "int_uniform", "min": 1, "max": 8},
+            "qd": {"distribution": "q_uniform", "min": 0, "max": 64, "q": 8}}
+    obs = [({"n": n, "qd": q}, abs(n - 3) + abs(q - 16) / 8)
+           for n in (1, 3, 5, 7) for q in (0, 16, 32, 64)]
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        p = tpe_propose(spec, obs, rng)
+        assert isinstance(p["n"], int) and 1 <= p["n"] <= 8, p
+        assert p["qd"] % 8 == 0 and 0 <= p["qd"] <= 64, p
+
+    mixed = {"x": {"distribution": "uniform", "min": 0, "max": 1},
+             "k": {"value": 42}, "m": {"values": [1, 2]}}
+    p = tpe_propose(mixed, [({"x": 0.5, "m": 1}, 1.0)],
+                    np.random.RandomState(4))
+    assert p["k"] == 42 and p["m"] in (1, 2) and 0 <= p["x"] <= 1
+    p = tpe_propose(mixed, [({"x": 0.5}, 1.0)], np.random.RandomState(5))
+    assert p["m"] in (1, 2)  # absent from obs -> prior draw
+    with pytest.raises(ValueError, match="observation"):
+        tpe_propose(mixed, [], np.random.RandomState(6))
+
+
+def test_local_sweep_bayes_end_to_end(tmp_path):
+    """`method: bayes` drives real training: random warmup then TPE
+    proposals (startup=2 so trial 3 is model-based), results ranked and
+    written like any other sweep."""
+    import json
+
+    from m2mixer_tpu.sweep import run_sweep
+
+    cfg_path = _write_cfg(str(tmp_path))
+    sweep_path = os.path.join(tmp_path, "sweep_bayes.yml")
+    with open(sweep_path, "w") as f:
+        yaml.safe_dump({
+            "method": "bayes",
+            "metric": {"name": "val_loss", "goal": "minimize"},
+            "command": ["python", "run.py", "-c", cfg_path],
+            "parameters": {
+                "model": {"parameters": {"dropout": {
+                    "distribution": "uniform", "min": 0.0, "max": 0.5}}},
+            },
+        }, f)
+    out = run_sweep(sweep_path, trials=3, startup=2,
+                    out_dir=os.path.join(tmp_path, "out"),
+                    epochs=1, verbose=False)
+    assert len(out["results"]) == 3
+    for r in out["results"]:
+        assert 0.0 <= r["params"]["model.dropout"] <= 0.5
+    assert out["best"]["value"] == min(r["value"] for r in out["results"])
+    lines = open(os.path.join(
+        tmp_path, "out", "sweep_results.jsonl")).read().splitlines()
+    assert len(lines) == 3 and json.loads(lines[2])["trial"] == 2
