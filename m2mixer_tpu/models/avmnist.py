@@ -82,11 +82,9 @@ class _UnimodalMixerTask(TrainTask):
         return {"inputs": (batch[self.modality],)}
 
     def step(self, params, batch, ctx, rngs, train: bool):
-        outputs = self.network.apply(
-            params,
-            **self.network_inputs(batch),
-            deterministic=not train,
-            rngs={k: v for k, v in rngs.items() if k != "mute"} if train else None,
+        outputs, _ = self.apply_network(
+            params, dict(self.network_inputs(batch), deterministic=not train),
+            rngs, train,
         )
         logits = outputs["branch_logits"][0]
         labels = batch["label"]
@@ -131,12 +129,11 @@ class AVMnistMixer(TrainTask):
     def step(self, params, batch, ctx, rngs, train: bool):
         # static mute applies in every mode here (`models/avmnist.py:144-147`)
         mute_code = {"image": 0, "audio": 1}.get(self.mute, -1)
-        outputs = self.network.apply(
+        outputs, _ = self.apply_network(
             params,
-            **self.network_inputs(batch),
-            deterministic=not train,
-            mute_code=jnp.int32(mute_code),
-            rngs={k: v for k, v in rngs.items() if k != "mute"} if train else None,
+            dict(self.network_inputs(batch), deterministic=not train,
+                 mute_code=jnp.int32(mute_code)),
+            rngs, train,
         )
         logits = outputs["logits"]
         labels = batch["label"]

@@ -105,6 +105,22 @@ class TrainTask(abc.ABC):
         # MoE blocks sow a load-balance loss into the 'moe' collection;
         # detect statically from config block types so non-MoE tasks keep
         # their exact apply signature (modules/moe.py)
+        # model.lora (beyond reference): parameter-efficient fine-tuning —
+        # low-rank adapters in a 'lora' variable collection; the base tree
+        # is frozen out of gradients AND optimizer state (modules/lora.py)
+        lora_cfg = model_cfg.get("lora", None)
+        if lora_cfg and not hasattr(lora_cfg, "get"):
+            # `model.lora: true` — all defaults
+            lora_cfg = {}
+        if lora_cfg is not None and hasattr(lora_cfg, "get"):
+            self.lora_rank = int(lora_cfg.get("rank", 8))
+            self.lora_alpha = float(lora_cfg.get("alpha", self.lora_rank))
+            self.lora_targets = tuple(lora_cfg.get("targets", []) or []) or None
+            if self.lora_rank <= 0:
+                raise ValueError(
+                    f"model.lora.rank must be > 0 (got {self.lora_rank})")
+        else:
+            self.lora_rank, self.lora_alpha, self.lora_targets = 0, 0.0, None
         self._uses_moe = _config_uses_moe(model_cfg)
         if self._uses_moe and not self._supports_moe:
             raise ValueError(
@@ -156,6 +172,14 @@ class TrainTask(abc.ABC):
             # sown MoE balance losses are per-step byproducts, not state:
             # drop them so they never enter params/checkpoints/optimizer
             variables = {k: v for k, v in variables.items() if k != "moe"}
+        if self.lora_rank:
+            from ..modules.lora import init_lora
+
+            rng, lora_rng = jax.random.split(rng)
+            variables = dict(variables)
+            variables["lora"] = init_lora(
+                lora_rng, variables["params"], self.lora_rank,
+                self.lora_alpha, self.lora_targets)
         return variables
 
     @abc.abstractmethod
@@ -185,7 +209,23 @@ class TrainTask(abc.ABC):
         is gradient-trained; returns None (no masking needed) when the
         variables hold nothing else. Without this, frozen-statistics BN
         means/vars would receive loss gradients and be silently
-        Adam-updated as if they were weights."""
+        Adam-updated as if they were weights.
+
+        With a ``lora`` collection present the polarity flips: ONLY the
+        adapter factors train (the merge scale stays fixed); the whole base
+        tree is excluded from gradients and optimizer moments — the LoRA
+        memory contract."""
+        if isinstance(variables, dict) and "lora" in variables:
+            from ..modules.lora import SCALE_KEY
+
+            def lora_mask(path, _):
+                top = getattr(path[0], "key", None) if path else None
+                if top != "lora":
+                    return 0.0
+                leaf = getattr(path[-1], "key", None)
+                return 0.0 if leaf == SCALE_KEY else 1.0
+
+            return jax.tree_util.tree_map_with_path(lora_mask, variables)
         if isinstance(variables, dict) and set(variables) == {"params"}:
             return None
 
@@ -199,8 +239,13 @@ class TrainTask(abc.ABC):
         """``network.apply`` with the task's rng/mutable plumbing: returns
         ``(outputs, new_state)`` where ``new_state`` is the refreshed
         mutable-collection dict (None unless training a task with
-        ``mutable_collections``)."""
+        ``mutable_collections``). Any ``lora`` collection is merged into the
+        effective weights here — inside the trace — so every execution path
+        (per-step, epoch scan, ensemble vmap, eval) sees the adapted model."""
         self.bind_trace_flavors()
+        from ..modules.lora import resolve_lora
+
+        params = resolve_lora(params)
         apply_rngs = {k: v for k, v in rngs.items() if k != "mute"} if train else None
         mutable = list(self.mutable_collections)
         if train and self._uses_moe:
@@ -296,6 +341,12 @@ class MultiLossTask(TrainTask):
             )
 
         self.use_gradblend = bool(m.get("gradblend", False))
+        if self.use_gradblend and self.lora_rank:
+            raise ValueError(
+                "model.gradblend and model.lora cannot combine: GradBlend "
+                "sub-trains raw encoder/head subtrees and would estimate "
+                "weights from the UNadapted base model. Fine-tune with "
+                "fixed/annealed/SoftAdapt weighting instead.")
         if self.use_gradblend:
             self.gb_update_freq = int(m.get("gb_update_freq", 20))
             self.gb_weights: Optional[np.ndarray] = None
@@ -429,7 +480,10 @@ class MultiLossTask(TrainTask):
             top = None
             for p in path:
                 key = getattr(p, "key", None)
-                if key is not None and key != "params":
+                # 'params'/'lora' are collection wrappers, not modules: the
+                # freeze applies to a branch's LoRA adapters exactly as to
+                # its base weights
+                if key is not None and key not in ("params", "lora"):
                     top = key
                     break
             return 0.0 if top in prefixes else 1.0

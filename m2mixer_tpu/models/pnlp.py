@@ -97,9 +97,9 @@ class PnlpMixerSeqClsTask(TrainTask):
         return {"x": batch["text"]}
 
     def step(self, params, batch, ctx, rngs, train: bool):
-        logits = self.network.apply(
-            params, **self.network_inputs(batch), deterministic=not train,
-            rngs={k: v for k, v in rngs.items() if k != "mute"} if train else None,
+        logits, _ = self.apply_network(
+            params, dict(self.network_inputs(batch), deterministic=not train),
+            rngs, train,
         )
         labels = batch["label"]
         loss = cross_entropy_loss(logits, labels)

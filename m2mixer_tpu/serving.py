@@ -291,7 +291,13 @@ def average_checkpoints(ckpt_dir: str, k: Optional[int] = None):
     trees = []
     for e in entries:
         restored = ckptr.restore(os.path.abspath(e["path"]))
-        trees.append(restored["params"] if "params" in restored else restored)
+        tree = restored["params"] if "params" in restored else restored
+        # LoRA checkpoints: merge adapters into effective weights BEFORE
+        # averaging — the low-rank delta is bilinear in (A, B), so averaging
+        # factors is NOT the soup of the adapted models; merged trees are
+        from .modules.lora import resolve_lora
+
+        trees.append(resolve_lora(tree))
 
     def avg(*leaves):
         a = np.asarray(leaves[0])
@@ -531,6 +537,11 @@ def export_serving(task, params, sample_batch, out_dir: str,
         preprocess = packaged_spec(preprocess, out_dir)  # copy assets in
     spec = _feature_spec(sample_batch)
     base_fn = serve_fn if serve_fn is not None else _serve_fn(task)
+    # LoRA fine-tunes export as plain weights: bake the adapters in so PTQ,
+    # Pallas conversion, TP sharding, and the server see one ordinary tree
+    from .modules.lora import resolve_lora
+
+    params = resolve_lora(params)
     params = jax.tree.map(np.asarray, params)
     if quantize:
         params = quantize_weights(params, mode=quantize)
@@ -996,6 +1007,12 @@ def main(argv: Optional[Sequence[str]] = None):
                              "(train with train.optimizer.ema_decay > 0)")
                 params = ema
                 print("[serving] exporting the Polyak-averaged (EMA) weights")
+        # bake any LoRA adapters into effective weights up front so the
+        # temperature fit and the Pallas conversion both see the adapted
+        # model (export_serving also resolves — this is idempotent)
+        from .modules.lora import resolve_lora
+
+        params = resolve_lora(params)
         temperature = None
         if args.temperature is not None:
             if args.temperature == "auto":

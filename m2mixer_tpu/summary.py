@@ -109,8 +109,10 @@ def summarize(cfg, batch_size: Optional[int] = None,
         depth=depth, console_kwargs={"width": 120, "force_terminal": False},
     )(**inputs, deterministic=True)
 
+    from .modules.lora import resolve_lora
+
     fwd = _flops(
-        lambda p, kw: task.network.apply(p, **kw, deterministic=True),
+        lambda p, kw: task.network.apply(resolve_lora(p), **kw, deterministic=True),
         params, inputs)
 
     def train_step(p, b):

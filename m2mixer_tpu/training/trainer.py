@@ -883,6 +883,25 @@ class Trainer:
             params = task.init_params(init_rng, sample)
             self.params = shard_params(self.mesh, params, fsdp=self._fsdp,
                                        fsdp_min_size=self._fsdp_min_size)
+            init_from = self.cfg.get("init_from", None)
+            if init_from:
+                # warm start (train.init_from): graft another run's weights
+                # into the fresh tree — params only (fresh optimizer/epoch/
+                # schedules). Shape-mismatched leaves keep their fresh init
+                # (head-swap transfer); LoRA adapters stay freshly zeroed so
+                # step 0 reproduces the donor model. A later resume/-p
+                # restore simply overwrites this.
+                from .warmstart import graft_params, load_checkpoint_params
+
+                loaded = load_checkpoint_params(str(init_from))
+                self.params, stats = graft_params(self.params, loaded)
+                note = ""
+                if stats["shape_mismatch"] or stats["missing"]:
+                    note = (f" (kept fresh: {len(stats['shape_mismatch'])} "
+                            f"shape-mismatched, {len(stats['missing'])} "
+                            "missing-in-ckpt)")
+                print(f"[trainer] warm-started {stats['taken']} leaves "
+                      f"from {init_from}{note}")
         self._log_params_once(self.params)
         self.optimizer, lr0 = _make_optimizer(task.optimizer_cfg,
                                               task.trainable_mask(self.params))

@@ -23,9 +23,12 @@ __all__ = ["export_intermediates"]
 def export_intermediates(task, params, datamodule, out_dir: str) -> Dict[str, int]:
     """Run the trained MultiLoss model over train/test and write the
     corrects_data layout. Returns per-split sample counts."""
+    from ..modules.lora import resolve_lora
+
     eval_step = jax.jit(lambda p, b, ctx: task.step(p, b, ctx, {}, train=False))
     net_apply = jax.jit(
-        lambda p, inputs: task.network.apply(p, inputs=inputs, deterministic=True)
+        lambda p, inputs: task.network.apply(
+            resolve_lora(p), inputs=inputs, deterministic=True)
     )
     counts = {}
     for split, batches in (("train", datamodule.train_batches),
