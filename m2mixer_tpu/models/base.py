@@ -130,6 +130,9 @@ class TrainTask(abc.ABC):
                 "silently train without the advertised regularizer. Use an "
                 "MoE block under a MultiLoss task, or a dense block here.")
         self.moe_aux_weight = float(model_cfg.get("moe_aux_weight", 0.01))
+        #: set by the trainer from ``train.distill`` (training/distill.py);
+        #: when present, MultiLossTask.step blends a soft-target KD term
+        self.distiller = None
         self.bind_trace_flavors()
         self.network = self.build_network()
 
@@ -307,6 +310,7 @@ class MultiLossTask(TrainTask):
     #: branch names, e.g. ("image", "audio"); the fusion branch is implicit.
     modalities: Tuple[str, ...] = ()
     _supports_moe = True  # step() collects and applies the MoE balance loss
+    _supports_distill = True  # step() blends the train.distill KD term
     #: fixed-weighting flavor per reference task family:
     #:   'fixed_scaled' — (w_f*l_f + ow*sum(l_i)) * n   (avmnist, `avmnist.py:290-291`)
     #:   'fixed'        —  w_f*l_f + ow*sum(l_i)        (mimic `mimic.py:115-121`, mmhs `mmhs150.py:106-107`)
@@ -451,6 +455,17 @@ class MultiLossTask(TrainTask):
         if moe_aux is not None:
             # Switch-style load-balance regularizer (modules/moe.py)
             total = total + jnp.asarray(self.moe_aux_weight, moe_aux.dtype) * moe_aux
+        if self.distiller is not None:
+            # train.distill (beyond reference, training/distill.py): the KD
+            # gap is computed in EVERY mode (logged as {split}_loss_kd) but
+            # only trained on — teacher weights are jit-captured constants,
+            # so nothing about checkpoints/optimizer state changes
+            kd = self.distiller.loss(outputs, batch)
+            self.bind_trace_flavors()  # teacher apply re-bound the globals
+            losses = dict(losses, kd=kd)
+            if train:
+                w = jnp.asarray(self.distiller.weight, total.dtype)
+                total = (1.0 - w) * total + w * kd
         aux = {"losses": losses, **self.predictions(outputs, batch)}
         if moe_aux is not None:
             aux["moe_aux"] = moe_aux
@@ -492,7 +507,10 @@ class MultiLossTask(TrainTask):
 
     # -- host hooks ------------------------------------------------------------
     def epoch_log_keys(self) -> Sequence[str]:
-        return tuple(f"loss_{n}" for n in self.loss_names)
+        keys = tuple(f"loss_{n}" for n in self.loss_names)
+        if self.distiller is not None:
+            keys += ("loss_kd",)
+        return keys
 
     def epoch_scalar_keys(self) -> Sequence[str]:
         # moe_aux only exists in train-step aux; the trainer's scalar

@@ -880,7 +880,10 @@ def main(argv: Optional[Sequence[str]] = None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     ex = sub.add_parser("export")
     ex.add_argument("-c", "--cfg", required=True)
-    ex.add_argument("-p", "--ckpt", help="checkpoint dir (epoch_N); fresh init if omitted")
+    ex.add_argument("-p", "--ckpt",
+                    help="checkpoint: a concrete epoch_N dir, or a "
+                         "checkpoints//version_* dir (resolves to the run's "
+                         "best via index.json); fresh init if omitted")
     ex.add_argument("-o", "--out", required=True)
     ex.add_argument("--format", default="stablehlo",
                     choices=["stablehlo", "executable"])
@@ -996,7 +999,16 @@ def main(argv: Optional[Sequence[str]] = None):
         elif args.ckpt:
             import orbax.checkpoint as ocp
 
-            restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ckpt))
+            # accept a checkpoints/ (or run version_*/) directory too —
+            # resolved to the run's BEST checkpoint via its index.json,
+            # same contract as train.init_from (training/warmstart.py)
+            from .training.warmstart import resolve_checkpoint
+
+            concrete = resolve_checkpoint(args.ckpt)
+            if os.path.abspath(concrete) != os.path.abspath(args.ckpt):
+                print(f"[serving] -p {args.ckpt} -> best checkpoint "
+                      f"{concrete}")
+            restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(concrete))
             params = restored["params"] if "params" in restored else restored
             if args.ema:
                 from .training.trainer import ema_params_from_opt_state

@@ -216,6 +216,12 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                          "train.grad_accum_steps > 1; use the sequential "
                          "runner (silently ignoring it would change the "
                          "update schedule vs the sequential protocol)")
+    if train_cfg.get("distill", None) and getattr(task, "distiller", None) is None:
+        # the teacher enters the step as captured constants, which the
+        # member vmap broadcasts — ONE teacher serves every member
+        from .distill import attach_distiller
+
+        attach_distiller(task, train_cfg, mesh)
     from ..parallel.pipeline import pipeline_mesh, set_pipeline_mesh
 
     _restore_pipe = False

@@ -856,6 +856,21 @@ class Trainer:
             set_pipeline_mesh(prev_pipe)
             set_activation_mesh(prev_act)
 
+    def _attach_distiller(self, task) -> None:
+        """train.distill (training/distill.py): build the frozen teacher
+        once per trainer and attach it to the task — the KD term then rides
+        inside the jitted step as captured constants (no state changes)."""
+        if getattr(task, "distiller", None) is not None:
+            return  # already attached (e.g. test() right after fit())
+        if not self.cfg.get("distill", None):
+            return
+        from .distill import attach_distiller
+
+        if getattr(self, "_distiller", None) is None:
+            self._distiller = attach_distiller(task, self.cfg, self.mesh)
+        else:
+            task.distiller = self._distiller
+
     def fit(self, task, datamodule, resume_from: Optional[str] = None) -> None:
         # preemption safety (train.save_on_preemption, default on): TPU
         # maintenance events / spot eviction deliver SIGTERM with a short
@@ -870,6 +885,7 @@ class Trainer:
 
     def _fit_inner(self, task, datamodule, resume_from: Optional[str]) -> None:
         self.task = task
+        self._attach_distiller(task)
         if datamodule is not self.datamodule:
             self._dev_splits = {}  # device-resident cache belongs to one module
         self.datamodule = datamodule
@@ -1494,6 +1510,7 @@ class Trainer:
 
     def _test_inner(self, task, datamodule, ckpt: Optional[str]) -> Dict[str, float]:
         self.task = task
+        self._attach_distiller(task)
         if datamodule is not self.datamodule:
             self._dev_splits = {}
         self.datamodule = datamodule

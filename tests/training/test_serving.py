@@ -402,6 +402,33 @@ def test_serving_cli_from_checkpoint(tmp_path):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_serving_cli_resolves_checkpoints_dir(tmp_path):
+    """export -p accepts a checkpoints/ directory and resolves it to the
+    run's BEST checkpoint via index.json (same contract as train.init_from),
+    so users don't have to dig out the concrete epoch_N path."""
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.training import Trainer
+
+    cfg = loads(CFG.format(tmp=tmp_path))
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="srv_dir", full_cfg=cfg)
+    trainer.fit(task, dm)
+    best = trainer.checkpoints.best_path()
+
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(CFG.format(tmp=tmp_path))
+    out = tmp_path / "dir_art"
+    main(["export", "-c", str(cfg_path), "-p", trainer.ckpt_dir,
+          "-o", str(out), "--buckets", "4"])
+    model = load_serving(str(out))
+    batch = _batch(4, seed=11)
+    trainer.restore(best)
+    want = _direct_logits(task, trainer.params, batch)
+    np.testing.assert_allclose(model.predict(batch)["logits"], want,
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_average_checkpoints(tmp_path, task_and_params):
     """Model soup: uniform mean of the top-k ranked params trees, ranked by
     the index's monitor/mode; non-rankable entries excluded."""
