@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..config import DictConfig
 from ..modules import get_block_by_name, get_classifier_by_name, get_fusion_by_name
 from ..modules.common import Linear
-from ..modules.losses import EDLMSELoss, cross_entropy_loss
+from ..modules.losses import EDLMSELoss
 from ..training import metrics as tm
 from .base import MultiLossTask, TrainTask
 from .nets import MultimodalNet, pool_tokens
@@ -88,7 +88,7 @@ class _UnimodalMixerTask(TrainTask):
         )
         logits = outputs["branch_logits"][0]
         labels = batch["label"]
-        loss = cross_entropy_loss(logits, labels)
+        loss = self.ce(logits, labels)
         preds = jnp.argmax(jax.nn.softmax(logits, axis=1), axis=1)
         return loss, {"losses": {"loss": loss}, "preds": preds, "labels": labels}
 
@@ -137,7 +137,7 @@ class AVMnistMixer(TrainTask):
         )
         logits = outputs["logits"]
         labels = batch["label"]
-        loss = cross_entropy_loss(logits, labels)
+        loss = self.ce(logits, labels)
         preds = jnp.argmax(jax.nn.softmax(logits, axis=1), axis=1)
         return loss, {"losses": {"loss": loss}, "preds": preds, "labels": labels}
 
@@ -167,9 +167,9 @@ class AVMnistMixerMultiLoss(MultiLossTask):
         labels = batch["label"]
         img_logits, aud_logits = outputs["branch_logits"]
         return {
-            "image": cross_entropy_loss(img_logits, labels),
-            "audio": cross_entropy_loss(aud_logits, labels),
-            "fusion": cross_entropy_loss(outputs["logits"], labels),
+            "image": self.ce(img_logits, labels),
+            "audio": self.ce(aud_logits, labels),
+            "fusion": self.ce(outputs["logits"], labels),
         }
 
     @property

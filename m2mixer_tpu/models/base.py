@@ -133,6 +133,13 @@ class TrainTask(abc.ABC):
         #: set by the trainer from ``train.distill`` (training/distill.py);
         #: when present, MultiLossTask.step blends a soft-target KD term
         self.distiller = None
+        # model.label_smoothing (beyond reference): CE targets become
+        # (1-eps)·one_hot + eps/K; BCE targets move toward 0.5. Consumed by
+        # the task families through self.ce / self.bce
+        self.label_smoothing = float(model_cfg.get("label_smoothing", 0.0))
+        if not 0.0 <= self.label_smoothing < 1.0:
+            raise ValueError("model.label_smoothing must be in [0, 1) "
+                             f"(got {self.label_smoothing})")
         self.bind_trace_flavors()
         self.network = self.build_network()
 
@@ -238,6 +245,21 @@ class TrainTask(abc.ABC):
 
         return jax.tree_util.tree_map_with_path(mask, variables)
 
+    def ce(self, logits, labels, weight=None):
+        """Task-level cross-entropy: plain CE plus the task's configured
+        ``model.label_smoothing``."""
+        from ..modules.losses import cross_entropy_loss
+
+        return cross_entropy_loss(logits, labels, weight=weight,
+                                  label_smoothing=self.label_smoothing)
+
+    def bce(self, logits, targets, pos_weight=None):
+        """Task-level BCE-with-logits plus ``model.label_smoothing``."""
+        from ..modules.losses import bce_with_logits_loss
+
+        return bce_with_logits_loss(logits, targets, pos_weight=pos_weight,
+                                    label_smoothing=self.label_smoothing)
+
     def apply_network(self, params, kwargs, rngs, train: bool):
         """``network.apply`` with the task's rng/mutable plumbing: returns
         ``(outputs, new_state)`` where ``new_state`` is the refreshed
@@ -334,6 +356,16 @@ class MultiLossTask(TrainTask):
         self.fusion_loss_weight = float(m.get("fusion_loss_weight", 1.0 / n))
         self.fusion_loss_change = float(m.get("fusion_loss_change", 0))
         self.loss_change_epoch = int(m.get("loss_change_epoch", 0))
+
+        # model.mixup_alpha (beyond reference, Zhang et al. 2018): in-step
+        # convex input mixing with lam ~ Beta(a, a); losses combine as
+        # lam·L(y) + (1-lam)·L(y_perm). Traced entirely inside the jitted
+        # step (one draw per step from the 'mute' rng stream), so the
+        # epoch-compiled scan path needs no host work.
+        self.mixup_alpha = float(m.get("mixup_alpha", 0.0))
+        if self.mixup_alpha < 0:
+            raise ValueError(
+                f"model.mixup_alpha must be >= 0 (got {self.mixup_alpha})")
 
         self.use_softadapt = bool(m.get("use_softadapt", False))
         if self.use_softadapt:
@@ -436,8 +468,35 @@ class MultiLossTask(TrainTask):
         drawn = jnp.where(drawn >= n_mod, MUTE_NONE, drawn).astype(jnp.int32)
         return jnp.where(ctx["random_mute"] > 0, drawn, static_code)
 
+    def mixup_keys(self) -> Tuple[str, ...]:
+        """Batch keys holding the network inputs to mix; every other key
+        (labels, masks, lengths) is permuted wholesale for the lam-weighted
+        second loss term. Matches the batch layout of every shipped family
+        (batch keys == modality names)."""
+        return tuple(self.modalities)
+
+    def _mixup(self, batch, rngs):
+        """Returns (mixed-input batch with ORIGINAL labels, permuted-label
+        batch, lam). Forward runs once on the mixed inputs; losses evaluate
+        against both label sets."""
+        key = jax.random.fold_in(rngs["mute"], 0x6D78)  # 'mx': distinct stream
+        k_lam, k_perm = jax.random.split(key)
+        a = self.mixup_alpha
+        lam = jax.random.beta(k_lam, a, a, dtype=jnp.float32)
+        keys = self.mixup_keys()
+        n = batch[keys[0]].shape[0]
+        perm = jax.random.permutation(k_perm, n)
+        mixed = {k: lam.astype(batch[k].dtype) * batch[k]
+                 + (1.0 - lam).astype(batch[k].dtype) * batch[k][perm]
+                 for k in keys}
+        rest_perm = {k: v[perm] for k, v in batch.items() if k not in mixed}
+        return dict(batch, **mixed), dict(rest_perm, **mixed), lam
+
     def step(self, params, batch, ctx, rngs, train: bool):
         mute_code = self.resolve_mute_code(ctx, rngs) if train else jnp.int32(MUTE_NONE)
+        batch_b, mix_lam = None, None
+        if train and self.mixup_alpha > 0 and "mute" in rngs:
+            batch, batch_b, mix_lam = self._mixup(batch, rngs)
         outputs, new_state = self.apply_network(
             params,
             dict(self.network_inputs(batch), deterministic=not train,
@@ -446,6 +505,11 @@ class MultiLossTask(TrainTask):
         )
         moe_aux = outputs.pop("_moe_aux", None) if isinstance(outputs, dict) else None
         losses = self.branch_losses(outputs, batch, ctx)
+        if batch_b is not None:
+            losses_b = self.branch_losses(outputs, batch_b, ctx)
+            lam = mix_lam.astype(next(iter(losses.values())).dtype)
+            losses = {k: lam * losses[k] + (1.0 - lam) * losses_b[k]
+                      for k in losses}
         vec = jnp.stack([losses[n] for n in self.loss_names])
         total = jnp.dot(ctx["loss_weights"].astype(vec.dtype), vec)
         if train:

@@ -11,7 +11,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..modules.losses import cross_entropy_loss
 from ..training import metrics as tm
 from .base import MultiLossTask
 from .nets import build_multimodal_net
@@ -39,9 +38,9 @@ class MemotionMixerMultiLoss(MultiLossTask):
         labels = batch["label"]
         img_logits, text_logits = outputs["branch_logits"]
         return {
-            "image": cross_entropy_loss(img_logits, labels),
-            "text": cross_entropy_loss(text_logits, labels),
-            "fusion": cross_entropy_loss(outputs["logits"], labels),
+            "image": self.ce(img_logits, labels),
+            "text": self.ce(text_logits, labels),
+            "fusion": self.ce(outputs["logits"], labels),
         }
 
     def predictions(self, outputs, batch):

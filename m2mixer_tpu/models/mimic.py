@@ -18,7 +18,6 @@ from flax import linen as nn
 from ..config import DictConfig
 from ..modules import get_block_by_name, get_classifier_by_name, get_fusion_by_name
 from ..modules.common import Linear
-from ..modules.losses import cross_entropy_loss
 from ..training import metrics as tm
 from .base import MultiLossTask
 
@@ -137,9 +136,9 @@ class MimicMixerMultiLoss(MultiLossTask):
         labels = batch["label"]
         static_logits, time_logits = outputs["branch_logits"]
         return {
-            "static": cross_entropy_loss(static_logits, labels),
-            "time": cross_entropy_loss(time_logits, labels),
-            "fusion": cross_entropy_loss(outputs["logits"], labels),
+            "static": self.ce(static_logits, labels),
+            "time": self.ce(time_logits, labels),
+            "fusion": self.ce(outputs["logits"], labels),
         }
 
     def predictions(self, outputs, batch):

@@ -60,12 +60,12 @@ class MMHS150MultiLoss(MultiLossTask):
         use_t = batch["use_features"].astype(jnp.float32).reshape(-1, 1)
         use_o = batch["use_features_ocr"].astype(jnp.float32).reshape(-1, 1)
         return {
-            "image": bce_with_logits_loss(img_logits, labels, pw),
+            "image": self.bce(img_logits, labels, pw),
             # masked exactly like the reference: zero both logits and labels
             # for samples without usable text (`mmhs150.py:100-103`)
-            "text": bce_with_logits_loss(text_logits * use_t, labels * use_t, pw),
-            "ocr": bce_with_logits_loss(ocr_logits * use_o, labels * use_o, pw),
-            "fusion": bce_with_logits_loss(outputs["logits"], labels, pw),
+            "text": self.bce(text_logits * use_t, labels * use_t, pw),
+            "ocr": self.bce(ocr_logits * use_o, labels * use_o, pw),
+            "fusion": self.bce(outputs["logits"], labels, pw),
         }
 
     def predictions(self, outputs, batch):

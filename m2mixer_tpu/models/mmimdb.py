@@ -58,9 +58,9 @@ class MMIMDBMixerMultiLoss(MultiLossTask):
         labels = batch["label"].astype(jnp.float32)
         img_logits, text_logits = outputs["branch_logits"]
         return {
-            "image": bce_with_logits_loss(img_logits, labels, self.pos_weight),
-            "text": bce_with_logits_loss(text_logits, labels, self.pos_weight),
-            "fusion": bce_with_logits_loss(outputs["logits"], labels, self.pos_weight),
+            "image": self.bce(img_logits, labels, self.pos_weight),
+            "text": self.bce(text_logits, labels, self.pos_weight),
+            "fusion": self.bce(outputs["logits"], labels, self.pos_weight),
         }
 
     def predictions(self, outputs, batch):
@@ -224,7 +224,7 @@ class _UnimodalMultilabelTask(TrainTask):
         kwargs = dict(self.network_inputs(batch), deterministic=not train)
         logits, new_state = self.apply_network(params, kwargs, rngs, train)
         labels = batch["label"].astype(jnp.float32)
-        loss = bce_with_logits_loss(logits, labels, jnp.asarray(self.pos_weight))
+        loss = self.bce(logits, labels, jnp.asarray(self.pos_weight))
         preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int32)
         aux = {"losses": {"loss": loss}, "preds": preds, "labels": batch["label"]}
         if new_state is not None:

@@ -20,7 +20,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..modules.losses import cross_entropy_loss
 from ..training import metrics as tm
 from .base import MultiLossTask
 from .nets import build_multimodal_net
@@ -65,7 +64,7 @@ class MosiMixerMultiLoss(MultiLossTask):
     def _branch_loss(self, logits, labels):
         if str(self.model_cfg.get("task", "classification")) == "regression":
             return jnp.abs(logits[..., 0] - labels).mean()
-        return cross_entropy_loss(logits, labels)
+        return self.ce(logits, labels)
 
     def branch_losses(self, outputs, batch, ctx) -> Dict[str, jnp.ndarray]:
         labels = batch["label"]

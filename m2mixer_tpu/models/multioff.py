@@ -37,9 +37,9 @@ class MultiOFFMixerMultiLoss(MultiLossTask):
         labels = batch["label"].astype(jnp.float32)[:, None]
         img_logits, text_logits = outputs["branch_logits"]
         return {
-            "image": bce_with_logits_loss(img_logits, labels),
-            "text": bce_with_logits_loss(text_logits, labels),
-            "fusion": bce_with_logits_loss(outputs["logits"], labels),
+            "image": self.bce(img_logits, labels),
+            "text": self.bce(text_logits, labels),
+            "fusion": self.bce(outputs["logits"], labels),
         }
 
     def predictions(self, outputs, batch):

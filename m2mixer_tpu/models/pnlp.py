@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..modules.classification import SequenceClassificationLayer, TokenClassificationLayer
-from ..modules.losses import cross_entropy_loss
 from ..modules.mixer import PNLPMixer
 from ..training import metrics as tm
 from .base import TrainTask
@@ -102,7 +101,7 @@ class PnlpMixerSeqClsTask(TrainTask):
             rngs, train,
         )
         labels = batch["label"]
-        loss = cross_entropy_loss(logits, labels)
+        loss = self.ce(logits, labels)
         preds = jnp.argmax(jax.nn.softmax(logits, axis=1), axis=1)
         return loss, {"losses": {"loss": loss}, "preds": preds, "labels": labels}
 

@@ -22,23 +22,35 @@ __all__ = [
 ]
 
 
-def cross_entropy_loss(logits, labels, weight: Optional[jnp.ndarray] = None):
+def cross_entropy_loss(logits, labels, weight: Optional[jnp.ndarray] = None,
+                       label_smoothing: float = 0.0):
     """Mean cross-entropy over integer labels (torch ``CrossEntropyLoss``).
-    Logits are upcast to float32 so bf16 compute keeps a stable loss."""
+    Logits are upcast to float32 so bf16 compute keeps a stable loss.
+    ``label_smoothing`` (beyond reference, torch semantics): targets become
+    ``(1-eps)·one_hot + eps/K`` — implemented without materializing one-hots
+    as ``(1-eps)·nll + eps·mean(-logp)``."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if label_smoothing:
+        eps = float(label_smoothing)
+        nll = (1.0 - eps) * nll + eps * jnp.mean(-logp, axis=-1)
     if weight is not None:
         w = weight[labels]
         return jnp.sum(nll * w) / jnp.sum(w)
     return jnp.mean(nll)
 
 
-def bce_with_logits_loss(logits, targets, pos_weight: Optional[jnp.ndarray] = None):
+def bce_with_logits_loss(logits, targets, pos_weight: Optional[jnp.ndarray] = None,
+                         label_smoothing: float = 0.0):
     """Mean binary cross-entropy with logits (torch ``BCEWithLogitsLoss``),
-    with optional per-class ``pos_weight`` applied to the positive term."""
+    with optional per-class ``pos_weight`` applied to the positive term.
+    ``label_smoothing`` moves targets toward 0.5: ``y·(1-eps) + eps/2``."""
     logits = logits.astype(jnp.float32)
     targets = targets.astype(logits.dtype)
+    if label_smoothing:
+        eps = float(label_smoothing)
+        targets = targets * (1.0 - eps) + 0.5 * eps
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
     pos = targets * log_p

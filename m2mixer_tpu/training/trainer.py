@@ -470,9 +470,20 @@ class Trainer:
 
     def _log_params_once(self, params):
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        mask = self.task.trainable_mask(params) if self.task is not None else None
+        if mask is None:
+            trainable = n
+        else:
+            # LoRA / frozen-BN runs: only mask-1 leaves receive updates
+            trainable = sum(
+                int(np.prod(p.shape))
+                for p, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask))
+                if float(m) > 0)
         self.logger.set_summary("total_parameters", n)
-        self.logger.set_summary("trainable_parameters", n)
-        print(f"[trainer] {self.name}: {n / 1e6:.3f}M parameters, "
+        self.logger.set_summary("trainable_parameters", trainable)
+        note = ("" if trainable == n
+                else f" ({trainable / 1e6:.3f}M trainable)")
+        print(f"[trainer] {self.name}: {n / 1e6:.3f}M parameters{note}, "
               f"mesh={dict(self.mesh.shape)}, devices={len(jax.devices())}")
 
     # ------------------------------------------------------------------ steps
