@@ -106,6 +106,120 @@ def ema_params_from_opt_state(opt_state):
 _OPTIMIZER_TYPES = ("adam", "adamw", "sgd", "lion", "lamb", "adafactor")
 
 
+def _parse_param_groups(optimizer_cfg):
+    """``train.optimizer.param_groups`` (beyond reference — the torch
+    param-group idiom): a list of ``{match: [path substrings], lr_scale:
+    float, weight_decay: float?}``. First matching group wins per leaf
+    (matched against the '/'-joined parameter path); unmatched leaves use
+    the global settings. Returns ``[(match_tuple, lr_scale, wd|None), ...]``
+    or None."""
+    raw = optimizer_cfg.get("param_groups", None)
+    if not raw:
+        return None
+    groups = []
+    for i, g in enumerate(raw):
+        if not hasattr(g, "get"):
+            raise ValueError(
+                f"param_groups[{i}] must be a mapping with a 'match' key "
+                f"(got {g!r})")
+        match = g.get("match", None)
+        if isinstance(match, str):
+            match = [match]
+        if not match:
+            raise ValueError(
+                f"param_groups[{i}] needs 'match': a path substring or "
+                "list of substrings (e.g. ['encoders_0', 'heads_'])")
+        lr_scale = float(g.get("lr_scale", 1.0))
+        if lr_scale < 0:
+            raise ValueError(
+                f"param_groups[{i}].lr_scale must be >= 0 (got {lr_scale})")
+        wd = g.get("weight_decay", None)
+        groups.append((tuple(str(m) for m in match), lr_scale,
+                       None if wd is None else float(wd)))
+    return groups
+
+
+def _group_index(path, groups) -> int:
+    joined = "/".join(str(getattr(p, "key", p)) for p in path)
+    for i, (match, _, _) in enumerate(groups):
+        if any(m in joined for m in match):
+            return i
+    return -1
+
+
+def _grouped_lr_scale(groups):
+    """Stateless per-leaf LR multiplier (applied to updates right before the
+    global injected learning rate, so schedules/plateau compose: effective
+    lr = schedule(lr) * group.lr_scale)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def f(path, u):
+            i = _group_index(path, groups)
+            s = groups[i][1] if i >= 0 else 1.0
+            return u if s == 1.0 else u * jnp.asarray(s, u.dtype)
+
+        return jax.tree_util.tree_map_with_path(f, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _grouped_decay(groups, default_wd: float):
+    """Per-leaf weight decay: a group's ``weight_decay`` overrides the
+    global value for its leaves (same chain position as
+    ``optax.add_decayed_weights``, so coupled/decoupled semantics follow
+    the optimizer type)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("param_groups weight decay requires "
+                             "update(..., params=params)")
+
+        def f(path, u, p):
+            i = _group_index(path, groups)
+            wd = groups[i][2] if i >= 0 and groups[i][2] is not None else default_wd
+            return u if not wd else u + jnp.asarray(wd, u.dtype) * p
+
+        return jax.tree_util.tree_map_with_path(f, updates, params), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def check_param_groups(optimizer_cfg, params) -> None:
+    """Fail loudly on a param_groups entry that matches nothing — a typo'd
+    'match' silently training at the global LR is the torch footgun this
+    feature replaces."""
+    groups = _parse_param_groups(optimizer_cfg)
+    if not groups:
+        return
+    counts = [0] * len(groups)
+    for path, _ in jax.tree_util.tree_leaves_with_path(params):
+        i = _group_index(path, groups)
+        if i >= 0:
+            counts[i] += 1
+    for i, c in enumerate(counts):
+        if c == 0:
+            raise ValueError(
+                f"train.optimizer.param_groups[{i}] "
+                f"(match={list(groups[i][0])}) matched no parameter leaves "
+                "— check the substrings against the parameter tree "
+                "(python -m m2mixer_tpu.summary shows the module paths)")
+    print("[trainer] param_groups: "
+          + ", ".join(f"group {i} (match={list(g[0])}): {c} leaves, "
+                      f"lr_scale={g[1]}"
+                      + (f", wd={g[2]}" if g[2] is not None else "")
+                      for i, (g, c) in enumerate(zip(groups, counts))))
+
+
 def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
     """Config-driven optimizer (``train.optimizer.type``), with the learning
     rate injected so the plateau scheduler / LR schedules can change it
@@ -182,6 +296,12 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
         raise ValueError(
             "train.optimizer.grad_clip_norm/grad_clip_value must be >= 0 "
             f"(got {clip_norm}, {clip_value}; 0/unset disables clipping)")
+    groups = _parse_param_groups(optimizer_cfg)
+    grouped_wd = bool(groups) and any(g[2] is not None for g in groups)
+    grouped_lr = bool(groups) and any(g[1] != 1.0 for g in groups)
+    if grouped_wd and opt_type == "adafactor":
+        raise ValueError("param_groups weight_decay is not applicable to "
+                         "adafactor (it applies no decay term)")
 
     def make(learning_rate):
         # gradient clipping leads the chain (torch clip_grad_norm_ order:
@@ -195,32 +315,38 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
             steps.append(optax.clip_by_global_norm(clip_norm))
         if clip_value:
             steps.append(optax.clip(clip_value))
+        # per-group weight decay (param_groups) slots into the exact chain
+        # position the scalar decay would take, so coupled (adam/sgd) vs
+        # decoupled (adamw/lion/lamb) semantics follow the optimizer type
+        use_decay = wd or grouped_wd
+        decay = ((lambda: _grouped_decay(groups, wd)) if grouped_wd
+                 else (lambda: optax.add_decayed_weights(wd)))
         if opt_type == "adam":
-            if wd:
-                steps.append(optax.add_decayed_weights(wd))
+            if use_decay:
+                steps.append(decay())
             steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
                                              eps=eps, mu_dtype=mu_dtype))
         elif opt_type == "adamw":
             steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
                                              eps=eps, mu_dtype=mu_dtype))
-            if wd:
-                steps.append(optax.add_decayed_weights(wd))
+            if use_decay:
+                steps.append(decay())
         elif opt_type == "sgd":
-            if wd:
-                steps.append(optax.add_decayed_weights(wd))
+            if use_decay:
+                steps.append(decay())
             if momentum:
                 steps.append(optax.trace(decay=momentum, nesterov=nesterov,
                                          accumulator_dtype=mu_dtype))
         elif opt_type == "lion":
             steps.append(optax.scale_by_lion(b1=betas[0], b2=betas[1],
                                              mu_dtype=mu_dtype))
-            if wd:
-                steps.append(optax.add_decayed_weights(wd))
+            if use_decay:
+                steps.append(decay())
         elif opt_type == "lamb":
             steps.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
                                              eps=eps, mu_dtype=mu_dtype))
-            if wd:
-                steps.append(optax.add_decayed_weights(wd))
+            if use_decay:
+                steps.append(decay())
             steps.append(optax.scale_by_trust_ratio())
         else:  # adafactor
             steps.append(optax.scale_by_factored_rms())
@@ -229,6 +355,11 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
             # (and checkpoints/compile-cache keys) keep the flat layout
             steps = [optax.masked(optax.chain(*steps),
                                   jax.tree.map(lambda m: m > 0.5, trainable_mask))]
+        if grouped_lr:
+            # per-leaf LR multiplier right before the global injected LR:
+            # effective lr = schedule(lr) * group.lr_scale (stateless, so
+            # the opt_state layout and checkpoints are unchanged)
+            steps.append(_grouped_lr_scale(groups))
         steps.append(optax.scale_by_learning_rate(learning_rate))
         if ema_decay:
             # params-EMA (Polyak averaging) rides in opt_state; export the
@@ -932,6 +1063,7 @@ class Trainer:
         self._log_params_once(self.params)
         self.optimizer, lr0 = _make_optimizer(task.optimizer_cfg,
                                               task.trainable_mask(self.params))
+        check_param_groups(task.optimizer_cfg, self.params)
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
         if resume_from is None and bool(self.cfg.get("auto_resume", False)):
