@@ -26,6 +26,28 @@ __all__ = ["make_train_epoch_fn", "make_eval_epoch_fn", "shard_align_order",
            "make_sharded_gather", "make_grad_masker"]
 
 
+def sam_value_and_grad(loss_fn, params, rho: float, masker=None, frozen=None):
+    """``value_and_grad`` with optional SAM (Foret et al. 2021,
+    "Sharpness-Aware Minimization"): when ``rho > 0``, take the gradient at
+    the adversarially-perturbed point ``w + rho * g/||g||`` (one extra
+    fwd+bwd — ~2x step cost) while reporting loss/aux from the CLEAN point
+    so logged losses and metrics stay comparable to plain runs. The ascent
+    direction is masked first (``masker``), so frozen modalities, LoRA base
+    trees, and non-parameter collections are never perturbed — sharpness is
+    measured only in the trainable subspace. Shared by every train path
+    (per-step, accumulation, epoch scan, ensemble vmap)."""
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if not rho:
+        return (loss, aux), grads
+    ascent = masker(grads, frozen) if masker is not None else grads
+    norm = optax.global_norm(ascent)
+    scale = jnp.asarray(rho, norm.dtype) / (norm + 1e-12)
+    adv = jax.tree.map(
+        lambda p, g: p + (scale * g).astype(p.dtype), params, ascent)
+    (_, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(adv)
+    return (loss, aux), grads
+
+
 def make_grad_masker(frozen_mask, trainable_mask=None):
     """Shared grads/updates masking for every train path (per-step,
     accumulation, epoch-compiled): multiplies by the DYNAMIC frozen gate
@@ -122,7 +144,8 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
                         sharded_pool: bool = False,
                         watch_gradients: bool = False,
                         trainable_mask=None,
-                        grad_accum: int = 1) -> Callable:
+                        grad_accum: int = 1,
+                        sam_rho: float = 0.0) -> Callable:
     """Returns jitted ``epoch(params, opt_state, arrays, order, ctx, rngs,
     start_step) -> (params, opt_state, losses, aux)``.
 
@@ -175,7 +198,8 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
             def loss_fn(p):
                 return task.step(p, batch, ctx, step_rngs, train=True)
 
-            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return sam_value_and_grad(loss_fn, params, sam_rho,
+                                      masker, ctx["frozen"])
 
         def body(carry, i):
             params, opt_state = carry

@@ -626,11 +626,17 @@ class Trainer:
             raise ValueError("train.grad_accum_steps > 1 is not supported "
                              "together with mutable collections")
         rng_d, rng_s, rng_m = jax.random.split(base_rng, 3)
-        from .compiled import make_grad_masker
+        from .compiled import make_grad_masker, sam_value_and_grad
 
         # non-parameter collections (BN running stats) must never be
         # gradient-updated; they refresh via aux['_mutable_state']
         masker = make_grad_masker(frozen_mask, trainable_mask)
+        # train.optimizer.sam_rho (beyond reference): sharpness-aware
+        # minimization — gradients taken at w + rho*g/||g|| (2x step cost)
+        sam_rho = float(task.optimizer_cfg.get("sam_rho", 0.0) or 0.0)
+        if sam_rho < 0:
+            raise ValueError(
+                f"train.optimizer.sam_rho must be >= 0 (got {sam_rho})")
 
         def train_step(params, opt_state, batch, ctx, step):
             task.bind_trace_flavors()  # trace-time; each compile uses THIS task's flavors
@@ -643,7 +649,8 @@ class Trainer:
             def loss_fn(p):
                 return task.step(p, batch, ctx, rngs, train=True)
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, aux), grads = sam_value_and_grad(
+                loss_fn, params, sam_rho, masker, ctx["frozen"])
             if self.watch_gradients:
                 aux = dict(aux, grad_norm=optax.global_norm(grads))
             frozen = ctx["frozen"]
@@ -673,9 +680,9 @@ class Trainer:
                     "stochastic": jax.random.fold_in(rng_s, micro_step),
                     "mute": jax.random.fold_in(rng_m, micro_step),
                 }
-                (loss, aux), grads = jax.value_and_grad(
+                (loss, aux), grads = sam_value_and_grad(
                     lambda p: task.step(p, batch, ctx, rngs, train=True),
-                    has_aux=True)(params)
+                    params, sam_rho, masker, ctx["frozen"])
                 return grads, loss, aux
 
             def apply_step(params, opt_state, grads, ctx):
@@ -707,7 +714,8 @@ class Trainer:
                                              mesh=self.mesh, sharded_pool=sharded,
                                              watch_gradients=self.watch_gradients,
                                              trainable_mask=trainable_mask,
-                                             grad_accum=self.grad_accum)
+                                             grad_accum=self.grad_accum,
+                                             sam_rho=sam_rho)
                 for sharded in ((False, True) if self._sharding_pools() else (False,))
             }
             self._eval_epoch_fns = {
