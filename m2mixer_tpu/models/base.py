@@ -121,6 +121,15 @@ class TrainTask(abc.ABC):
                     f"model.lora.rank must be > 0 (got {self.lora_rank})")
         else:
             self.lora_rank, self.lora_alpha, self.lora_targets = 0, 0.0, None
+        # model.qat (beyond reference): quantization-aware training —
+        # eligible weight leaves fake-quantize (STE) inside the traced
+        # forward with EXACTLY the serving PTQ math, so `serving export
+        # --quantize <mode>` reproduces the trained eval forward
+        # (modules/qat.py; applied in apply_network after the LoRA merge)
+        from ..modules.qat import parse_qat_config
+
+        self.qat_mode, self.qat_min_size, self.qat_group_size = \
+            parse_qat_config(model_cfg.get("qat", None))
         self._uses_moe = _config_uses_moe(model_cfg)
         if self._uses_moe and not self._supports_moe:
             raise ValueError(
@@ -271,6 +280,14 @@ class TrainTask(abc.ABC):
         from ..modules.lora import resolve_lora
 
         params = resolve_lora(params)
+        if self.qat_mode:
+            # fake-quantize AFTER the LoRA merge (QLoRA-style: adapter
+            # gradients flow through the STE); latent weights stay f32 in
+            # checkpoints/optimizer state — this is trace-time only
+            from ..modules.qat import fake_quantize
+
+            params = fake_quantize(params, self.qat_mode,
+                                   self.qat_min_size, self.qat_group_size)
         apply_rngs = {k: v for k, v in rngs.items() if k != "mute"} if train else None
         mutable = list(self.mutable_collections)
         if train and self._uses_moe:
@@ -367,6 +384,13 @@ class MultiLossTask(TrainTask):
             raise ValueError(
                 f"model.mixup_alpha must be >= 0 (got {self.mixup_alpha})")
 
+        #: eval-time modality ablation (run.py -m ablate, beyond reference):
+        #: when set to modality index i, EVERY eval forward mutes modality i
+        #: (input zeroed before its encoder — the same mechanism train-time
+        #: muting uses, `/root/reference/models/avmnist.py:247-256`). Flows
+        #: through ctx, so switching conditions never recompiles.
+        self.eval_mute_code: Optional[int] = None
+
         self.use_softadapt = bool(m.get("use_softadapt", False))
         if self.use_softadapt:
             self.loss_histories = [[] for _ in range(n)]
@@ -437,7 +461,9 @@ class MultiLossTask(TrainTask):
             and epoch >= self.freeze_modalities_on_epoch
         )
         if mode != "train":
-            mute_code, random_mute, frozen_f = MUTE_NONE, False, 0.0
+            mute_code = (MUTE_NONE if self.eval_mute_code is None
+                         else int(self.eval_mute_code))
+            random_mute, frozen_f = False, 0.0
         else:
             mute_code = self._static_mute_code()
             frozen_f = 1.0 if frozen else 0.0
@@ -493,7 +519,11 @@ class MultiLossTask(TrainTask):
         return dict(batch, **mixed), dict(rest_perm, **mixed), lam
 
     def step(self, params, batch, ctx, rngs, train: bool):
-        mute_code = self.resolve_mute_code(ctx, rngs) if train else jnp.int32(MUTE_NONE)
+        # eval consumes ctx['mute_code'] directly: MUTE_NONE normally, the
+        # ablated modality index under `run.py -m ablate` (a traced arg —
+        # switching ablation conditions never recompiles the eval step)
+        mute_code = (self.resolve_mute_code(ctx, rngs) if train
+                     else jnp.asarray(ctx["mute_code"], jnp.int32))
         batch_b, mix_lam = None, None
         if train and self.mixup_alpha > 0 and "mute" in rngs:
             batch, batch_b, mix_lam = self._mixup(batch, rngs)

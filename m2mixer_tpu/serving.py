@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["export_serving", "export_ensemble_serving", "load_serving",
-           "ServedModel", "pick_bucket", "quantize_weights",
+           "ServedModel", "evaluate_serving", "pick_bucket", "quantize_weights",
            "dequantize_weights", "average_checkpoints", "to_pallas_serving",
            "validate_features"]
 
@@ -92,6 +92,15 @@ def _serve_fn(task):
     def fn(params, features):
         if hasattr(task, "bind_trace_flavors"):
             task.bind_trace_flavors()  # export traces with the task's flavors
+        # model.qat: serve the same fake-quantized weights training computed
+        # with (read lazily, at trace time — export_serving suppresses this
+        # when the matching PTQ mode already carries the quantized values)
+        qat_mode = getattr(task, "qat_mode", None)
+        if qat_mode:
+            from .modules.qat import fake_quantize
+
+            params = fake_quantize(params, qat_mode, task.qat_min_size,
+                                   task.qat_group_size)
         outputs = task.network.apply(
             params, **task.network_inputs(features), deterministic=True
         )
@@ -161,10 +170,16 @@ def collect_val_logits(task, params, datamodule, max_batches: int = 0):
 
 
 # ------------------------------------------------------ int8/int4 weights
+# eligibility + group-size selection shared with training-time QAT
+# (modules/qat.py) so `model.qat` fake-quant and this PTQ cannot drift:
+# exporting a QAT checkpoint with the matching --quantize mode reproduces
+# the trained eval forward exactly
+from .modules.qat import (Q4_GROUP as _Q4_GROUP,  # noqa: E402
+                          Q_MIN_SIZE as _Q_MIN_SIZE, int4_group_size,
+                          leaf_eligible)
+
 _QK = "__q8__"  # marker key of a quantized leaf {"__q8__": int8, "scale": f32}
 _Q4K = "__q4__"  # group-wise int4 leaf: two nibbles packed per uint8 byte
-_Q_MIN_SIZE = 4096  # leaves smaller than this (biases, LN) stay float
-_Q4_GROUP = 64  # input-axis group size for int4 scales
 
 
 def quantize_weights(params, min_size: int = _Q_MIN_SIZE, mode: str = "int8",
@@ -186,11 +201,6 @@ def quantize_weights(params, min_size: int = _Q_MIN_SIZE, mode: str = "int8",
         raise ValueError(f"Unknown quantize mode: {mode!r} "
                          "(expected 'int8' or 'int4')")
 
-    def is_float(dt):
-        # ml_dtypes floats (bfloat16 etc.) report numpy kind 'V'; resolve
-        # through jnp so they quantize too instead of silently passing
-        return jnp.issubdtype(dt, jnp.floating)
-
     def q8(a):
         # reduce over the INPUT axis (-2): per-output-channel scales, kept
         # per leading stack dim for the (L, 2, in, out) layer-stacked leaves
@@ -201,16 +211,12 @@ def quantize_weights(params, min_size: int = _Q_MIN_SIZE, mode: str = "int8",
 
     def q4(a):
         in_dim = a.shape[-2]
-        if in_dim % 2:
-            return q8(a)  # nibble pairs need an even input axis
-        # largest even divisor of the input axis <= group_size
-        gs = min(group_size, in_dim)
-        while in_dim % gs or gs % 2:
-            gs -= 1
-        if gs <= 8:
-            # per-element cost is 0.5 B packed + 4/gs B of f32 scale: at
-            # gs <= 8 the scales erase the packing win (gs=2 is 2.4x
-            # BIGGER than int8) — int8's one scale per channel wins
+        # int4_group_size (shared with QAT): largest even divisor of the
+        # input axis <= group_size; None when nibble pairs can't pack (odd
+        # input axis) or the per-group f32 scales would erase the packing
+        # win (gs <= 8; gs=2 is 2.4x BIGGER than int8)
+        gs = int4_group_size(in_dim, group_size)
+        if gs is None:
             return q8(a)
         g = a.reshape(*a.shape[:-2], in_dim // gs, gs, a.shape[-1])
         amax = np.abs(g).max(axis=-2, keepdims=True)
@@ -223,7 +229,7 @@ def quantize_weights(params, min_size: int = _Q_MIN_SIZE, mode: str = "int8",
 
     def q(leaf):
         a = np.asarray(leaf)
-        if not is_float(a.dtype) or a.size < min_size or a.ndim < 2:
+        if not leaf_eligible(a, min_size):
             return a
         a = np.asarray(a, np.float32)  # bf16 -> f32 for the scale math
         return q4(a) if mode == "int4" else q8(a)
@@ -490,7 +496,9 @@ def export_serving(task, params, sample_batch, out_dir: str,
                    quantize: Optional[str] = None,
                    serve_fn=None, extra_meta: Optional[dict] = None,
                    preprocess: Optional[dict] = None,
-                   temperature: Optional[float] = None) -> str:
+                   temperature: Optional[float] = None,
+                   quantize_min_size: int = _Q_MIN_SIZE,
+                   quantize_group_size: int = _Q4_GROUP) -> str:
     """Write a self-contained serving artifact for ``task`` to ``out_dir``.
 
     ``serve_fn``: override the traced forward (default: the task network's
@@ -543,80 +551,97 @@ def export_serving(task, params, sample_batch, out_dir: str,
 
     params = resolve_lora(params)
     params = jax.tree.map(np.asarray, params)
-    if quantize:
-        params = quantize_weights(params, mode=quantize)
-        if not any(_is_q(x) for x in jax.tree.leaves(params, is_leaf=_is_q)):
-            import warnings
+    # model.qat (modules/qat.py): with the MATCHING quantize mode, PTQ of
+    # the latent weights carries exactly the values the fake-quantized
+    # training forward computed with, so the in-trace fake-quant is
+    # suppressed for this export (the artifact dequantizes once, bit-exact
+    # to training); any other combination keeps the task's fake-quant in
+    # the traced forward (the serve fns read task.qat_mode at trace time).
+    qat_suppressed = None
+    if quantize and getattr(task, "qat_mode", None) == quantize:
+        quantize_min_size = task.qat_min_size
+        quantize_group_size = task.qat_group_size
+        qat_suppressed, task.qat_mode = quantize, None
+    try:
+        if quantize:
+            params = quantize_weights(params, min_size=quantize_min_size,
+                                      mode=quantize,
+                                      group_size=quantize_group_size)
+            if not any(_is_q(x) for x in jax.tree.leaves(params, is_leaf=_is_q)):
+                import warnings
 
-            warnings.warn(f"quantize={quantize!r} quantized ZERO leaves (all "
-                          "below the size threshold) — the artifact will not "
-                          "shrink")
-        fn = lambda p, feats: base_fn(dequantize_weights(p), feats)
-    else:
-        fn = base_fn
-    if temperature is not None and float(temperature) != 1.0:
-        t = float(temperature)
+                warnings.warn(f"quantize={quantize!r} quantized ZERO leaves "
+                              "(all below the size threshold) — the artifact "
+                              "will not shrink")
+            fn = lambda p, feats: base_fn(dequantize_weights(p), feats)
+        else:
+            fn = base_fn
+        if temperature is not None and float(temperature) != 1.0:
+            t = float(temperature)
 
-        def fn(p, feats, _inner=fn):
-            out = dict(_inner(p, feats))
-            out["logits"] = out["logits"] / jnp.asarray(t, out["logits"].dtype)
-            return out
-    leaf_spec = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-    p_spec = jax.tree.map(leaf_spec, params)
+            def fn(p, feats, _inner=fn):
+                out = dict(_inner(p, feats))
+                out["logits"] = out["logits"] / jnp.asarray(t, out["logits"].dtype)
+                return out
+        leaf_spec = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+        p_spec = jax.tree.map(leaf_spec, params)
 
-    with open(os.path.join(out_dir, _PARAMS), "wb") as f:
-        pickle.dump(params, f)
+        with open(os.path.join(out_dir, _PARAMS), "wb") as f:
+            pickle.dump(params, f)
 
-    meta = {"format": fmt, "features": {k: list(v[0]) for k, v in spec.items()},
-            "dtypes": {k: v[1] for k, v in spec.items()},
-            "buckets": sorted(int(b) for b in buckets),
-            "quantize": quantize, **(extra_meta or {})}
-    if temperature is not None:
-        meta["temperature"] = float(temperature)
-    if preprocess:
-        meta["preprocess"] = preprocess
+        meta = {"format": fmt, "features": {k: list(v[0]) for k, v in spec.items()},
+                "dtypes": {k: v[1] for k, v in spec.items()},
+                "buckets": sorted(int(b) for b in buckets),
+                "quantize": quantize, **(extra_meta or {})}
+        if temperature is not None:
+            meta["temperature"] = float(temperature)
+        if preprocess:
+            meta["preprocess"] = preprocess
 
-    if fmt == "stablehlo":
-        from jax import export as jexport
+        if fmt == "stablehlo":
+            from jax import export as jexport
 
-        b = jexport.symbolic_shape("b")[0]
-        f_spec = {k: jax.ShapeDtypeStruct((b, *shp), jnp.dtype(dt))
-                  for k, (shp, dt) in spec.items()}
-        from jax._src.export.shape_poly import InconclusiveDimensionOperation
-
-        try:
-            artifact = jexport.export(jax.jit(fn))(p_spec, f_spec)
-        except InconclusiveDimensionOperation as e:
-            # e.g. Pallas-kernel blocks pick VMEM tiles from the concrete
-            # batch size — shape-polymorphic tracing can't answer those
-            # comparisons
-            raise ValueError(
-                "this model's forward branches on the concrete batch size "
-                "(Pallas-kernel blocks choose tile sizes from it), so the "
-                "shape-polymorphic 'stablehlo' format cannot trace it; "
-                "export with --format executable (per-bucket AOT "
-                "compilation) instead") from e
-        with open(os.path.join(out_dir, _HLO), "wb") as f:
-            f.write(artifact.serialize())
-    elif fmt == "executable":
-        from jax.experimental import serialize_executable as se
-
-        # pin to ONE device: the artifact must match the arrays predict()
-        # feeds (single-chip serving; use 'stablehlo' + jit-under-a-mesh for
-        # sharded serving)
-        dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
-        pin = lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=dev)
-        for bucket in meta["buckets"]:
-            f_spec = {k: pin(jax.ShapeDtypeStruct((bucket, *shp), jnp.dtype(dt)))
+            b = jexport.symbolic_shape("b")[0]
+            f_spec = {k: jax.ShapeDtypeStruct((b, *shp), jnp.dtype(dt))
                       for k, (shp, dt) in spec.items()}
-            compiled = jax.jit(fn).lower(jax.tree.map(pin, p_spec), f_spec).compile()
-            payload, in_tree, out_tree = se.serialize(compiled)
-            with open(os.path.join(out_dir, _EXEC.format(bucket=bucket)), "wb") as f:
-                pickle.dump({"payload": payload, "in_tree": in_tree,
-                             "out_tree": out_tree}, f)
-        meta["device_kind"] = jax.devices()[0].device_kind
-    with open(os.path.join(out_dir, _META), "w") as f:
-        json.dump(meta, f, indent=2)
+            from jax._src.export.shape_poly import InconclusiveDimensionOperation
+
+            try:
+                artifact = jexport.export(jax.jit(fn))(p_spec, f_spec)
+            except InconclusiveDimensionOperation as e:
+                # e.g. Pallas-kernel blocks pick VMEM tiles from the concrete
+                # batch size — shape-polymorphic tracing can't answer those
+                # comparisons
+                raise ValueError(
+                    "this model's forward branches on the concrete batch size "
+                    "(Pallas-kernel blocks choose tile sizes from it), so the "
+                    "shape-polymorphic 'stablehlo' format cannot trace it; "
+                    "export with --format executable (per-bucket AOT "
+                    "compilation) instead") from e
+            with open(os.path.join(out_dir, _HLO), "wb") as f:
+                f.write(artifact.serialize())
+        elif fmt == "executable":
+            from jax.experimental import serialize_executable as se
+
+            # pin to ONE device: the artifact must match the arrays predict()
+            # feeds (single-chip serving; use 'stablehlo' + jit-under-a-mesh
+            # for sharded serving)
+            dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            pin = lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=dev)
+            for bucket in meta["buckets"]:
+                f_spec = {k: pin(jax.ShapeDtypeStruct((bucket, *shp), jnp.dtype(dt)))
+                          for k, (shp, dt) in spec.items()}
+                compiled = jax.jit(fn).lower(jax.tree.map(pin, p_spec), f_spec).compile()
+                payload, in_tree, out_tree = se.serialize(compiled)
+                with open(os.path.join(out_dir, _EXEC.format(bucket=bucket)), "wb") as f:
+                    pickle.dump({"payload": payload, "in_tree": in_tree,
+                                 "out_tree": out_tree}, f)
+            meta["device_kind"] = jax.devices()[0].device_kind
+        with open(os.path.join(out_dir, _META), "w") as f:
+            json.dump(meta, f, indent=2)
+    finally:
+        if qat_suppressed is not None:
+            task.qat_mode = qat_suppressed
     return out_dir
 
 
@@ -831,6 +856,73 @@ def load_serving(out_dir: str, mesh=None, shard_params: bool = False,
                        model_min_dim=model_min_dim)
 
 
+def evaluate_serving(model: ServedModel, task, datamodule, split: str = "test",
+                     max_batches: int = 0) -> Dict[str, float]:
+    """Deployed-accuracy evaluation: run an exported artifact over a
+    datamodule split and compute the task's OWN metric set on its outputs.
+
+    This closes the train -> export -> deploy loop the reference leaves
+    open (it ships raw ``.ckpt`` files and re-runs `trainer.test` in-process,
+    `/root/reference/run.py:81-83`): the numbers here are produced by the
+    exact artifact the server loads — quantization (PTQ or QAT), Pallas
+    re-lays, temperature scaling, and ensemble averaging all included — so
+    "deployed accuracy" is measured, not assumed.
+
+    Predictions go through ``task.predictions`` (the same adapter the
+    trainer's eval epoch uses), so per-task semantics (sigmoid multilabel
+    thresholds, EDL evidence argmax, probability-fed AUROC/AP/ECE) match
+    `trainer.test` exactly. Ensemble artifacts (``ensemble_members`` in
+    serving.json) expose no branch logits; their fused ``logits`` are
+    log-mean-softmax, which task CE/argmax semantics consume unchanged.
+
+    Returns ``{'<split>_<metric>': value, ..., '<split>_samples': n}``.
+    """
+    idx = {"train": 0, "val": 1, "test": 2}
+    if split not in idx:
+        raise ValueError(f"split must be train/val/test (got {split!r})")
+    scores = task.setup_scores()[idx[split]]
+    batches_fn = {"train": datamodule.train_batches,
+                  "val": datamodule.val_batches,
+                  "test": datamodule.test_batches}[split]
+    is_ensemble = bool(model.meta.get("ensemble_members"))
+    preds_l, labels_l, probs_l = [], [], []
+    n = 0
+    for i, batch in enumerate(batches_fn()):
+        if max_batches and i >= max_batches:
+            break
+        out = model.predict({k: v for k, v in batch.items() if k != "label"})
+        outputs = {"logits": jnp.asarray(out["logits"]),
+                   "branch_logits": tuple(jnp.asarray(b)
+                                          for b in out.get("branch_logits", ()))}
+        if is_ensemble:
+            # member-averaged artifacts carry no branch heads; the fused
+            # logits are log-mean-softmax -> argmax is the ensemble vote
+            aux = {"preds": jnp.argmax(outputs["logits"], axis=-1),
+                   "labels": jnp.asarray(batch["label"]),
+                   "probs": jax.nn.softmax(outputs["logits"], axis=-1)}
+        else:
+            aux = task.predictions(
+                outputs, {k: jnp.asarray(v) for k, v in batch.items()})
+        preds_l.append(np.asarray(aux["preds"]))
+        labels_l.append(np.asarray(aux["labels"]))
+        if aux.get("probs") is not None:
+            probs_l.append(np.asarray(aux["probs"]))
+        n += int(np.shape(aux["labels"])[0])
+    if n == 0:
+        raise ValueError(f"evaluate_serving: the {split} split is empty")
+    preds = np.concatenate(preds_l)
+    labels = np.concatenate(labels_l)
+    probs = np.concatenate(probs_l) if probs_l else None
+    logs: Dict[str, float] = {}
+    for mname, metric in (scores or {}).items():
+        metric.update(probs if getattr(metric, "wants_scores", False)
+                      and probs is not None else preds, labels)
+        logs[f"{split}_{mname}"] = float(metric.compute())
+        metric.reset()
+    logs[f"{split}_samples"] = float(n)
+    return logs
+
+
 def _mesh_from_spec(spec: str):
     """CLI mesh spec ``'DATAxMODEL'`` (``'4x2'``) or ``'DATA'`` (``'4'``)
     -> a ``jax.sharding.Mesh`` over the local devices."""
@@ -933,6 +1025,23 @@ def main(argv: Optional[Sequence[str]] = None):
     pr.add_argument("--mesh", default=None, metavar="DxM", help=mesh_help)
     pr.add_argument("--shard-params", action="store_true")
     pr.add_argument("--model-min-dim", type=int, default=256)
+    ev = sub.add_parser("eval", help="deployed-accuracy evaluation: run an "
+                                     "artifact over a dataset split and "
+                                     "compute the task's own metric set")
+    ev.add_argument("-d", "--dir", required=True, help="artifact directory")
+    ev.add_argument("-c", "--cfg", required=True,
+                    help="experiment YAML: defines the datamodule to "
+                         "evaluate on and the task whose metric semantics "
+                         "apply")
+    ev.add_argument("--split", default="test",
+                    choices=["train", "val", "test"])
+    ev.add_argument("--max-batches", type=int, default=0,
+                    help="cap evaluated batches (0 = whole split)")
+    ev.add_argument("-o", "--output", default=None,
+                    help="also write the metrics as JSON here")
+    ev.add_argument("--mesh", default=None, metavar="DxM", help=mesh_help)
+    ev.add_argument("--shard-params", action="store_true")
+    ev.add_argument("--model-min-dim", type=int, default=256)
     be = sub.add_parser("bench")
     be.add_argument("-d", "--dir", required=True)
     be.add_argument("--batch", type=int, default=32)
@@ -966,7 +1075,7 @@ def main(argv: Optional[Sequence[str]] = None):
     sv.add_argument("--shard-params", action="store_true")
     sv.add_argument("--model-min-dim", type=int, default=256)
     args, unknown = ap.parse_known_args(argv)
-    if unknown and args.cmd != "export":
+    if unknown and args.cmd not in ("export", "eval"):
         ap.error(f"unrecognized arguments: {' '.join(unknown)}")
 
     if args.cmd == "export":
@@ -1048,6 +1157,30 @@ def main(argv: Optional[Sequence[str]] = None):
                 print("[serving] --pallas kernels pick tiles from the "
                       "concrete batch size; using --format executable")
                 args.format = "executable"
+        # model.qat (modules/qat.py): the task's traced forward fake-
+        # quantizes with exactly this PTQ's math, so the interplay is
+        # well-defined — handled after --pallas (which rebuilds the task
+        # from cfg) and after the temperature fit (which must calibrate the
+        # quantized forward)
+        q_min, q_group = _Q_MIN_SIZE, _Q4_GROUP
+        qat_mode = getattr(task, "qat_mode", None)
+        if qat_mode:
+            q_min, q_group = task.qat_min_size, task.qat_group_size
+            if args.quantize == qat_mode:
+                # export_serving suppresses the in-trace fake-quant: PTQ of
+                # the latent weights yields exactly the values the QAT
+                # forward trained with, dequantized once in the artifact
+                print(f"[serving] model.qat: {qat_mode} — exporting the "
+                      "trained quantized forward losslessly")
+            elif args.quantize is None:
+                print(f"[serving] model.qat: {qat_mode} — the artifact keeps "
+                      "the in-trace fake-quant (bit-exact to training); add "
+                      f"--quantize {qat_mode} to also shrink it, losslessly")
+            else:
+                print(f"[serving] WARNING: model.qat is {qat_mode} but "
+                      f"--quantize {args.quantize} re-quantizes the already-"
+                      f"{qat_mode}-trained weights — deployed outputs will "
+                      "drift from the trained forward")
         preprocess = None
         if not args.no_preprocess:
             preprocess = dm.serving_preprocess() or None
@@ -1065,11 +1198,35 @@ def main(argv: Optional[Sequence[str]] = None):
         out = export_serving(task, params, sample, args.out,
                              fmt=args.format, buckets=buckets,
                              quantize=args.quantize, preprocess=preprocess,
-                             temperature=temperature)
+                             temperature=temperature,
+                             quantize_min_size=q_min,
+                             quantize_group_size=q_group)
         extra = (f" (raw-input preprocessing: "
                  f"{ {k: s['kind'] for k, s in preprocess.items()} })"
                  if preprocess else "")
         print(f"[serving] exported {args.format} artifact to {out}{extra}")
+    elif args.cmd == "eval":
+        from . import config as cfg_lib
+        from .config import load
+        from .datasets import get_data_module
+
+        cfg = load(args.cfg)
+        if unknown:  # dotted config overrides, same contract as run.py
+            cfg_lib.apply_cli_overrides(cfg, unknown)
+        task = _build_task(cfg)
+        dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        dm.setup("fit" if args.split in ("train", "val") else "test")
+        model = load_serving(
+            args.dir,
+            mesh=_mesh_from_spec(args.mesh) if args.mesh else None,
+            shard_params=args.shard_params, model_min_dim=args.model_min_dim)
+        logs = evaluate_serving(model, task, dm, split=args.split,
+                                max_batches=args.max_batches)
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(logs, f, indent=2)
+        print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
+                          for k, v in logs.items()}))
     elif args.cmd == "predict":
         model = load_serving(
             args.dir,

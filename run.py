@@ -76,6 +76,18 @@ def build(args, unknown):
     return cfg, task, datamodule, trainer
 
 
+def _resolve_ckpt(path: str) -> str:
+    """Test-only modes accept a run's `checkpoints/` (or `version_*/`) dir
+    too — resolved to its BEST checkpoint via index.json, the same contract
+    as `serving export -p` and `train.init_from`."""
+    from m2mixer_tpu.training.warmstart import resolve_checkpoint
+
+    concrete = resolve_checkpoint(path)
+    if os.path.abspath(concrete) != os.path.abspath(path):
+        print(f"run: -p {path} -> best checkpoint {concrete}")
+    return concrete
+
+
 def main():
     args, unknown = parse_args()
     cfg, task, datamodule, trainer = build(args, unknown)
@@ -91,8 +103,39 @@ def main():
             trainer.test(task, datamodule, ckpt="best")
     elif args.mode == "test":
         if args.ckpt:
-            trainer.restore_params_only(args.ckpt, task, datamodule)
+            trainer.restore_params_only(_resolve_ckpt(args.ckpt), task,
+                                        datamodule)
         trainer.test(task, datamodule, ckpt=None)
+    elif args.mode == "ablate":
+        # modality-ablation report (beyond reference; the paper's robustness
+        # analysis as a CLI): test metrics with each modality muted at eval
+        # (input zeroed before its encoder — the train-time muting mechanism)
+        # plus the full model. Conditions flow through ctx, so the eval step
+        # compiles once.
+        import json
+
+        modalities = tuple(getattr(task, "modalities", ()) or ())
+        if not modalities:
+            raise SystemExit(
+                "run: -m ablate needs a MultiLoss task with named modalities "
+                f"({cfg.model.type} has none)")
+        if args.ckpt:
+            trainer.restore_params_only(_resolve_ckpt(args.ckpt), task,
+                                        datamodule)
+        report = {}
+        for i, name in enumerate(modalities):  # muted first: the final full
+            task.eval_mute_code = i            # run owns test_preds.npz
+            report[f"mute_{name}"] = trainer.test(task, datamodule, ckpt=None)
+        task.eval_mute_code = None
+        report["full"] = trainer.test(task, datamodule, ckpt=None)
+        out = os.path.join(trainer.ckpt_dir, "ablation.json")
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"[ablate] report saved to {out}")
+        for cond, logs in report.items():
+            print(f"[ablate] {cond}: "
+                  + json.dumps({k: round(v, 5) for k, v in sorted(logs.items())
+                                if k.startswith("test_")}))
     else:
         raise ValueError(f"Unknown mode: {args.mode}")
     trainer.logger.close()

@@ -808,3 +808,52 @@ def test_temperature_cli_guards(tmp_path):
     with pytest.raises(SystemExit):  # not a float
         main(["export", "-c", str(cfg_file), "-o", str(tmp_path / "x"),
               "--temperature", "warm"])
+
+
+# -------------------------------------------------- deployed-accuracy eval
+def test_evaluate_serving_matches_direct_metrics(tmp_path, task_and_params):
+    """`serving eval` semantics: artifact outputs through task.predictions
+    through the task's own metric set == hand-computed accuracy from the
+    direct forward."""
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.serving import evaluate_serving
+
+    task, params = task_and_params
+    cfg = loads(CFG.format(tmp=tmp_path))
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.setup("test")
+    d = export_serving(task, params, _batch(8), str(tmp_path / "art"),
+                       fmt="stablehlo", buckets=(8,))
+    model = load_serving(d)
+
+    logs = evaluate_serving(model, task, dm, split="test")
+    assert logs["test_samples"] == 8.0
+    correct = total = 0
+    for batch in dm.test_batches():
+        logits = _direct_logits(task, params, batch)
+        correct += int((logits.argmax(-1) == batch["label"]).sum())
+        total += len(batch["label"])
+    assert logs["test_acc"] == pytest.approx(correct / total)
+    assert "test_f1m" in logs and "test_prec_m" in logs
+
+    with pytest.raises(ValueError, match="split must be"):
+        evaluate_serving(model, task, dm, split="dev")
+
+
+def test_eval_cli_writes_metrics_json(tmp_path, task_and_params):
+    import yaml
+
+    from m2mixer_tpu.config import todict
+
+    task, params = task_and_params
+    cfg = loads(CFG.format(tmp=tmp_path))
+    cfg_file = tmp_path / "eval.yml"
+    cfg_file.write_text(yaml.safe_dump(todict(cfg)))
+    d = export_serving(task, params, _batch(8), str(tmp_path / "art"),
+                       fmt="stablehlo", buckets=(8,))
+    out = tmp_path / "metrics.json"
+    main(["eval", "-d", d, "-c", str(cfg_file), "--split", "val",
+          "-o", str(out)])
+    logs = json.load(open(out))
+    assert logs["val_samples"] == 8.0
+    assert 0.0 <= logs["val_acc"] <= 1.0
