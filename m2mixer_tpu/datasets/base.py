@@ -13,7 +13,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-__all__ = ["DataModule", "ArrayDataModule"]
+__all__ = ["DataModule", "ArrayDataModule", "apply_cv_fold"]
 
 Batch = Dict[str, np.ndarray]
 
@@ -97,3 +97,36 @@ class ArrayDataModule(DataModule):
 
     def test_batches(self) -> Iterator[Batch]:
         return self._iterate("test", self.shuffle_test)
+
+
+def apply_cv_fold(dm: "ArrayDataModule", fold: int, k: int) -> None:
+    """Rotate an array-backed datamodule onto cross-validation fold ``fold``
+    of ``k`` (beyond reference; `run_for_significance.py --cv K`): the
+    train and val splits are pooled and re-cut so samples ``fold::k`` (an
+    interleaved comb — robust to class-ordered datasets) become the val
+    split and the rest train. The TEST split is never touched: folds rotate
+    what early stopping / best-checkpoint selection sees, while the reported
+    metric stays an honest held-out number.
+
+    Call after ``setup()``; mutates ``dm.splits`` in place (every shipped
+    ArrayDataModule's ``setup`` early-returns once splits exist, so the
+    fold survives the trainer's own setup call).
+    """
+    if not (0 <= fold < k) or k < 2:
+        raise ValueError(f"bad CV fold {fold}/{k}: need k >= 2, 0 <= fold < k")
+    splits = getattr(dm, "splits", None)
+    if not splits or "train" not in splits or "val" not in splits:
+        raise ValueError(
+            "--cv needs an array-split datamodule (in-memory train/val "
+            f"splits); {type(dm).__name__} holds "
+            f"{sorted(splits) if splits else 'no'} array splits")
+    keys = splits["train"].keys()
+    pool = {key: np.concatenate([splits["train"][key], splits["val"][key]])
+            for key in keys}
+    n = len(next(iter(pool.values())))
+    if k > n:
+        raise ValueError(f"--cv {k} exceeds the {n} pooled train+val samples")
+    val_idx = np.arange(fold, n, k)
+    train_idx = np.setdiff1d(np.arange(n), val_idx)
+    splits["train"] = {key: v[train_idx] for key, v in pool.items()}
+    splits["val"] = {key: v[val_idx] for key, v in pool.items()}

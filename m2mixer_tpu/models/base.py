@@ -384,6 +384,22 @@ class MultiLossTask(TrainTask):
             raise ValueError(
                 f"model.mixup_alpha must be >= 0 (got {self.mixup_alpha})")
 
+        # model.cutmix_alpha (beyond reference, Yun et al. 2019): in-step
+        # CutMix — per step one lam ~ Beta(a, a) draw and one permutation;
+        # each modality swaps a contiguous region (a box over the last two
+        # axes for 4-D inputs, a token span for 3-D) with its permuted
+        # batch, and losses combine with lam set to the KEPT fraction
+        # (recomputed from the integer region sizes). Same traced-loss
+        # contract as mixup; the two are mutually exclusive.
+        self.cutmix_alpha = float(m.get("cutmix_alpha", 0.0))
+        if self.cutmix_alpha < 0:
+            raise ValueError(
+                f"model.cutmix_alpha must be >= 0 (got {self.cutmix_alpha})")
+        if self.cutmix_alpha and self.mixup_alpha:
+            raise ValueError(
+                "model.mixup_alpha and model.cutmix_alpha cannot combine: "
+                "each defines its own lam-weighted two-label loss; pick one")
+
         #: eval-time modality ablation (run.py -m ablate, beyond reference):
         #: when set to modality index i, EVERY eval forward mutes modality i
         #: (input zeroed before its encoder — the same mechanism train-time
@@ -518,6 +534,54 @@ class MultiLossTask(TrainTask):
         rest_perm = {k: v[perm] for k, v in batch.items() if k not in mixed}
         return dict(batch, **mixed), dict(rest_perm, **mixed), lam
 
+    def _cutmix(self, batch, rngs):
+        """Returns (cut-mixed-input batch with ORIGINAL labels, permuted-label
+        batch, lam). One ``lam ~ Beta(a, a)`` draw and one permutation per
+        step; each modality pastes a contiguous region from its permuted
+        batch — a box over the trailing two axes for >= 4-D inputs (NCHW
+        images/spectrograms), a span over the token axis for 3-D, a feature
+        span for 2-D. The loss lam is recomputed as the mean KEPT fraction
+        over modalities from the integer region sizes (Yun et al. 2019
+        adjust-lambda semantics). Fully traced: region sizes/positions are
+        traced scalars over static-shape iota masks, so nothing recompiles
+        across steps."""
+        key = jax.random.fold_in(rngs["mute"], 0x636D)  # 'cm': distinct stream
+        k_lam, k_perm, k_pos = jax.random.split(key, 3)
+        a = self.cutmix_alpha
+        lam = jax.random.beta(k_lam, a, a, dtype=jnp.float32)
+        keys = self.mixup_keys()
+        n = batch[keys[0]].shape[0]
+        perm = jax.random.permutation(k_perm, n)
+        mixed, kept = {}, []
+        for i, name in enumerate(keys):
+            x = batch[name]
+            if x.ndim >= 4:
+                axes = (x.ndim - 2, x.ndim - 1)
+            elif x.ndim == 3:
+                axes = (1,)
+            else:
+                axes = (x.ndim - 1,)
+            # per-axis side fraction: sqrt for a 2-axis box so the cut AREA
+            # tracks (1 - lam); the span fraction directly otherwise
+            frac = jnp.sqrt(1.0 - lam) if len(axes) == 2 else (1.0 - lam)
+            mask, cut_frac = None, jnp.float32(1.0)
+            for j, ax in enumerate(axes):
+                size = x.shape[ax]
+                k_ax = jax.random.fold_in(jax.random.fold_in(k_pos, i), j)
+                cut = jnp.floor(size * frac).astype(jnp.int32)
+                start = jnp.floor(jax.random.uniform(k_ax)
+                                  * (size - cut + 1).astype(jnp.float32)
+                                  ).astype(jnp.int32)
+                idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+                ax_mask = (idx >= start) & (idx < start + cut)
+                mask = ax_mask if mask is None else (mask & ax_mask)
+                cut_frac = cut_frac * cut.astype(jnp.float32) / size
+            mixed[name] = jnp.where(mask, x[perm], x)
+            kept.append(1.0 - cut_frac)
+        lam_eff = jnp.mean(jnp.stack(kept))
+        rest_perm = {k: v[perm] for k, v in batch.items() if k not in mixed}
+        return dict(batch, **mixed), dict(rest_perm, **mixed), lam_eff
+
     def step(self, params, batch, ctx, rngs, train: bool):
         # eval consumes ctx['mute_code'] directly: MUTE_NONE normally, the
         # ablated modality index under `run.py -m ablate` (a traced arg —
@@ -525,8 +589,11 @@ class MultiLossTask(TrainTask):
         mute_code = (self.resolve_mute_code(ctx, rngs) if train
                      else jnp.asarray(ctx["mute_code"], jnp.int32))
         batch_b, mix_lam = None, None
-        if train and self.mixup_alpha > 0 and "mute" in rngs:
-            batch, batch_b, mix_lam = self._mixup(batch, rngs)
+        if train and "mute" in rngs:
+            if self.mixup_alpha > 0:
+                batch, batch_b, mix_lam = self._mixup(batch, rngs)
+            elif self.cutmix_alpha > 0:
+                batch, batch_b, mix_lam = self._cutmix(batch, rngs)
         outputs, new_state = self.apply_network(
             params,
             dict(self.network_inputs(batch), deterministic=not train,

@@ -47,6 +47,14 @@ def parse_args():
                              "as one on-device-ensembled serving artifact "
                              "(member-mean softmax logits + per-member "
                              "logits; see serving.export_ensemble_serving)")
+    parser.add_argument("--cv", type=int, default=0, metavar="K",
+                        help="K-fold cross-validation (beyond reference): "
+                             "run i of K pools the train+val arrays and "
+                             "re-cuts them so interleaved fold i is the val "
+                             "split (early stopping / best-ckpt selection "
+                             "rotate; the TEST split never moves). Replaces "
+                             "-r with K runs; needs an in-memory array-"
+                             "split datamodule")
     parser.add_argument("-o", "--out", type=str, default="test_scores.npy")
     args, unknown = parser.parse_known_args()
     return args, unknown
@@ -55,6 +63,12 @@ def parse_args():
 def main():
     args, unknown = parse_args()
 
+    if args.cv and args.vmap:
+        raise SystemExit("--cv cannot combine with --vmap: vmapped members "
+                         "share ONE device-resident data pool, and CV folds "
+                         "need per-member data. Run --cv sequentially.")
+    if args.cv == 1 or args.cv < 0:
+        raise SystemExit(f"--cv {args.cv}: need K >= 2 folds")
     if args.lrs and not args.vmap:
         raise SystemExit("--lrs requires --vmap (the LR sweep rides the "
                          "vmapped member axis)")
@@ -80,8 +94,9 @@ def main():
               f"-> {args.out}")
         return
 
+    runs = args.cv if args.cv else args.runs
     scores = []
-    for run in range(args.runs):
+    for run in range(runs):
         cfg = cfg_lib.load(args.cfg)
         # typo guard once; repeats merge the same already-guarded tokens
         cfg_lib.apply_cli_overrides(cfg, unknown, warn=run == 0)
@@ -92,6 +107,16 @@ def main():
         if cfg.dataset.params.get("num_workers", 0) == -1:
             cfg.dataset.params.num_workers = os.cpu_count()
         dm = datasets.get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        if args.cv:
+            from m2mixer_tpu.datasets.base import apply_cv_fold
+
+            dm.setup("fit")
+            try:
+                apply_cv_fold(dm, run, args.cv)
+            except ValueError as e:
+                raise SystemExit(f"[significance] {e}")
+            print(f"[significance] CV fold {run + 1}/{args.cv}: "
+                  f"train={dm.split_size('train')} val={dm.split_size('val')}")
         trainer = Trainer(cfg.train, name=f"{args.name}_run{run}",
                           use_wandb=not args.disable_wandb, full_cfg=cfg)
         trainer.fit(task, dm)

@@ -179,6 +179,78 @@ def test_mixup_eval_untouched(tmp_path):
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
 
 
+# ------------------------------------------------------------------ cutmix
+def test_cutmix_regions_are_boxes(tmp_path):
+    """Every modality swaps exactly one contiguous box (trailing two axes)
+    with its permuted batch, and the returned lam is the mean kept fraction
+    recomputed from the integer region sizes."""
+    cfg = loads(CFG.format(tmp=tmp_path))
+    cfg.model.cutmix_alpha = 1.0
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    batch = {k: jnp.asarray(v) for k, v in _batch(8, seed=4).items()}
+    rngs = {"mute": jax.random.PRNGKey(5)}
+    mixed_a, mixed_b, lam = jax.jit(task._cutmix)(batch, rngs)
+
+    # reproduce the permutation from the same derived stream
+    key = jax.random.fold_in(rngs["mute"], 0x636D)
+    _, k_perm, _ = jax.random.split(key, 3)
+    perm = np.asarray(jax.random.permutation(k_perm, 8))
+    # a fixed point (perm[s] == s) would make the diff mask empty regardless
+    # of the cut; measure the region on a sample that actually moved
+    s = int(np.flatnonzero(perm != np.arange(8))[0])
+
+    kept_fracs = []
+    for k in ("image", "audio"):
+        orig = np.asarray(batch[k])
+        out = np.asarray(mixed_a[k])
+        swapped = orig[perm]
+        # every element comes from exactly one of the two sources
+        from_perm = out == swapped
+        from_orig = out == orig
+        assert np.all(from_perm | from_orig)
+        # the swapped region is one box over (H, W), identical across batch
+        diff = ~from_orig[s, 0]  # (H, W)
+        rows = np.flatnonzero(diff.any(axis=1))
+        cols = np.flatnonzero(diff.any(axis=0))
+        if len(rows):  # degenerate zero-area cut is legal at lam ~ 1
+            assert np.array_equal(rows, np.arange(rows[0], rows[-1] + 1))
+            assert np.array_equal(cols, np.arange(cols[0], cols[-1] + 1))
+            assert diff[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1].all()
+        kept_fracs.append(1.0 - len(rows) * len(cols) / diff.size)
+        np.testing.assert_array_equal(out, np.asarray(mixed_b[k]))
+    assert float(lam) == pytest.approx(np.mean(kept_fracs), abs=1e-6)
+    assert 0.0 <= float(lam) <= 1.0
+    # side a keeps the original labels, side b permutes
+    np.testing.assert_array_equal(np.asarray(mixed_a["label"]),
+                                  np.asarray(batch["label"]))
+    np.testing.assert_array_equal(np.asarray(mixed_b["label"]),
+                                  np.asarray(batch["label"])[perm])
+
+
+def test_cutmix_mixup_mutually_exclusive(tmp_path):
+    cfg = loads(CFG.format(tmp=tmp_path))
+    cfg.model.mixup_alpha = 0.2
+    cfg.model.cutmix_alpha = 1.0
+    with pytest.raises(ValueError, match="cannot combine"):
+        get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    cfg2 = loads(CFG.format(tmp=tmp_path))
+    cfg2.model.cutmix_alpha = -0.5
+    with pytest.raises(ValueError, match="cutmix_alpha"):
+        get_model(cfg2.model.type)(cfg2.model, cfg2.train.optimizer)
+
+
+def test_cutmix_e2e(tmp_path):
+    cfg = loads(CFG.format(tmp=tmp_path))
+    cfg.model.cutmix_alpha = 1.0
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="cutfit", full_cfg=cfg)
+    trainer.fit(task, dm)
+    assert trainer.compiled_epochs
+    assert np.isfinite(trainer.callback_metrics["train_loss"])
+    assert np.isfinite(trainer.callback_metrics["val_loss"])
+
+
 def test_mixup_smoothing_e2e(tmp_path):
     """Both regularizers together through a real fit on the epoch-compiled
     path."""
