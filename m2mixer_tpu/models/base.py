@@ -149,6 +149,20 @@ class TrainTask(abc.ABC):
         if not 0.0 <= self.label_smoothing < 1.0:
             raise ValueError("model.label_smoothing must be in [0, 1) "
                              f"(got {self.label_smoothing})")
+        # model.focal_gamma (beyond reference, Lin et al. 2017): focal
+        # modulation (1-p_t)^gamma on every CE/BCE head — the standard lever
+        # for the imbalanced binary tasks (MMHS150/MultiOFF). Consumed
+        # through self.ce / self.bce like label smoothing; the two levers
+        # define conflicting target semantics, so combining is rejected.
+        self.focal_gamma = float(model_cfg.get("focal_gamma", 0.0))
+        if self.focal_gamma < 0:
+            raise ValueError(
+                f"model.focal_gamma must be >= 0 (got {self.focal_gamma})")
+        if self.focal_gamma and self.label_smoothing:
+            raise ValueError(
+                "model.focal_gamma and model.label_smoothing cannot "
+                "combine: focal scaling is defined on the hard true-class "
+                "probability, smoothing redefines the targets. Pick one.")
         self.bind_trace_flavors()
         self.network = self.build_network()
 
@@ -256,18 +270,21 @@ class TrainTask(abc.ABC):
 
     def ce(self, logits, labels, weight=None):
         """Task-level cross-entropy: plain CE plus the task's configured
-        ``model.label_smoothing``."""
+        ``model.label_smoothing`` / ``model.focal_gamma``."""
         from ..modules.losses import cross_entropy_loss
 
         return cross_entropy_loss(logits, labels, weight=weight,
-                                  label_smoothing=self.label_smoothing)
+                                  label_smoothing=self.label_smoothing,
+                                  focal_gamma=self.focal_gamma)
 
     def bce(self, logits, targets, pos_weight=None):
-        """Task-level BCE-with-logits plus ``model.label_smoothing``."""
+        """Task-level BCE-with-logits plus ``model.label_smoothing`` /
+        ``model.focal_gamma``."""
         from ..modules.losses import bce_with_logits_loss
 
         return bce_with_logits_loss(logits, targets, pos_weight=pos_weight,
-                                    label_smoothing=self.label_smoothing)
+                                    label_smoothing=self.label_smoothing,
+                                    focal_gamma=self.focal_gamma)
 
     def apply_network(self, params, kwargs, rngs, train: bool):
         """``network.apply`` with the task's rng/mutable plumbing: returns

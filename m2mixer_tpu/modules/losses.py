@@ -23,15 +23,22 @@ __all__ = [
 
 
 def cross_entropy_loss(logits, labels, weight: Optional[jnp.ndarray] = None,
-                       label_smoothing: float = 0.0):
+                       label_smoothing: float = 0.0, focal_gamma: float = 0.0):
     """Mean cross-entropy over integer labels (torch ``CrossEntropyLoss``).
     Logits are upcast to float32 so bf16 compute keeps a stable loss.
     ``label_smoothing`` (beyond reference, torch semantics): targets become
     ``(1-eps)·one_hot + eps/K`` — implemented without materializing one-hots
-    as ``(1-eps)·nll + eps·mean(-logp)``."""
+    as ``(1-eps)·nll + eps·mean(-logp)``.
+    ``focal_gamma`` (beyond reference, Lin et al. 2017 multiclass form):
+    per-sample loss becomes ``(1-p_t)^gamma · nll`` with ``p_t`` the softmax
+    probability of the true class; ``weight`` then plays the alpha role.
+    Mutually exclusive with ``label_smoothing`` (enforced at config parse)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if focal_gamma:
+        p_t = jnp.exp(-nll)
+        nll = (1.0 - p_t) ** float(focal_gamma) * nll
     if label_smoothing:
         eps = float(label_smoothing)
         nll = (1.0 - eps) * nll + eps * jnp.mean(-logp, axis=-1)
@@ -42,10 +49,14 @@ def cross_entropy_loss(logits, labels, weight: Optional[jnp.ndarray] = None,
 
 
 def bce_with_logits_loss(logits, targets, pos_weight: Optional[jnp.ndarray] = None,
-                         label_smoothing: float = 0.0):
+                         label_smoothing: float = 0.0, focal_gamma: float = 0.0):
     """Mean binary cross-entropy with logits (torch ``BCEWithLogitsLoss``),
     with optional per-class ``pos_weight`` applied to the positive term.
-    ``label_smoothing`` moves targets toward 0.5: ``y·(1-eps) + eps/2``."""
+    ``label_smoothing`` moves targets toward 0.5: ``y·(1-eps) + eps/2``.
+    ``focal_gamma`` (beyond reference, torchvision ``sigmoid_focal_loss``
+    semantics): each element scales by ``(1-p_t)^gamma`` with
+    ``p_t = p·y + (1-p)·(1-y)``; ``pos_weight`` stays on the positive term.
+    Mutually exclusive with ``label_smoothing`` (enforced at config parse)."""
     logits = logits.astype(jnp.float32)
     targets = targets.astype(logits.dtype)
     if label_smoothing:
@@ -57,6 +68,10 @@ def bce_with_logits_loss(logits, targets, pos_weight: Optional[jnp.ndarray] = No
     if pos_weight is not None:
         pos = pos * jnp.asarray(pos_weight, logits.dtype)
     loss = -(pos + (1.0 - targets) * log_not_p)
+    if focal_gamma:
+        p = jax.nn.sigmoid(logits)
+        p_t = p * targets + (1.0 - p) * (1.0 - targets)
+        loss = (1.0 - p_t) ** float(focal_gamma) * loss
     return jnp.mean(loss)
 
 
