@@ -433,7 +433,35 @@ class MultiLossTask(TrainTask):
                 beta=-0.1, accuracy_order=self.update_loss_weights_per_epoch - 1
             )
 
+        # model.gradnorm (beyond reference, Chen et al. 2018 "GradNorm"):
+        # adaptive loss-weight balancing from measured per-branch gradient
+        # norms. Host-side per-epoch refit like SoftAdapt/GradBlend: each
+        # update measures G_i = ||grad of w_i*l_i|| on a probe batch
+        # (modules/gradnorm.py), solves the weights that put every branch at
+        # its target norm mean(G)*r_i^alpha (r_i = relative inverse training
+        # rate vs the epoch-0 losses), and renormalizes to sum n.
+        gn_cfg = m.get("gradnorm", None)
+        if gn_cfg and not hasattr(gn_cfg, "get"):
+            gn_cfg = {}  # `model.gradnorm: true` — all defaults
+        self.use_gradnorm = gn_cfg is not None and hasattr(gn_cfg, "get")
+        if self.use_gradnorm:
+            self.gn_alpha = float(gn_cfg.get("alpha", 1.5))
+            self.gn_update_every = int(gn_cfg.get("update_every", 1))
+            if self.gn_update_every < 1:
+                raise ValueError("model.gradnorm.update_every must be >= 1 "
+                                 f"(got {self.gn_update_every})")
+            self.gn_weights: Optional[np.ndarray] = None
+            self.gn_initial_losses: Optional[np.ndarray] = None
+            if self.use_softadapt:
+                raise ValueError(
+                    "model.gradnorm and model.use_softadapt cannot combine: "
+                    "both adapt the same loss-weight vector. Pick one.")
+
         self.use_gradblend = bool(m.get("gradblend", False))
+        if self.use_gradblend and self.use_gradnorm:
+            raise ValueError(
+                "model.gradnorm and model.gradblend cannot combine: both "
+                "adapt the same loss-weight vector. Pick one.")
         if self.use_gradblend and self.lora_rank:
             raise ValueError(
                 "model.gradblend and model.lora cannot combine: GradBlend "
@@ -469,6 +497,8 @@ class MultiLossTask(TrainTask):
             return np.asarray(self.loss_weights, np.float32)
         if self.use_gradblend and self.gb_weights is not None:
             return np.asarray(self.gb_weights, np.float32)
+        if self.use_gradnorm and self.gn_weights is not None:
+            return np.asarray(self.gn_weights, np.float32)
         if self.weighting == "sum":
             return np.ones((n,), np.float32)
         ow = (1.0 - self.fusion_loss_weight) / (n - 1)
@@ -600,6 +630,21 @@ class MultiLossTask(TrainTask):
         return dict(batch, **mixed), dict(rest_perm, **mixed), lam_eff
 
     def step(self, params, batch, ctx, rngs, train: bool):
+        total, _, aux = self._step_parts(params, batch, ctx, rngs, train)
+        return total, aux
+
+    def step_components(self, params, batch, ctx, rngs, train: bool):
+        """``(components, (total, aux))``: the per-branch weighted loss
+        contributions whose sum equals ``step()``'s total (branch order =
+        ``loss_names``; the KD term, when active, appends one extra entry).
+        This is the gradient-surgery entry point: PCGrad
+        (``train.optimizer.pcgrad``) takes one backward pass per component
+        and de-conflicts them before the optimizer sees a gradient
+        (training/compiled.py::pcgrad_value_and_grad)."""
+        total, comps, aux = self._step_parts(params, batch, ctx, rngs, train)
+        return comps, (total, aux)
+
+    def _step_parts(self, params, batch, ctx, rngs, train: bool):
         # eval consumes ctx['mute_code'] directly: MUTE_NONE normally, the
         # ablated modality index under `run.py -m ablate` (a traced arg —
         # switching ablation conditions never recompiles the eval step)
@@ -625,14 +670,25 @@ class MultiLossTask(TrainTask):
             losses = {k: lam * losses[k] + (1.0 - lam) * losses_b[k]
                       for k in losses}
         vec = jnp.stack([losses[n] for n in self.loss_names])
-        total = jnp.dot(ctx["loss_weights"].astype(vec.dtype), vec)
+        w = ctx["loss_weights"].astype(vec.dtype)
+        total = jnp.dot(w, vec)
+        # per-component contributions (sum == total up to reassociation):
+        # only consumed by step_components/PCGrad — `total` keeps the exact
+        # historical expression so default-path numerics never move
+        comps = w * vec
         if train:
             # after freezing, only the fusion head trains and only its loss
             # backprops (`/root/reference/models/avmnist.py:292-293`)
             total = jnp.where(ctx["frozen"] > 0, losses["fusion"], total)
+            fusion_only = jnp.zeros_like(comps).at[-1].set(losses["fusion"])
+            comps = jnp.where(ctx["frozen"] > 0, fusion_only, comps)
         if moe_aux is not None:
-            # Switch-style load-balance regularizer (modules/moe.py)
-            total = total + jnp.asarray(self.moe_aux_weight, moe_aux.dtype) * moe_aux
+            # Switch-style load-balance regularizer (modules/moe.py); rides
+            # the fusion component — routing is shared infrastructure, not a
+            # per-modality objective to de-conflict against
+            t = jnp.asarray(self.moe_aux_weight, moe_aux.dtype) * moe_aux
+            total = total + t
+            comps = comps.at[-1].add(t.astype(comps.dtype))
         if self.distiller is not None:
             # train.distill (beyond reference, training/distill.py): the KD
             # gap is computed in EVERY mode (logged as {split}_loss_kd) but
@@ -642,14 +698,16 @@ class MultiLossTask(TrainTask):
             self.bind_trace_flavors()  # teacher apply re-bound the globals
             losses = dict(losses, kd=kd)
             if train:
-                w = jnp.asarray(self.distiller.weight, total.dtype)
-                total = (1.0 - w) * total + w * kd
+                wk = jnp.asarray(self.distiller.weight, total.dtype)
+                total = (1.0 - wk) * total + wk * kd
+                comps = jnp.concatenate(
+                    [(1.0 - wk) * comps, (wk * kd.astype(comps.dtype))[None]])
         aux = {"losses": losses, **self.predictions(outputs, batch)}
         if moe_aux is not None:
             aux["moe_aux"] = moe_aux
         if new_state is not None:
             aux["_mutable_state"] = new_state
-        return total, aux
+        return total, comps, aux
 
     # -- freezing ------------------------------------------------------------
     def frozen_param_prefixes(self) -> Tuple[str, ...]:
@@ -718,6 +776,12 @@ class MultiLossTask(TrainTask):
             from ..modules.gradblend import estimate_gradblend_weights
 
             self.gb_weights = estimate_gradblend_weights(self, trainer)
+        if self.use_gradnorm and epoch % self.gn_update_every == 0:
+            from ..modules.gradnorm import measure_gradnorm_weights
+
+            w = measure_gradnorm_weights(self, trainer, epoch)
+            if w is not None:
+                self.gn_weights = w
 
     # -- gradblend adapter -----------------------------------------------------
     def gradblend_modality_keys(self) -> Tuple[str, ...]:

@@ -23,7 +23,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_train_epoch_fn", "make_eval_epoch_fn", "shard_align_order",
-           "make_sharded_gather", "make_grad_masker"]
+           "make_sharded_gather", "make_grad_masker", "sam_value_and_grad",
+           "pcgrad_value_and_grad"]
 
 
 def sam_value_and_grad(loss_fn, params, rho: float, masker=None, frozen=None):
@@ -46,6 +47,47 @@ def sam_value_and_grad(loss_fn, params, rho: float, masker=None, frozen=None):
         lambda p, g: p + (scale * g).astype(p.dtype), params, ascent)
     (_, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(adv)
     return (loss, aux), grads
+
+
+def pcgrad_value_and_grad(comp_fn, params, masker=None, frozen=None):
+    """``value_and_grad`` with PCGrad gradient surgery (Yu et al. 2020,
+    "Gradient Surgery for Multi-Task Learning"): per-component gradients are
+    taken with ONE shared forward + one backward per component (``jax.vjp``
+    seeded with unit cotangents), pairwise de-conflicted — each g_i drops its
+    projection onto any ORIGINAL g_j it negatively aligns with — and summed.
+
+    ``comp_fn(params) -> (components, (total, aux))`` where ``components``
+    sums to the step total (``MultiLossTask.step_components``); the reported
+    loss/aux come from the exact unprojected ``total`` so logs stay
+    comparable with plain runs. The frozen/trainable ``masker`` applies to
+    each component gradient BEFORE the projection, so coordinates the
+    optimizer will never see (frozen modalities, LoRA base trees, BN stats)
+    cannot steer the conflict resolution. Projection order is deterministic
+    cyclic (the paper samples a random task order per step; at the shipped
+    branch counts of 3-5 the difference is below run-to-run noise, and
+    determinism keeps the epoch scan and its parity tests reproducible)."""
+    from jax.flatten_util import ravel_pytree
+
+    comps, vjp_fn, (total, aux) = jax.vjp(comp_fn, params, has_aux=True)
+    n = comps.shape[0]
+    stacked = jax.vmap(lambda e: vjp_fn(e)[0])(jnp.eye(n, dtype=comps.dtype))
+    if masker is not None:
+        # frozen_mask/trainable_mask leaves are per-leaf scalars: they
+        # broadcast over the stacked component axis
+        stacked = masker(stacked, frozen)
+    _, unravel = ravel_pytree(params)
+    G = jax.vmap(lambda g: ravel_pytree(g)[0])(stacked)  # (n, D)
+    sq = jnp.sum(G * G, axis=1)
+
+    def project(i):
+        def body(j, g):
+            coef = jnp.minimum(jnp.dot(g, G[j]), 0.0) / (sq[j] + 1e-12)
+            return g - jnp.where(j == i, 0.0, coef) * G[j]
+
+        return jax.lax.fori_loop(0, n, body, G[i])
+
+    flat = jnp.sum(jax.vmap(project)(jnp.arange(n)), axis=0)
+    return (total, aux), unravel(flat)
 
 
 def make_grad_masker(frozen_mask, trainable_mask=None):
@@ -145,7 +187,8 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
                         watch_gradients: bool = False,
                         trainable_mask=None,
                         grad_accum: int = 1,
-                        sam_rho: float = 0.0) -> Callable:
+                        sam_rho: float = 0.0,
+                        pcgrad: bool = False) -> Callable:
     """Returns jitted ``epoch(params, opt_state, arrays, order, ctx, rngs,
     start_step) -> (params, opt_state, losses, aux)``.
 
@@ -194,6 +237,13 @@ def make_train_epoch_fn(task, optimizer, frozen_mask, batch_size: int,
             micro_step = (start_step + i) * grad_accum + j
             step_rngs = {name: jax.random.fold_in(key, micro_step)
                          for name, key in rngs.items()}
+
+            if pcgrad:
+                # train.optimizer.pcgrad: per-component gradient surgery
+                return pcgrad_value_and_grad(
+                    lambda p: task.step_components(p, batch, ctx, step_rngs,
+                                                   train=True),
+                    params, masker, ctx["frozen"])
 
             def loss_fn(p):
                 return task.step(p, batch, ctx, step_rngs, train=True)

@@ -106,10 +106,12 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
     ``ctx['loss_weights']`` inside the vmap) — the per-member SoftAdapt
     path; the host refits each member's weights from its own val-loss
     histories between epochs."""
-    from .compiled import make_grad_masker, sam_value_and_grad
+    from .compiled import (make_grad_masker, pcgrad_value_and_grad,
+                           sam_value_and_grad)
 
     masker = make_grad_masker(frozen_mask)
     sam_rho = float(task.optimizer_cfg.get("sam_rho", 0.0) or 0.0)
+    pcgrad = bool(task.optimizer_cfg.get("pcgrad", False))
 
     def epoch(params, opt_state, arrays, orders, ctx, member_keys, active,
               member_weights, start_step):
@@ -128,9 +130,15 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
                     for h, name in enumerate(task.RNG_COLLECTIONS)
                 }
                 ctx_m = dict(ctx, loss_weights=w_m) if per_member_weights else ctx
-                (loss, aux), grads = sam_value_and_grad(
-                    lambda q: task.step(q, batch, ctx_m, step_rngs, train=True),
-                    p, sam_rho, masker, ctx["frozen"])
+                if pcgrad:
+                    (loss, aux), grads = pcgrad_value_and_grad(
+                        lambda q: task.step_components(q, batch, ctx_m,
+                                                       step_rngs, train=True),
+                        p, masker, ctx["frozen"])
+                else:
+                    (loss, aux), grads = sam_value_and_grad(
+                        lambda q: task.step(q, batch, ctx_m, step_rngs, train=True),
+                        p, sam_rho, masker, ctx["frozen"])
                 frozen = ctx["frozen"]
                 grads = masker(grads, frozen)
                 updates, o_new = optimizer.update(grads, o, p)

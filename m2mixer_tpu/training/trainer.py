@@ -637,6 +637,22 @@ class Trainer:
         if sam_rho < 0:
             raise ValueError(
                 f"train.optimizer.sam_rho must be >= 0 (got {sam_rho})")
+        # train.optimizer.pcgrad (beyond reference): PCGrad gradient surgery
+        # over the task's loss components (compiled.py::pcgrad_value_and_grad)
+        pcgrad = bool(task.optimizer_cfg.get("pcgrad", False))
+        if pcgrad and not hasattr(task, "step_components"):
+            raise ValueError(
+                "train.optimizer.pcgrad needs a task exposing per-component "
+                "losses (MultiLossTask.step_components); "
+                f"{type(task).__name__} has a single objective — there is "
+                "nothing to de-conflict.")
+        if pcgrad and sam_rho:
+            raise ValueError(
+                "train.optimizer.pcgrad and train.optimizer.sam_rho cannot "
+                "combine: SAM perturbs along the summed gradient, PCGrad "
+                "replaces that sum with projected components — the ascent "
+                "point is ill-defined. Pick one.")
+        from .compiled import pcgrad_value_and_grad
 
         def train_step(params, opt_state, batch, ctx, step):
             task.bind_trace_flavors()  # trace-time; each compile uses THIS task's flavors
@@ -649,8 +665,14 @@ class Trainer:
             def loss_fn(p):
                 return task.step(p, batch, ctx, rngs, train=True)
 
-            (loss, aux), grads = sam_value_and_grad(
-                loss_fn, params, sam_rho, masker, ctx["frozen"])
+            if pcgrad:
+                (loss, aux), grads = pcgrad_value_and_grad(
+                    lambda p: task.step_components(p, batch, ctx, rngs,
+                                                   train=True),
+                    params, masker, ctx["frozen"])
+            else:
+                (loss, aux), grads = sam_value_and_grad(
+                    loss_fn, params, sam_rho, masker, ctx["frozen"])
             if self.watch_gradients:
                 aux = dict(aux, grad_norm=optax.global_norm(grads))
             frozen = ctx["frozen"]
@@ -680,9 +702,15 @@ class Trainer:
                     "stochastic": jax.random.fold_in(rng_s, micro_step),
                     "mute": jax.random.fold_in(rng_m, micro_step),
                 }
-                (loss, aux), grads = sam_value_and_grad(
-                    lambda p: task.step(p, batch, ctx, rngs, train=True),
-                    params, sam_rho, masker, ctx["frozen"])
+                if pcgrad:
+                    (loss, aux), grads = pcgrad_value_and_grad(
+                        lambda p: task.step_components(p, batch, ctx, rngs,
+                                                       train=True),
+                        params, masker, ctx["frozen"])
+                else:
+                    (loss, aux), grads = sam_value_and_grad(
+                        lambda p: task.step(p, batch, ctx, rngs, train=True),
+                        params, sam_rho, masker, ctx["frozen"])
                 return grads, loss, aux
 
             def apply_step(params, opt_state, grads, ctx):
@@ -715,7 +743,7 @@ class Trainer:
                                              watch_gradients=self.watch_gradients,
                                              trainable_mask=trainable_mask,
                                              grad_accum=self.grad_accum,
-                                             sam_rho=sam_rho)
+                                             sam_rho=sam_rho, pcgrad=pcgrad)
                 for sharded in ((False, True) if self._sharding_pools() else (False,))
             }
             self._eval_epoch_fns = {
