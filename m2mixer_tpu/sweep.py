@@ -40,7 +40,7 @@ import numpy as np
 import yaml
 
 __all__ = ["parse_sweep", "sample_value", "trial_params", "tpe_propose",
-           "run_sweep"]
+           "run_sweep", "hyperband_bands", "HyperbandStopper"]
 
 
 def _flatten_parameters(tree: Dict[str, Any], prefix: str = "") -> Dict[str, dict]:
@@ -79,6 +79,7 @@ def parse_sweep(path: str) -> Dict[str, Any]:
         "cfg": cfg,
         "name": str(sweep.get("name", os.path.splitext(os.path.basename(path))[0])),
         "parameters": params,
+        "early_terminate": sweep.get("early_terminate"),
     }
 
 
@@ -265,6 +266,75 @@ def tpe_propose(params: Dict[str, dict], observations, rng,
     return out
 
 
+# ------------------------------------------------- hyperband early terminate
+def hyperband_bands(et: dict, eta: float) -> list:
+    """Band epochs (completed-epoch counts) for a wandb ``early_terminate``
+    block: ``min_iter`` grows bands ``m·eta^k`` upward (wandb's documented
+    form); ``max_iter`` [+ ``s``] derives them downward ``M·eta^-k``."""
+    if "min_iter" in et:
+        m = max(1, int(et["min_iter"]))
+        bands, b = [], float(m)
+        while len(bands) < 16 and b <= 1e6:
+            bands.append(int(round(b)))
+            b *= eta
+        return sorted(set(bands))
+    if "max_iter" in et:
+        m = max(1, int(et["max_iter"]))
+        s = max(1, int(et.get("s", 3)))
+        bands = [int(round(m / eta ** k)) for k in range(s, 0, -1)]
+        return sorted(set(b for b in bands if b >= 1))
+    raise ValueError("early_terminate needs min_iter or max_iter "
+                     f"(got {sorted(et)})")
+
+
+class HyperbandStopper:
+    """wandb-semantics hyperband early termination for the local executor
+    (the reference delegates this to the hosted controller): at each band
+    epoch a trial is stopped when its best metric so far falls outside the
+    top 1/eta of the trials previously seen at that band. Asynchronous
+    (ASHA-style, Li et al. 2020): decisions use whatever history exists —
+    the first ``ceil(eta)`` trials at a band are never stopped there."""
+
+    def __init__(self, et: dict, metric: str, sign: float):
+        if str(et.get("type", "hyperband")) != "hyperband":
+            raise ValueError("early_terminate.type must be 'hyperband' "
+                             f"(got {et.get('type')!r})")
+        self.eta = float(et.get("eta", 3))
+        if self.eta <= 1:
+            raise ValueError(f"early_terminate.eta must be > 1 (got {self.eta})")
+        self.bands = hyperband_bands(et, self.eta)
+        self.metric, self.sign = metric, sign
+        self.history: Dict[int, list] = {b: [] for b in self.bands}
+
+    def hook_for_trial(self):
+        """(trainer epoch hook, mutable state): the hook records this
+        trial's best-so-far at every band and stops when it misses the
+        band's top-1/eta cut. ``state['stopped_band']`` reports where."""
+        state = {"best": math.inf, "stopped_band": None}
+
+        def hook(epoch: int, logs: dict) -> bool:
+            v = logs.get(self.metric)
+            if v is None:
+                return False
+            state["best"] = min(state["best"], self.sign * float(v))
+            band = epoch + 1  # completed epochs
+            prior = self.history.get(band)
+            if prior is None:
+                return False
+            prior_snapshot = list(prior)
+            prior.append(state["best"])
+            if len(prior_snapshot) < math.ceil(self.eta):
+                return False  # not enough signal at this band yet
+            k = max(0, math.ceil(len(prior_snapshot) / self.eta) - 1)
+            cutoff = sorted(prior_snapshot)[k]
+            if state["best"] > cutoff:
+                state["stopped_band"] = band
+                return True
+            return False
+
+        return hook, state
+
+
 def _nest(flat: Dict[str, Any]) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for dotted, v in flat.items():
@@ -280,11 +350,14 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
               cfg_path: Optional[str] = None, out_dir: str = "sweep_out",
               extra_overrides: Optional[Dict[str, Any]] = None,
               epochs: Optional[int] = None, verbose: bool = True,
-              startup: int = _TPE_STARTUP) -> dict:
+              startup: int = _TPE_STARTUP,
+              early_terminate: bool = True) -> dict:
     """Execute a sweep locally; returns {'best': {...}, 'results': [...]}
     and writes ``sweep_results.jsonl`` under ``out_dir``. ``startup`` is the
     number of random warmup trials before ``method: bayes`` switches to TPE
-    proposals (ignored by grid/random)."""
+    proposals (ignored by grid/random). A wandb ``early_terminate:
+    {type: hyperband, ...}`` block in the sweep file stops underperforming
+    trials at band epochs (``early_terminate=False`` ignores it)."""
     from . import config as cfg_lib
     from . import datasets, models
     from .training import Trainer
@@ -301,6 +374,14 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
     sign = 1.0 if sweep["goal"] == "minimize" else -1.0
     results = []
     observations = []  # (flat_params, sign*value) feeding the TPE proposals
+
+    stopper = None
+    if early_terminate and sweep.get("early_terminate"):
+        stopper = HyperbandStopper(sweep["early_terminate"], sweep["metric"],
+                                   sign)
+        if verbose:
+            print(f"[sweep] hyperband early termination: bands "
+                  f"{stopper.bands} (epochs), eta={stopper.eta}")
 
     if sweep["method"] == "bayes":
         def _bayes_trials():
@@ -342,6 +423,9 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
             dm = datasets.get_data_module(cfg.dataset.type)(**cfg.dataset.params)
             trainer = Trainer(cfg.train, name=f"{sweep['name']}_trial{i}",
                               work_dir=out_dir, use_wandb=False, full_cfg=cfg)
+            hstate = None
+            if stopper is not None:
+                trainer.epoch_end_hook, hstate = stopper.hook_for_trial()
             trainer.fit(task, dm)
             # best-epoch value when the logger tracked it, else final epoch
             value = trainer.logger.summary.get(
@@ -354,12 +438,19 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
                     f"available: {sorted(trainer.callback_metrics)}")
             row = {"trial": i, "params": flat, "metric": sweep["metric"],
                    "value": float(value)}
+            if stopper is not None:
+                row["stopped_band"] = hstate["stopped_band"]
             results.append(row)
+            # early-terminated trials feed TPE their (pessimistic) partial
+            # value — the standard asynchronous-hyperband composition
             observations.append((flat, sign * float(value)))
             results_f.write(json.dumps(row) + "\n")
             results_f.flush()
             if verbose:
-                print(f"[sweep] trial {i}: {sweep['metric']}={value:.5f} {flat}")
+                cut = (f" [hyperband-stopped at epoch {hstate['stopped_band']}]"
+                       if hstate and hstate["stopped_band"] is not None else "")
+                print(f"[sweep] trial {i}: {sweep['metric']}={value:.5f} "
+                      f"{flat}{cut}")
 
     if not results:
         raise ValueError("sweep produced no trials (was --trials 0, or an "
@@ -390,6 +481,8 @@ def main(argv=None):
     ap.add_argument("--startup", type=int, default=_TPE_STARTUP,
                     help="random warmup trials before 'bayes' switches to "
                          "TPE proposals")
+    ap.add_argument("--no-early-terminate", action="store_true",
+                    help="ignore the sweep file's early_terminate block")
     args, unknown = ap.parse_known_args(argv)
 
     from .config import from_cli, todict
@@ -410,7 +503,8 @@ def main(argv=None):
     run_sweep(args.sweep, trials=args.trials, seed=args.seed,
               cfg_path=args.cfg, out_dir=args.out,
               extra_overrides=flatten(extra), epochs=args.epochs,
-              startup=args.startup)
+              startup=args.startup,
+              early_terminate=not args.no_early_terminate)
 
 
 if __name__ == "__main__":

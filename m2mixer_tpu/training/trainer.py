@@ -514,6 +514,12 @@ class Trainer:
             async_save=bool(train_cfg.get("async_checkpointing", False)),
         )
         self.early_stopping = EarlyStopping(monitor="val_loss", patience=early_stopping_patience, mode="min")
+        #: optional external stop condition, checked after every validation
+        #: epoch: ``hook(epoch, logs) -> bool`` (True stops the fit). Used by
+        #: the sweep executor's hyperband early termination (m2mixer_tpu/
+        #: sweep.py); the run still tests/checkpoints normally afterwards.
+        self.epoch_end_hook = None
+        self.stopped_by_hook = False
 
         # populated in fit()
         self.params = None
@@ -1191,6 +1197,11 @@ class Trainer:
                     break
                 if self.early_stopping.update(logs):
                     print(f"[trainer] early stopping at epoch {epoch}")
+                    break
+                if (self.epoch_end_hook is not None
+                        and self.epoch_end_hook(epoch, dict(logs))):
+                    print(f"[trainer] stopped by epoch hook at epoch {epoch}")
+                    self.stopped_by_hook = True
                     break
         except KeyboardInterrupt:
             # reference behavior: fall through to testing the best ckpt

@@ -365,3 +365,117 @@ def test_local_sweep_bayes_end_to_end(tmp_path):
     lines = open(os.path.join(
         tmp_path, "out", "sweep_results.jsonl")).read().splitlines()
     assert len(lines) == 3 and json.loads(lines[2])["trial"] == 2
+
+
+# ---------------------------------------------------- hyperband early stop
+def test_hyperband_bands():
+    from m2mixer_tpu.sweep import hyperband_bands
+
+    assert hyperband_bands({"min_iter": 1}, 3)[:4] == [1, 3, 9, 27]
+    assert hyperband_bands({"min_iter": 2}, 2)[:4] == [2, 4, 8, 16]
+    assert hyperband_bands({"max_iter": 27, "s": 3}, 3) == [1, 3, 9]
+    import pytest
+
+    with pytest.raises(ValueError, match="min_iter or max_iter"):
+        hyperband_bands({}, 3)
+
+
+def test_hyperband_stopper_semantics():
+    """wandb semantics: at a band, a trial stops when its best-so-far metric
+    misses the top-1/eta cut of the trials previously seen there; the first
+    ceil(eta) trials at a band are never stopped."""
+    import pytest
+
+    from m2mixer_tpu.sweep import HyperbandStopper
+
+    st = HyperbandStopper({"type": "hyperband", "min_iter": 1, "eta": 2},
+                          "val_loss", sign=1.0)
+
+    def run_trial(val):
+        hook, state = st.hook_for_trial()
+        stopped = hook(0, {"val_loss": val})  # epoch 0 == band 1
+        return stopped, state
+
+    assert run_trial(1.0) == (False, {"best": 1.0, "stopped_band": None})
+    assert run_trial(2.0)[0] is False       # only 1 prior: never stopped
+    stopped, state = run_trial(3.0)         # cutoff = top-1/2 of [1,2] = 1.0
+    assert stopped and state["stopped_band"] == 1
+    assert run_trial(0.5)[0] is False       # beats the cut
+    # off-band epochs never stop (bands are [1,2,4,...]; epoch 2 = band 3);
+    # a missing metric is a no-op
+    hook, _ = st.hook_for_trial()
+    assert hook(2, {"val_loss": 99.0}) is False
+    assert hook(0, {}) is False
+
+    with pytest.raises(ValueError, match="eta"):
+        HyperbandStopper({"min_iter": 1, "eta": 1.0}, "val_loss", 1.0)
+    with pytest.raises(ValueError, match="hyperband"):
+        HyperbandStopper({"type": "envelope", "min_iter": 1}, "val_loss", 1.0)
+
+
+def test_hyperband_maximize_goal_flips_sign():
+    from m2mixer_tpu.sweep import HyperbandStopper
+
+    st = HyperbandStopper({"min_iter": 1, "eta": 2}, "val_acc", sign=-1.0)
+    for acc in (0.9, 0.8):
+        hook, _ = st.hook_for_trial()
+        assert hook(0, {"val_acc": acc}) is False
+    hook, state = st.hook_for_trial()
+    assert hook(0, {"val_acc": 0.1}) is True   # far below the top half
+    assert state["stopped_band"] == 1
+    hook, _ = st.hook_for_trial()
+    assert hook(0, {"val_acc": 0.95}) is False  # best so far survives
+
+
+def test_trainer_epoch_hook_stops_fit(tmp_path):
+    """The generic trainer hook ends the fit after the epoch it fires on."""
+    from m2mixer_tpu.config import loads as _loads
+    from m2mixer_tpu.datasets import get_data_module
+    from m2mixer_tpu.models import get_model
+    from m2mixer_tpu.training import Trainer
+
+    cfg = _loads(CFG.format(tmp=tmp_path))
+    cfg.train.epochs = 4
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="hookstop", full_cfg=cfg)
+    seen = []
+    trainer.epoch_end_hook = lambda epoch, logs: (seen.append(epoch), True)[1]
+    trainer.fit(task, dm)
+    assert trainer.stopped_by_hook
+    assert seen == [0]
+    assert trainer.current_epoch == 0
+
+
+def test_local_sweep_hyperband_e2e(tmp_path):
+    """early_terminate in the sweep file flows through run_sweep: every
+    result row reports its stopped_band, and disabling the block removes
+    the bookkeeping."""
+    import json
+
+    from m2mixer_tpu.sweep import run_sweep
+
+    cfg_path = _write_cfg(str(tmp_path))
+    sweep_path = os.path.join(tmp_path, "sweep_hb.yml")
+    with open(sweep_path, "w") as f:
+        yaml.safe_dump({
+            "method": "grid",
+            "metric": {"name": "val_loss", "goal": "minimize"},
+            "command": ["python", "run.py", "-c", cfg_path],
+            "early_terminate": {"type": "hyperband", "min_iter": 1, "eta": 2},
+            "parameters": {
+                "model": {"parameters": {"dropout": {"values": [0.0, 0.3, 0.6]}}},
+            },
+        }, f)
+    out = run_sweep(sweep_path, out_dir=os.path.join(tmp_path, "hb_out"),
+                    epochs=2, verbose=False)
+    assert len(out["results"]) == 3
+    for row in out["results"]:
+        assert "stopped_band" in row
+    rows = [json.loads(l) for l in open(
+        os.path.join(tmp_path, "hb_out", "sweep_results.jsonl"))]
+    assert all("stopped_band" in r for r in rows)
+
+    out2 = run_sweep(sweep_path, out_dir=os.path.join(tmp_path, "hb_off"),
+                     epochs=1, trials=1, verbose=False, early_terminate=False)
+    assert all("stopped_band" not in r for r in out2["results"])
