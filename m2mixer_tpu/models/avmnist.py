@@ -84,7 +84,7 @@ class _UnimodalMixerTask(TrainTask):
     def step(self, params, batch, ctx, rngs, train: bool):
         outputs, _ = self.apply_network(
             params, dict(self.network_inputs(batch), deterministic=not train),
-            rngs, train,
+            rngs, train, prune_sparsity=self.prune_sparsity(ctx),
         )
         logits = outputs["branch_logits"][0]
         labels = batch["label"]
@@ -133,7 +133,7 @@ class AVMnistMixer(TrainTask):
             params,
             dict(self.network_inputs(batch), deterministic=not train,
                  mute_code=jnp.int32(mute_code)),
-            rngs, train,
+            rngs, train, prune_sparsity=self.prune_sparsity(ctx),
         )
         logits = outputs["logits"]
         labels = batch["label"]

@@ -38,7 +38,8 @@ class AVMnistMixerMultiLossTP(TrainTask):
 
     def step(self, params, batch, ctx, rngs, train: bool):
         x = batch["data"].reshape(batch["data"].shape[0], -1)
-        out, _ = self.apply_network(params, {"x": x}, rngs, train)
+        out, _ = self.apply_network(params, {"x": x}, rngs, train,
+                                    prune_sparsity=self.prune_sparsity(ctx))
         out = out.squeeze(-1)
         labels = batch["label"].astype(jnp.float32)
         # per-sample weighted BCE: weight pos_weight on positives, 1 on

@@ -130,6 +130,16 @@ class TrainTask(abc.ABC):
 
         self.qat_mode, self.qat_min_size, self.qat_group_size = \
             parse_qat_config(model_cfg.get("qat", None))
+        # model.prune (beyond reference): gradual magnitude pruning — the
+        # smallest-|w| fraction of eligible leaves zeroes inside the traced
+        # forward, sparsity following a cubic epoch schedule carried by
+        # ctx['epoch'] (modules/prune.py; applied in apply_network after the
+        # LoRA merge and BEFORE QAT fake-quant — prune-then-quantize)
+        from ..modules.prune import parse_prune_config
+
+        (self.prune_final, self.prune_begin, self.prune_end,
+         self.prune_min_size, self.prune_targets) = \
+            parse_prune_config(model_cfg.get("prune", None))
         self._uses_moe = _config_uses_moe(model_cfg)
         if self._uses_moe and not self._supports_moe:
             raise ValueError(
@@ -286,17 +296,42 @@ class TrainTask(abc.ABC):
                                     label_smoothing=self.label_smoothing,
                                     focal_gamma=self.focal_gamma)
 
-    def apply_network(self, params, kwargs, rngs, train: bool):
+    def prune_sparsity(self, ctx):
+        """Traced sparsity for this step (None when model.prune is off) —
+        every task step passes this into apply_network so the schedule rides
+        ctx['epoch'] without recompiles."""
+        if not self.prune_final:
+            return None
+        from ..modules.prune import prune_schedule
+
+        return prune_schedule(ctx["epoch"], self.prune_final,
+                              self.prune_begin, self.prune_end)
+
+    def apply_network(self, params, kwargs, rngs, train: bool,
+                      prune_sparsity=None):
         """``network.apply`` with the task's rng/mutable plumbing: returns
         ``(outputs, new_state)`` where ``new_state`` is the refreshed
         mutable-collection dict (None unless training a task with
         ``mutable_collections``). Any ``lora`` collection is merged into the
         effective weights here — inside the trace — so every execution path
-        (per-step, epoch scan, ensemble vmap, eval) sees the adapted model."""
+        (per-step, epoch scan, ensemble vmap, eval) sees the adapted model.
+        ``prune_sparsity``: the traced model.prune sparsity from
+        ``self.prune_sparsity(ctx)`` — required when pruning is on (a step
+        that forgot to thread it would silently train dense)."""
         self.bind_trace_flavors()
         from ..modules.lora import resolve_lora
 
         params = resolve_lora(params)
+        if self.prune_final and prune_sparsity is None:
+            raise ValueError(
+                f"{type(self).__name__}.step did not thread the model.prune "
+                "sparsity into apply_network (pass prune_sparsity="
+                "self.prune_sparsity(ctx)) — it would silently train dense.")
+        if prune_sparsity is not None:
+            from ..modules.prune import fake_prune
+
+            params = fake_prune(params, prune_sparsity,
+                                self.prune_min_size, self.prune_targets)
         if self.qat_mode:
             # fake-quantize AFTER the LoRA merge (QLoRA-style: adapter
             # gradients flow through the STE); latent weights stay f32 in
@@ -660,7 +695,7 @@ class MultiLossTask(TrainTask):
             params,
             dict(self.network_inputs(batch), deterministic=not train,
                  mute_code=mute_code),
-            rngs, train,
+            rngs, train, prune_sparsity=self.prune_sparsity(ctx),
         )
         moe_aux = outputs.pop("_moe_aux", None) if isinstance(outputs, dict) else None
         losses = self.branch_losses(outputs, batch, ctx)

@@ -222,7 +222,9 @@ class _UnimodalMultilabelTask(TrainTask):
 
     def step(self, params, batch, ctx, rngs, train: bool):
         kwargs = dict(self.network_inputs(batch), deterministic=not train)
-        logits, new_state = self.apply_network(params, kwargs, rngs, train)
+        logits, new_state = self.apply_network(
+            params, kwargs, rngs, train,
+            prune_sparsity=self.prune_sparsity(ctx))
         labels = batch["label"].astype(jnp.float32)
         loss = self.bce(logits, labels, jnp.asarray(self.pos_weight))
         preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int32)

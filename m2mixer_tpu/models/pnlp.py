@@ -98,7 +98,7 @@ class PnlpMixerSeqClsTask(TrainTask):
     def step(self, params, batch, ctx, rngs, train: bool):
         logits, _ = self.apply_network(
             params, dict(self.network_inputs(batch), deterministic=not train),
-            rngs, train,
+            rngs, train, prune_sparsity=self.prune_sparsity(ctx),
         )
         labels = batch["label"]
         loss = self.ce(logits, labels)

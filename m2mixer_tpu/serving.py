@@ -92,6 +92,16 @@ def _serve_fn(task):
     def fn(params, features):
         if hasattr(task, "bind_trace_flavors"):
             task.bind_trace_flavors()  # export traces with the task's flavors
+        # model.prune: serve the final-sparsity mask, applied BEFORE qat
+        # fake-quant — the prune-then-quantize order of the training trace
+        # (read lazily; export_serving suppresses this after baking the
+        # mask into the stored weights)
+        prune_final = getattr(task, "prune_final", 0.0)
+        if prune_final:
+            from .modules.prune import fake_prune
+
+            params = fake_prune(params, prune_final,
+                                task.prune_min_size, task.prune_targets)
         # model.qat: serve the same fake-quantized weights training computed
         # with (read lazily, at trace time — export_serving suppresses this
         # when the matching PTQ mode already carries the quantized values)
@@ -551,6 +561,25 @@ def export_serving(task, params, sample_batch, out_dir: str,
 
     params = resolve_lora(params)
     params = jax.tree.map(np.asarray, params)
+    # model.prune (modules/prune.py): bake the final-sparsity mask into the
+    # stored weights BEFORE any PTQ — the prune-then-quantize order of the
+    # training trace — and suppress the in-trace prune (its mask is now the
+    # identity on the baked values). Keeps the qat lossless-export chain
+    # intact for pruned models.
+    prune_suppressed = None
+    if getattr(task, "prune_final", 0.0):
+        from .modules.prune import fake_prune, sparsity_report
+
+        params = jax.tree.map(
+            np.asarray,
+            fake_prune(params, task.prune_final, task.prune_min_size,
+                       task.prune_targets))
+        zeros, total = sparsity_report(params, task.prune_min_size,
+                                       task.prune_targets)
+        print(f"[serving] model.prune: baked the final mask — "
+              f"{zeros}/{total} pruned weights "
+              f"({100.0 * zeros / max(total, 1):.1f}% of eligible)")
+        prune_suppressed, task.prune_final = task.prune_final, 0.0
     # model.qat (modules/qat.py): with the MATCHING quantize mode, PTQ of
     # the latent weights carries exactly the values the fake-quantized
     # training forward computed with, so the in-trace fake-quant is
@@ -642,6 +671,8 @@ def export_serving(task, params, sample_batch, out_dir: str,
     finally:
         if qat_suppressed is not None:
             task.qat_mode = qat_suppressed
+        if prune_suppressed is not None:
+            task.prune_final = prune_suppressed
     return out_dir
 
 

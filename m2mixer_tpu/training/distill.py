@@ -182,10 +182,13 @@ class Distiller:
         deterministically on the same batch and matches the fusion head
         (plus per-branch heads with ``distill.branches: true``)."""
         t = self.teacher_task
+        # a pruned teacher serves at its FINAL mask (training finished)
+        t_sparsity = (jnp.asarray(t.prune_final, jnp.float32)
+                      if getattr(t, "prune_final", 0.0) else None)
         t_out, _ = t.apply_network(
             self.teacher_variables,
             dict(t.network_inputs(batch), deterministic=True),
-            {}, train=False)
+            {}, train=False, prune_sparsity=t_sparsity)
         s_heads = self._logit_heads(student_outputs)
         t_heads = self._logit_heads(t_out)
         names = ["fusion"]
