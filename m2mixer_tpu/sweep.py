@@ -21,10 +21,17 @@ local Tree-structured Parzen Estimator (Bergstra et al. 2011) — the first
 ratio l(x)/g(x) of Parzen mixtures fit to the best-quantile vs the rest of
 the observed trials (per-parameter, log space for log distributions,
 count-smoothed categoricals) — so the sequential search the reference
-delegates to wandb's hosted controller runs entirely offline here. For
-learning-rate-only sweeps on device-resident datasets,
-``run_for_significance.py --vmap --lrs ...`` explores all rates in ONE
-compiled program instead.
+delegates to wandb's hosted controller runs entirely offline here.
+
+``--vmap`` (learning-rate-only sweeps on device-resident datasets): ALL
+trials train simultaneously as vmapped ensemble members in ONE compiled
+program (`training/ensemble.py`) — the TPU-native answer to a sequential
+agent, measured ~7.7x on the 10-run significance study of the same engine.
+Every trial shares the single ``cfg.train.seed`` RNG stream (identical
+init/dropout draws, exactly like sequential trials), so differences are
+purely the learning rate; per-trial EarlyStopping/plateau-LR run as in the
+sequential protocol. Constant parameters (``value:`` specs) are applied as
+overrides; any other swept parameter is rejected with the reason.
 """
 
 from __future__ import annotations
@@ -40,7 +47,8 @@ import numpy as np
 import yaml
 
 __all__ = ["parse_sweep", "sample_value", "trial_params", "tpe_propose",
-           "run_sweep", "hyperband_bands", "HyperbandStopper"]
+           "run_sweep", "hyperband_bands", "HyperbandStopper",
+           "vmap_sweep_plan"]
 
 
 def _flatten_parameters(tree: Dict[str, Any], prefix: str = "") -> Dict[str, dict]:
@@ -335,6 +343,139 @@ class HyperbandStopper:
         return hook, state
 
 
+_VMAP_LR = "train.optimizer.lr"
+
+
+def vmap_sweep_plan(sweep: Dict[str, Any], trials: Optional[int],
+                    seed: int = 0):
+    """Validate a sweep for the vmapped executor and return
+    ``(lr_values, const_flat)``.
+
+    Eligible sweeps vary ONLY ``train.optimizer.lr`` (the per-member
+    learning rate is an injected optimizer-state leaf, so one compiled
+    program explores every rate — `training/ensemble.py::fit_ensemble`);
+    parameters pinned with ``value:`` become constant overrides. The sweep
+    metric must be ``val_loss`` (per-member best-val, the reference sweeps'
+    target, `/root/reference/sweeps/avmnist_mixer.yaml:3-5`) or a ``test_*``
+    metric from the task's score set. Anything else raises with the reason
+    so the caller can fall back to the sequential executor."""
+    consts: Dict[str, Any] = {}
+    lr_spec = None
+    for name, spec in sweep["parameters"].items():
+        if "value" in spec:
+            consts[name] = spec["value"]
+        elif name == _VMAP_LR:
+            lr_spec = spec
+        else:
+            raise ValueError(
+                f"--vmap supports sweeps over {_VMAP_LR} only; "
+                f"{name!r} varies (pin it with 'value:' or drop --vmap)")
+    if lr_spec is None:
+        raise ValueError(f"--vmap needs a swept {_VMAP_LR} parameter")
+    metric = sweep["metric"]
+    if metric != "val_loss" and not metric.startswith("test_"):
+        raise ValueError(
+            f"--vmap tracks per-trial val_loss and test_* metrics; the "
+            f"sweep metric {metric!r} is neither (drop --vmap)")
+    if sweep["method"] == "grid":
+        if "values" not in lr_spec:
+            raise ValueError(f"grid sweeps need a 'values' list on {_VMAP_LR}")
+        lrs = [float(v) for v in lr_spec["values"]]
+        if trials is not None:
+            lrs = lrs[:trials]
+    else:
+        # random draws; 'bayes' degrades to random — TPE proposals are
+        # sequential (each depends on observed results) and the whole point
+        # here is that every trial trains at once
+        rng = np.random.RandomState(seed)
+        lrs = [float(sample_value(lr_spec, rng))
+               for _ in range(10 if trials is None else trials)]
+    if not lrs:
+        raise ValueError("sweep produced no trials (was --trials 0, or an "
+                         "empty grid?)")
+    return lrs, consts
+
+
+def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
+                    out_dir: str, extra_overrides, epochs, verbose: bool,
+                    sign: float) -> dict:
+    """All trials as vmapped ensemble members in one compiled program."""
+    from . import config as cfg_lib
+    from . import datasets, models
+    from .training.ensemble import fit_ensemble
+
+    lrs, consts = vmap_sweep_plan(sweep, trials, seed)
+    if verbose:
+        if sweep["method"] == "bayes":
+            print("[sweep] --vmap: 'bayes' degrades to random draws (TPE "
+                  "proposals are sequential; all vmapped trials train at once)")
+        if sweep.get("early_terminate"):
+            print("[sweep] --vmap: early_terminate ignored — trials run "
+                  "lockstep in one program (per-trial EarlyStopping still "
+                  "applies); band-stopping saves no wall time here")
+        print(f"[sweep] --vmap: {len(lrs)} learning-rate trials in ONE "
+              f"compiled program: {lrs}")
+
+    cfg = cfg_lib.load(cfg_file)
+    merged = _nest(dict(consts))
+    if extra_overrides:
+        cfg_lib.deep_update(merged, _nest(dict(extra_overrides)))
+    cfg_lib.warn_unknown_overrides(cfg, merged)
+    for section in ("model", "train", "dataset"):
+        if section in merged:
+            cfg_lib.deep_update(cfg[section], merged[section])
+    if epochs is not None:
+        cfg.train.epochs = epochs
+    if cfg.dataset.params.get("num_workers", 0) == -1:
+        cfg.dataset.params.num_workers = os.cpu_count()
+
+    task = models.get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = datasets.get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    mesh = None
+    if int(cfg.train.get("mesh_data", 1)) not in (0, 1):
+        from .parallel import MeshConfig, make_mesh
+
+        mesh = make_mesh(MeshConfig(data=int(cfg.train.mesh_data), model=1))
+        if mesh.shape["data"] == 1:
+            mesh = None
+    result = fit_ensemble(task, dm, cfg.train, len(lrs), member_lrs=lrs,
+                          identical_seeds=True, mesh=mesh, verbose=verbose)
+
+    metric = sweep["metric"]
+    if metric == "val_loss":
+        values = np.asarray(result.val_losses, np.float64)
+    else:
+        values = np.asarray(result.metric(metric), np.float64)
+        if np.isnan(values).all():
+            avail = ["val_loss"] + sorted(result.scores[0]) if result.scores \
+                else ["val_loss"]
+            raise KeyError(f"metric {metric!r} was never computed; "
+                           f"available: {avail}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    with open(os.path.join(out_dir, "sweep_results.jsonl"), "w") as f:
+        for i, lr in enumerate(lrs):
+            row = {"trial": i, "params": {_VMAP_LR: lr, **consts},
+                   "metric": metric, "value": float(values[i]),
+                   "best_epoch": int(result.stop_epochs[i])}
+            results.append(row)
+            f.write(json.dumps(row) + "\n")
+            if verbose:
+                print(f"[sweep] trial {i}: {metric}={row['value']:.5f} "
+                      f"{{{_VMAP_LR}: {lr}}}")
+    best = min(results, key=lambda r: sign * r["value"])
+    if verbose:
+        print(f"[sweep] best trial {best['trial']}: "
+              f"{metric}={best['value']:.5f} {best['params']}")
+    summary = {"best": best, "results": results, "metric": metric,
+               "goal": sweep["goal"], "vmap": True,
+               "epochs_run": int(result.epochs_run)}
+    with open(os.path.join(out_dir, "sweep_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
 def _nest(flat: Dict[str, Any]) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for dotted, v in flat.items():
@@ -351,18 +492,29 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
               extra_overrides: Optional[Dict[str, Any]] = None,
               epochs: Optional[int] = None, verbose: bool = True,
               startup: int = _TPE_STARTUP,
-              early_terminate: bool = True) -> dict:
+              early_terminate: bool = True, vmap: bool = False) -> dict:
     """Execute a sweep locally; returns {'best': {...}, 'results': [...]}
     and writes ``sweep_results.jsonl`` under ``out_dir``. ``startup`` is the
     number of random warmup trials before ``method: bayes`` switches to TPE
     proposals (ignored by grid/random). A wandb ``early_terminate:
     {type: hyperband, ...}`` block in the sweep file stops underperforming
-    trials at band epochs (``early_terminate=False`` ignores it)."""
+    trials at band epochs (``early_terminate=False`` ignores it). ``vmap``
+    runs every trial simultaneously as vmapped ensemble members in one
+    compiled program — learning-rate-only sweeps on device-resident
+    datasets (see module docstring)."""
     from . import config as cfg_lib
     from . import datasets, models
     from .training import Trainer
 
     sweep = parse_sweep(sweep_path)
+    if vmap:
+        cfg_file = cfg_path or sweep["cfg"]
+        if cfg_file is None:
+            raise ValueError("sweep file has no '-c CFG' in command:; "
+                             "pass cfg_path")
+        sign_ = 1.0 if sweep["goal"] == "minimize" else -1.0
+        return _run_sweep_vmap(sweep, cfg_file, trials, seed, out_dir,
+                               extra_overrides, epochs, verbose, sign_)
     if sweep["method"] == "bayes" and verbose:
         print(f"[sweep] method 'bayes': local TPE ({startup} random warmup "
               "trials, then Parzen-ratio proposals)")
@@ -483,6 +635,11 @@ def main(argv=None):
                          "TPE proposals")
     ap.add_argument("--no-early-terminate", action="store_true",
                     help="ignore the sweep file's early_terminate block")
+    ap.add_argument("--vmap", action="store_true",
+                    help="train ALL trials simultaneously as vmapped "
+                         "ensemble members in one compiled program "
+                         "(train.optimizer.lr-only sweeps on "
+                         "device-resident datasets)")
     args, unknown = ap.parse_known_args(argv)
 
     from .config import from_cli, todict
@@ -504,7 +661,7 @@ def main(argv=None):
               cfg_path=args.cfg, out_dir=args.out,
               extra_overrides=flatten(extra), epochs=args.epochs,
               startup=args.startup,
-              early_terminate=not args.no_early_terminate)
+              early_terminate=not args.no_early_terminate, vmap=args.vmap)
 
 
 if __name__ == "__main__":

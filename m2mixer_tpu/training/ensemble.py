@@ -82,7 +82,12 @@ class EnsembleResult:
         return np.asarray([s.get(name, np.nan) for s in self.scores])
 
 
-def _member_keys(seed: int, n: int, reseed: bool):
+def _member_keys(seed: int, n: int, reseed: bool, identical: bool = False):
+    if identical:
+        # every member consumes the SAME stream (init, dropout, muting):
+        # the sweep semantics — sequential trials all run with the one
+        # cfg.train.seed, so differences are purely the swept value
+        return jnp.stack([jax.random.PRNGKey(seed)] * n)
     if reseed:
         return jnp.stack([jax.random.PRNGKey(seed + i) for i in range(n)])
     base = jax.random.PRNGKey(seed)
@@ -197,7 +202,7 @@ def _select_best(best_params, params, best_val, val):
 def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                  reseed: bool = False, metric_prefix: str = "test",
                  early_stopping_patience: int = 30,
-                 member_lrs=None, mesh=None,
+                 member_lrs=None, mesh=None, identical_seeds: bool = False,
                  verbose: bool = True) -> EnsembleResult:
     """Train ``n_members`` independent seeds of ``task`` simultaneously and
     return per-member test metrics (see module docstring for semantics).
@@ -212,7 +217,14 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     axis across devices — members are embarrassingly parallel (zero
     cross-member communication), so seed studies scale near-linearly over
     chips: each device trains ``n / mesh.shape['data']`` members while the
-    data pools stay replicated. Requires ``n % mesh.shape['data'] == 0``."""
+    data pools stay replicated. Requires ``n % mesh.shape['data'] == 0``.
+
+    ``identical_seeds``: every member shares ONE RNG stream (same init, same
+    dropout draws) — the hyperparameter-sweep protocol, where sequential
+    trials all run with the single ``cfg.train.seed`` and differ only in the
+    swept value. Mutually exclusive with ``reseed``."""
+    if identical_seeds and reseed:
+        raise ValueError("identical_seeds and reseed are mutually exclusive")
     if getattr(task, "use_gradblend", False):
         raise ValueError("ensemble training does not support GradBlend "
                          "(per-member nested sub-training); use the "
@@ -248,7 +260,8 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     try:
         return _fit_ensemble_inner(
             task, datamodule, train_cfg, n_members, reseed, metric_prefix,
-            early_stopping_patience, member_lrs, mesh, verbose)
+            early_stopping_patience, member_lrs, mesh, identical_seeds,
+            verbose)
     finally:
         if _restore_pipe:
             set_pipeline_mesh(_prev_pipe)
@@ -256,7 +269,8 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
 
 def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
                         reseed, metric_prefix, early_stopping_patience,
-                        member_lrs, mesh, verbose) -> EnsembleResult:
+                        member_lrs, mesh, identical_seeds,
+                        verbose) -> EnsembleResult:
     datamodule.setup("fit")
     datamodule.setup("test")
     for stage in ("train", "val", "test"):
@@ -293,7 +307,7 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
 
     sample = next(iter(datamodule.train_batches()))
     task.bind_trace_flavors()
-    keys = shard_members(_member_keys(seed, n, reseed))
+    keys = shard_members(_member_keys(seed, n, reseed, identical_seeds))
 
     def init_one(rng):
         rngs = {"params": rng}

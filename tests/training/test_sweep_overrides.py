@@ -479,3 +479,136 @@ def test_local_sweep_hyperband_e2e(tmp_path):
     out2 = run_sweep(sweep_path, out_dir=os.path.join(tmp_path, "hb_off"),
                      epochs=1, trials=1, verbose=False, early_terminate=False)
     assert all("stopped_band" not in r for r in out2["results"])
+
+
+def test_vmap_sweep_plan_validation():
+    """Eligibility rules for the vmapped executor: LR-only sweeps pass
+    (value:-pinned constants allowed), anything else is rejected with the
+    reason, and the trial list respects method/trials."""
+    import numpy as np
+    import pytest
+
+    from m2mixer_tpu.sweep import vmap_sweep_plan
+
+    base = {"method": "grid", "metric": "val_loss", "goal": "minimize"}
+    lrs, consts = vmap_sweep_plan(dict(base, parameters={
+        "train.optimizer.lr": {"values": [1e-3, 1e-2]},
+        "model.dropout": {"value": 0.1},
+    }), trials=None)
+    assert lrs == [1e-3, 1e-2]
+    assert consts == {"model.dropout": 0.1}
+
+    # trials caps the grid
+    lrs, _ = vmap_sweep_plan(dict(base, parameters={
+        "train.optimizer.lr": {"values": [1e-3, 1e-2, 1e-1]}}), trials=2)
+    assert lrs == [1e-3, 1e-2]
+
+    # a second VARYING parameter is rejected with its name in the message
+    with pytest.raises(ValueError, match="model.dropout"):
+        vmap_sweep_plan(dict(base, parameters={
+            "train.optimizer.lr": {"values": [1e-3]},
+            "model.dropout": {"values": [0.1, 0.2]}}), trials=None)
+
+    # no swept lr at all
+    with pytest.raises(ValueError, match="train.optimizer.lr"):
+        vmap_sweep_plan(dict(base, parameters={
+            "model.dropout": {"value": 0.1}}), trials=None)
+
+    # metric must be val_loss or test_*
+    with pytest.raises(ValueError, match="train_loss"):
+        vmap_sweep_plan(dict(base, metric="train_loss", parameters={
+            "train.optimizer.lr": {"values": [1e-3]}}), trials=None)
+    vmap_sweep_plan(dict(base, metric="test_acc", parameters={
+        "train.optimizer.lr": {"values": [1e-3]}}), trials=None)
+
+    # random draws honor the distribution bounds and the trial count
+    lrs, _ = vmap_sweep_plan(dict(base, method="random", parameters={
+        "train.optimizer.lr": {"distribution": "log_uniform_values",
+                               "min": 1e-4, "max": 1e-1}}), trials=7, seed=3)
+    assert len(lrs) == 7
+    assert all(1e-4 <= v <= 1e-1 for v in lrs)
+    assert len(set(np.round(np.log10(lrs), 6))) > 1
+
+
+def test_identical_seed_member_keys():
+    """identical_seeds gives every member the SAME stream (the sweep
+    protocol: sequential trials share cfg.train.seed)."""
+    import numpy as np
+
+    from m2mixer_tpu.training.ensemble import _member_keys
+
+    keys = np.asarray(_member_keys(7, 4, reseed=False, identical=True))
+    assert (keys == keys[0]).all()
+    distinct = np.asarray(_member_keys(7, 4, reseed=False, identical=False))
+    assert not (distinct == distinct[0]).all()
+
+
+def test_vmap_sweep_end_to_end(tmp_path):
+    """--vmap trains every LR trial in one compiled program and ranks them:
+    a sane rate must beat a divergent one, rows/artifacts match the
+    sequential executor's schema, and constants reach the config."""
+    import json
+
+    import numpy as np
+
+    from m2mixer_tpu.sweep import run_sweep
+
+    cfg_path = _write_cfg(str(tmp_path))
+    sweep_path = os.path.join(tmp_path, "sweep_vmap.yml")
+    with open(sweep_path, "w") as f:
+        yaml.safe_dump({
+            "method": "grid",
+            "metric": {"name": "val_loss", "goal": "minimize"},
+            "command": ["python", "run.py", "-c", cfg_path],
+            # early_terminate must be IGNORED (lockstep program), not fatal
+            "early_terminate": {"type": "hyperband", "min_iter": 1},
+            "parameters": {
+                "train": {"parameters": {"optimizer": {"parameters": {
+                    "lr": {"values": [1e-3, 25.0]}}}}},
+                "model": {"parameters": {"dropout": {"value": 0.0}}},
+            },
+        }, f)
+    out = run_sweep(sweep_path, out_dir=os.path.join(tmp_path, "vmap_out"),
+                    epochs=2, verbose=False, vmap=True)
+    assert out["vmap"] is True
+    assert len(out["results"]) == 2
+    assert out["metric"] == "val_loss"
+    by_lr = {r["params"]["train.optimizer.lr"]: r["value"]
+             for r in out["results"]}
+    assert set(by_lr) == {1e-3, 25.0}
+    assert all(np.isfinite(v) for v in by_lr.values())
+    # the divergent rate must lose; best trial is the sane one
+    assert by_lr[1e-3] < by_lr[25.0]
+    assert out["best"]["params"]["train.optimizer.lr"] == 1e-3
+    # constants recorded on every row
+    assert all(r["params"]["model.dropout"] == 0.0 for r in out["results"])
+    # artifacts: jsonl rows + summary json, same schema as sequential
+    rows = [json.loads(l) for l in open(
+        os.path.join(tmp_path, "vmap_out", "sweep_results.jsonl"))]
+    assert [r["trial"] for r in rows] == [0, 1]
+    assert all("best_epoch" in r for r in rows)
+    summary = json.load(open(
+        os.path.join(tmp_path, "vmap_out", "sweep_summary.json")))
+    assert summary["best"] == out["best"]
+
+
+def test_vmap_sweep_rejects_non_lr(tmp_path):
+    """A sweep varying anything besides the LR fails loudly under --vmap."""
+    import pytest
+
+    from m2mixer_tpu.sweep import run_sweep
+
+    cfg_path = _write_cfg(str(tmp_path))
+    sweep_path = os.path.join(tmp_path, "sweep_bad.yml")
+    with open(sweep_path, "w") as f:
+        yaml.safe_dump({
+            "method": "grid",
+            "metric": {"name": "val_loss", "goal": "minimize"},
+            "command": ["python", "run.py", "-c", cfg_path],
+            "parameters": {
+                "model": {"parameters": {"dropout": {"values": [0.0, 0.3]}}},
+            },
+        }, f)
+    with pytest.raises(ValueError, match="--vmap"):
+        run_sweep(sweep_path, out_dir=os.path.join(tmp_path, "bad_out"),
+                  epochs=1, verbose=False, vmap=True)
