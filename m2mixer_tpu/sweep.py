@@ -396,6 +396,18 @@ def vmap_sweep_plan(sweep: Dict[str, Any], trials: Optional[int],
     return lrs, consts
 
 
+def _trial_rank_key(sign: float):
+    """Ranking key that treats non-finite trial values as worst.
+
+    Divergent learning rates — exactly what LR sweeps contain — produce NaN
+    val losses; ``min(..., key=lambda r: sign * r["value"])`` would return
+    the FIRST row whenever its key is NaN (every NaN comparison is False),
+    reporting a diverged trial as the sweep's best.
+    """
+    return lambda r: (sign * r["value"] if math.isfinite(r["value"])
+                      else math.inf)
+
+
 def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
                     out_dir: str, extra_overrides, epochs, verbose: bool,
                     sign: float) -> dict:
@@ -421,6 +433,13 @@ def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
     if extra_overrides:
         cfg_lib.deep_update(merged, _nest(dict(extra_overrides)))
     cfg_lib.warn_unknown_overrides(cfg, merged)
+    for section in merged:
+        if section not in ("model", "train", "dataset"):
+            # same contract as the sequential executor: constants outside the
+            # mergeable sections never reach the config, so say so instead of
+            # silently recording them in every result row's params
+            print(f"[sweep] WARNING: parameter section {section!r} is not "
+                  f"model/train/dataset — it will be IGNORED by every trial")
     for section in ("model", "train", "dataset"):
         if section in merged:
             cfg_lib.deep_update(cfg[section], merged[section])
@@ -464,7 +483,7 @@ def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
             if verbose:
                 print(f"[sweep] trial {i}: {metric}={row['value']:.5f} "
                       f"{{{_VMAP_LR}: {lr}}}")
-    best = min(results, key=lambda r: sign * r["value"])
+    best = min(results, key=_trial_rank_key(sign))
     if verbose:
         print(f"[sweep] best trial {best['trial']}: "
               f"{metric}={best['value']:.5f} {best['params']}")
@@ -607,7 +626,7 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
     if not results:
         raise ValueError("sweep produced no trials (was --trials 0, or an "
                          "empty grid?)")
-    best = min(results, key=lambda r: sign * r["value"])
+    best = min(results, key=_trial_rank_key(sign))
     if verbose:
         print(f"[sweep] best trial {best['trial']}: "
               f"{sweep['metric']}={best['value']:.5f} {best['params']}")

@@ -195,8 +195,11 @@ def _select_best(best_params, params, best_val, val):
         ix = (slice(None),) + (None,) * (p.ndim - 1)
         return jnp.where(improved[ix], p, b)
 
+    # fmin (not minimum): a diverged member whose val loss goes NaN must not
+    # poison its best_val permanently — NaN epochs are ignored, and the
+    # member's best stays the last finite value it achieved
     return (jax.tree.map(pick, best_params, params),
-            jnp.minimum(best_val, val))
+            jnp.fmin(best_val, val))
 
 
 def fit_ensemble(task, datamodule, train_cfg, n_members: int,
@@ -397,10 +400,21 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
                          for k, v in task.make_ctx(epoch, "train").items()})
         shuffle = datamodule.train_shuffle_enabled()
         n_full = (datamodule.split_size("train") // bs) * bs
-        orders = np.stack([
-            np.asarray(datamodule.epoch_order("train", shuffle))[:n_full]
-            for _ in range(n)
-        ])
+        if identical_seeds:
+            # identical_seeds promises "trials differ only in the injected
+            # hyperparameters": draw ONE epoch order (one _rng advance per
+            # epoch, exactly like each sequential same-seed run) and share
+            # it across the member axis. Per-member draws would advance the
+            # shared datamodule RNG n times per epoch, giving every member
+            # a different shuffle order and adding data-order noise to
+            # cross-trial comparisons.
+            order = np.asarray(datamodule.epoch_order("train", shuffle))
+            orders = np.tile(order[None, :n_full], (n, 1))
+        else:
+            orders = np.stack([
+                np.asarray(datamodule.epoch_order("train", shuffle))[:n_full]
+                for _ in range(n)
+            ])
         w_dev = shard_members(jnp.asarray(member_weights))
         params, opt_state, tr_losses = train_epoch(
             params, opt_state, arrays["train"],

@@ -369,3 +369,39 @@ def test_export_ensemble_serving_composes_with_int8(tmp_path):
     # quantization actually shrank the payload
     assert (os.path.getsize(os.path.join(d_q, "params.pkl"))
             < 0.5 * os.path.getsize(os.path.join(d_f, "params.pkl")))
+
+
+def test_identical_seeds_share_one_epoch_order():
+    """ADVICE r2 regression: identical_seeds promises trials differ ONLY in
+    the injected hyperparameters. With equal member LRs every member must
+    therefore train bit-identically — one shared shuffle order per epoch
+    (one datamodule RNG advance, like sequential same-seed runs), not n
+    per-member draws that add data-order noise to cross-trial comparisons."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=3, learnable="true"))
+    task, dm = _build(cfg)
+    res = fit_ensemble(task, dm, cfg.train, 3, verbose=False,
+                       member_lrs=[3e-3, 3e-3, 3e-3], identical_seeds=True)
+    vl = np.asarray(res.val_losses)
+    assert np.allclose(vl, vl[0]), vl
+    accs = res.metric("test_acc")
+    assert np.allclose(accs, accs[0]), accs
+
+
+def test_select_best_ignores_nan_epochs():
+    """ADVICE r2 regression: a diverged member's NaN val loss must not
+    poison its best_val (jnp.minimum propagates NaN; fmin ignores it)."""
+    import jax.numpy as jnp
+
+    from m2mixer_tpu.training.ensemble import _select_best
+
+    best_p = {"w": jnp.asarray([[1.0], [2.0]])}
+    cur_p = {"w": jnp.asarray([[10.0], [20.0]])}
+    best_v = jnp.asarray([0.5, 0.5])
+    val = jnp.asarray([jnp.nan, 0.25])
+    new_p, new_v = _select_best(best_p, cur_p, best_v, val)
+    assert np.allclose(np.asarray(new_v), [0.5, 0.25])
+    # member 0 keeps its finite-best params; member 1 takes the improvement
+    assert np.allclose(np.asarray(new_p["w"]), [[1.0], [20.0]])

@@ -612,3 +612,18 @@ def test_vmap_sweep_rejects_non_lr(tmp_path):
     with pytest.raises(ValueError, match="--vmap"):
         run_sweep(sweep_path, out_dir=os.path.join(tmp_path, "bad_out"),
                   epochs=1, verbose=False, vmap=True)
+
+
+def test_nan_trials_never_rank_best():
+    """ADVICE r2 regression: a divergent trial whose metric is NaN must not
+    be reported as the sweep's best (NaN keys make min() return the first
+    row). Non-finite values rank worst under both goals."""
+    from m2mixer_tpu.sweep import _trial_rank_key
+
+    results = [{"trial": 0, "value": float("nan")},
+               {"trial": 1, "value": 0.4},
+               {"trial": 2, "value": 0.6}]
+    assert min(results, key=_trial_rank_key(1.0))["trial"] == 1   # minimize
+    assert min(results, key=_trial_rank_key(-1.0))["trial"] == 2  # maximize
+    all_nan = [{"trial": 0, "value": float("nan")}]
+    assert min(all_nan, key=_trial_rank_key(1.0))["trial"] == 0
