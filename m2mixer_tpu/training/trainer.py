@@ -932,17 +932,15 @@ class Trainer:
 
     # ------------------------------------------------------------- MFU meter
     def _train_mfu(self, samples_per_sec: float) -> Optional[float]:
-        """train.log_mfu: ``samples/s * FLOPs/sample / bf16 peak``, with the
-        per-sample FLOPs asked of XLA's cost model for the compiled train
-        step (``utils/flops.py``). Single-device meshes only — under SPMD
-        the cost model reports per-partition FLOPs, which would need
-        topology bookkeeping this meter doesn't claim."""
-        if self.mesh.size != 1:
-            if not getattr(self, "_warned_mfu", False):
-                print("[trainer] train.log_mfu is single-device only "
-                      "(SPMD cost analysis is per-partition); skipping")
-                self._warned_mfu = True
-            return None
+        """train.log_mfu: ``samples/s * FLOPs/sample / aggregate bf16 peak``,
+        with the per-sample FLOPs asked of XLA's cost model for the compiled
+        train step (``utils/flops.py``). Under SPMD the cost model reports
+        ONE partition's FLOPs (the program every device runs), so the total
+        is per-partition x mesh size and the peak is per-chip peak x mesh
+        size — the meter works on exactly the meshes where MFU matters.
+        (With TP/SP the partition sum counts what the devices actually
+        execute, so redundant compute reads as utilization, matching the
+        hardware-counter MFU convention.)"""
         # cache keyed on the live step closures: test()/refit may rebuild
         # _train_step for a new task or batch geometry, and the FLOPs of the
         # old executable must not leak onto the new one
@@ -957,11 +955,18 @@ class Trainer:
             return None
         from ..utils.flops import peak_flops
 
-        return samples_per_sec * self._mfu_flops_per_sample / peak_flops(jax.devices()[0])
+        peak = peak_flops(jax.devices()[0]) * self.mesh.size
+        return samples_per_sec * self._mfu_flops_per_sample / peak
 
     def _measure_step_flops(self) -> Optional[float]:
         """FLOPs per training sample from XLA's cost analysis of the
-        per-step executable (same math the epoch scan runs per step)."""
+        per-step executable (same math the epoch scan runs per step).
+
+        Specs carry the LIVE arrays' shardings (params/opt_state as placed
+        by ``shard_params``, the batch as ``_put_batch`` lays it out), so
+        under SPMD the lowered program is the same partitioned executable
+        the fit loop runs and the cost model prices one partition of it;
+        the return value is the all-partition total per GLOBAL sample."""
         from ..utils.flops import compiled_step_flops
 
         dm = self.datamodule
@@ -969,28 +974,44 @@ class Trainer:
                 or not getattr(dm, "splits", None) or "train" not in dm.splits):
             return None
 
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh_devices = set(np.asarray(self.mesh.devices).flat)
+        replicated = NamedSharding(self.mesh, P())
+
         def spec(x):
             dt = getattr(x, "dtype", None)
             if dt is None:
                 dt = np.asarray(x).dtype
-            return jax.ShapeDtypeStruct(tuple(np.shape(x)), dt)
+            sh = getattr(x, "sharding", None)
+            if self.mesh.size > 1:
+                # leaves living off the mesh (e.g. the injected lr scalar,
+                # committed to one device) would make the lowered program's
+                # device sets incompatible — price them as mesh-replicated
+                if sh is None or set(getattr(sh, "device_set", ())) != mesh_devices:
+                    sh = replicated
+            else:
+                sh = None
+            return jax.ShapeDtypeStruct(tuple(np.shape(x)), dt, sharding=sh)
 
         bs = dm.batch_size
-        # canonicalize host dtypes (f64 -> f32 etc.) exactly as the live
-        # device_put in _put_batch does, so the lowered program matches the
-        # jit path's and the persistent compile cache can hit
-        batch_spec = {
-            k: jax.ShapeDtypeStruct((bs, *np.shape(v)[1:]),
-                                    jax.dtypes.canonicalize_dtype(v.dtype))
-            for k, v in dm.splits["train"].items()
-        }
+        # canonicalize host dtypes (f64 -> f32 etc.) and the device layout
+        # exactly as the live path does (_put_batch shards the leading axis
+        # over the mesh 'data' axis), so the lowered program matches the jit
+        # path's and the persistent compile cache can hit
+        sample = {k: np.asarray(v[:bs]) for k, v in dm.splits["train"].items()}
+        batch_spec = jax.tree.map(spec, self._put_batch(sample))
         # jnp.asarray matches _put_ctx's dtype canonicalization (f64 -> f32)
         ctx_spec = {k: spec(jnp.asarray(v))
                     for k, v in self.task.make_ctx(0, "train").items()}
         flops = compiled_step_flops(
             self._train_step, jax.tree.map(spec, self.params),
             jax.tree.map(spec, self.opt_state), batch_spec, ctx_spec, 0)
-        return None if flops is None else flops / bs
+        if flops is None:
+            return None
+        # SPMD cost analysis prices one partition; every device runs it
+        return flops * self.mesh.size / bs
 
     # ------------------------------------------------------------------ fit
     def _install_preempt_handler(self):

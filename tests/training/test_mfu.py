@@ -56,8 +56,18 @@ def test_mfu_logged_single_device(tmp_path):
     assert 1e4 < fps < 1e9, fps
 
 
-def test_mfu_skipped_on_mesh(tmp_path):
-    """SPMD cost analysis is per-partition; the meter declines rather than
-    reporting a wrong number (warning printed once, no train_mfu key)."""
-    trainer = _run(tmp_path, mesh=MeshConfig(data=4, model=1))
-    assert "train_mfu" not in trainer.callback_metrics
+def test_mfu_logged_on_mesh(tmp_path):
+    """SPMD cost analysis prices ONE partition; the meter scales it by the
+    mesh size (and the peak by the chip count) so train_mfu is logged on
+    exactly the meshes where MFU matters. Per-GLOBAL-sample FLOPs must
+    agree with the single-device measurement (the partitioned program runs
+    bs/N samples per device at ~1/N the FLOPs)."""
+    single = _run(tmp_path)
+    sharded = _run(tmp_path, mesh=MeshConfig(data=4, model=1))
+    mfu = sharded.callback_metrics.get("train_mfu")
+    assert mfu is not None and np.isfinite(mfu) and mfu > 0
+    fps_single = single._mfu_flops_per_sample
+    fps_sharded = sharded._mfu_flops_per_sample
+    # DP partitioning replicates the math over 1/N of the batch: per-sample
+    # totals agree up to partitioning overhead (collectives add no flops)
+    assert 0.7 < fps_sharded / fps_single < 1.5, (fps_single, fps_sharded)
