@@ -23,15 +23,19 @@ the observed trials (per-parameter, log space for log distributions,
 count-smoothed categoricals) — so the sequential search the reference
 delegates to wandb's hosted controller runs entirely offline here.
 
-``--vmap`` (learning-rate-only sweeps on device-resident datasets): ALL
+``--vmap`` (optimizer-scalar sweeps on device-resident datasets): ALL
 trials train simultaneously as vmapped ensemble members in ONE compiled
 program (`training/ensemble.py`) — the TPU-native answer to a sequential
 agent, measured ~7.7x on the 10-run significance study of the same engine.
-Every trial shares the single ``cfg.train.seed`` RNG stream (identical
-init/dropout draws, exactly like sequential trials), so differences are
-purely the learning rate; per-trial EarlyStopping/plateau-LR run as in the
-sequential protocol. Constant parameters (``value:`` specs) are applied as
-overrides; any other swept parameter is rejected with the reason.
+Sweepable axes: ``train.optimizer.lr`` / ``weight_decay`` / ``ema_decay``
+(injected per-member optimizer-state leaves) and ``sam_rho`` (a traced
+per-member step scalar); grid sweeps cross-product the axes. Every trial
+shares the single ``cfg.train.seed`` RNG stream AND the per-epoch shuffle
+order (identical init/dropout/data draws, exactly like sequential trials),
+so differences are purely the swept values; per-trial EarlyStopping/
+plateau-LR run as in the sequential protocol. Constant parameters
+(``value:`` specs) are applied as overrides; any other swept parameter is
+rejected with the reason.
 """
 
 from __future__ import annotations
@@ -344,56 +348,76 @@ class HyperbandStopper:
 
 
 _VMAP_LR = "train.optimizer.lr"
+#: dotted config name -> fit_ensemble member_hparams axis. Every axis rides
+#: the member vmap without retracing: lr/weight_decay/ema_decay as injected
+#: per-member optimizer-state leaves, sam_rho as a traced step scalar
+#: (training/ensemble.py::fit_ensemble).
+_VMAP_AXES = {
+    "train.optimizer.lr": "learning_rate",
+    "train.optimizer.weight_decay": "weight_decay",
+    "train.optimizer.ema_decay": "ema_decay",
+    "train.optimizer.sam_rho": "sam_rho",
+}
 
 
 def vmap_sweep_plan(sweep: Dict[str, Any], trials: Optional[int],
                     seed: int = 0):
     """Validate a sweep for the vmapped executor and return
-    ``(lr_values, const_flat)``.
+    ``(axes, const_flat)`` with ``axes = {dotted_name: per-trial values}``
+    (every list the same length = the member count).
 
-    Eligible sweeps vary ONLY ``train.optimizer.lr`` (the per-member
-    learning rate is an injected optimizer-state leaf, so one compiled
-    program explores every rate — `training/ensemble.py::fit_ensemble`);
-    parameters pinned with ``value:`` become constant overrides. The sweep
-    metric must be ``val_loss`` (per-member best-val, the reference sweeps'
-    target, `/root/reference/sweeps/avmnist_mixer.yaml:3-5`) or a ``test_*``
-    metric from the task's score set. Anything else raises with the reason
-    so the caller can fall back to the sequential executor."""
+    Eligible sweeps vary only optimizer scalars that ride the member axis
+    of ONE compiled program (``_VMAP_AXES``); parameters pinned with
+    ``value:`` become constant overrides. Grid sweeps cross-product the
+    swept axes (wandb grid semantics) capped at ``trials``; random sweeps
+    draw each axis independently per trial. The sweep metric must be
+    ``val_loss`` (per-member best-val, the reference sweeps' target,
+    `/root/reference/sweeps/avmnist_mixer.yaml:3-5`) or a ``test_*`` metric
+    from the task's score set. Anything else raises with the reason so the
+    caller can fall back to the sequential executor."""
     consts: Dict[str, Any] = {}
-    lr_spec = None
+    swept: Dict[str, dict] = {}
     for name, spec in sweep["parameters"].items():
         if "value" in spec:
             consts[name] = spec["value"]
-        elif name == _VMAP_LR:
-            lr_spec = spec
+        elif name in _VMAP_AXES:
+            swept[name] = spec
         else:
             raise ValueError(
-                f"--vmap supports sweeps over {_VMAP_LR} only; "
+                f"--vmap supports sweeps over {sorted(_VMAP_AXES)} only; "
                 f"{name!r} varies (pin it with 'value:' or drop --vmap)")
-    if lr_spec is None:
-        raise ValueError(f"--vmap needs a swept {_VMAP_LR} parameter")
+    if not swept:
+        raise ValueError(f"--vmap needs at least one swept parameter from "
+                         f"{sorted(_VMAP_AXES)}")
     metric = sweep["metric"]
     if metric != "val_loss" and not metric.startswith("test_"):
         raise ValueError(
             f"--vmap tracks per-trial val_loss and test_* metrics; the "
             f"sweep metric {metric!r} is neither (drop --vmap)")
     if sweep["method"] == "grid":
-        if "values" not in lr_spec:
-            raise ValueError(f"grid sweeps need a 'values' list on {_VMAP_LR}")
-        lrs = [float(v) for v in lr_spec["values"]]
+        bad = [k for k, s in swept.items() if "values" not in s]
+        if bad:
+            raise ValueError(f"grid sweeps need a 'values' list on {bad}")
+        names = list(swept)
+        combos = list(itertools.product(
+            *[[float(v) for v in swept[k]["values"]] for k in names]))
         if trials is not None:
-            lrs = lrs[:trials]
+            combos = combos[:trials]
+        axes = {k: [c[i] for c in combos] for i, k in enumerate(names)}
     else:
         # random draws; 'bayes' degrades to random — TPE proposals are
         # sequential (each depends on observed results) and the whole point
         # here is that every trial trains at once
         rng = np.random.RandomState(seed)
-        lrs = [float(sample_value(lr_spec, rng))
-               for _ in range(10 if trials is None else trials)]
-    if not lrs:
+        count = 10 if trials is None else trials
+        axes = {k: [] for k in swept}
+        for _ in range(count):
+            for k, s in swept.items():
+                axes[k].append(float(sample_value(s, rng)))
+    if not next(iter(axes.values())):
         raise ValueError("sweep produced no trials (was --trials 0, or an "
                          "empty grid?)")
-    return lrs, consts
+    return axes, consts
 
 
 def _trial_rank_key(sign: float):
@@ -416,7 +440,8 @@ def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
     from . import datasets, models
     from .training.ensemble import fit_ensemble
 
-    lrs, consts = vmap_sweep_plan(sweep, trials, seed)
+    axes, consts = vmap_sweep_plan(sweep, trials, seed)
+    n_trials = len(next(iter(axes.values())))
     if verbose:
         if sweep["method"] == "bayes":
             print("[sweep] --vmap: 'bayes' degrades to random draws (TPE "
@@ -425,8 +450,8 @@ def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
             print("[sweep] --vmap: early_terminate ignored — trials run "
                   "lockstep in one program (per-trial EarlyStopping still "
                   "applies); band-stopping saves no wall time here")
-        print(f"[sweep] --vmap: {len(lrs)} learning-rate trials in ONE "
-              f"compiled program: {lrs}")
+        print(f"[sweep] --vmap: {n_trials} trials over "
+              f"{sorted(axes)} in ONE compiled program")
 
     cfg = cfg_lib.load(cfg_file)
     merged = _nest(dict(consts))
@@ -457,7 +482,9 @@ def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
         mesh = make_mesh(MeshConfig(data=int(cfg.train.mesh_data), model=1))
         if mesh.shape["data"] == 1:
             mesh = None
-    result = fit_ensemble(task, dm, cfg.train, len(lrs), member_lrs=lrs,
+    member_hparams = {_VMAP_AXES[k]: v for k, v in axes.items()}
+    result = fit_ensemble(task, dm, cfg.train, n_trials,
+                          member_hparams=member_hparams,
                           identical_seeds=True, mesh=mesh, verbose=verbose)
 
     metric = sweep["metric"]
@@ -474,15 +501,16 @@ def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
     os.makedirs(out_dir, exist_ok=True)
     results = []
     with open(os.path.join(out_dir, "sweep_results.jsonl"), "w") as f:
-        for i, lr in enumerate(lrs):
-            row = {"trial": i, "params": {_VMAP_LR: lr, **consts},
+        for i in range(n_trials):
+            trial_axes = {k: axes[k][i] for k in axes}
+            row = {"trial": i, "params": {**trial_axes, **consts},
                    "metric": metric, "value": float(values[i]),
                    "best_epoch": int(result.stop_epochs[i])}
             results.append(row)
             f.write(json.dumps(row) + "\n")
             if verbose:
                 print(f"[sweep] trial {i}: {metric}={row['value']:.5f} "
-                      f"{{{_VMAP_LR}: {lr}}}")
+                      f"{trial_axes}")
     best = min(results, key=_trial_rank_key(sign))
     if verbose:
         print(f"[sweep] best trial {best['trial']}: "

@@ -38,7 +38,11 @@ def sam_value_and_grad(loss_fn, params, rho: float, masker=None, frozen=None):
     measured only in the trainable subspace. Shared by every train path
     (per-step, accumulation, epoch scan, ensemble vmap)."""
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    if not rho:
+    # a traced rho (the ensemble's per-member sam_rho sweep axis) cannot be
+    # branched on — fall through to the SAM math, which is exact for rho=0
+    # too (scale 0 -> adv == params); the static-0 early exit keeps plain
+    # runs at one backward pass
+    if isinstance(rho, (int, float)) and not rho:
         return (loss, aux), grads
     ascent = masker(grads, frozen) if masker is not None else grads
     norm = optax.global_norm(ascent)

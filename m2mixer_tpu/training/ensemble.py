@@ -105,28 +105,37 @@ def _pad_order(n: int, bs: int) -> np.ndarray:
 
 
 def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
-                      per_member_weights: bool = False):
+                      per_member_weights: bool = False,
+                      member_sam: bool = False):
     """``per_member_weights``: each member trains with ITS OWN traced
     loss-weight vector (``member_weights`` (N, n_branches) overrides
     ``ctx['loss_weights']`` inside the vmap) — the per-member SoftAdapt
     path; the host refits each member's weights from its own val-loss
-    histories between epochs."""
+    histories between epochs.
+
+    ``member_sam``: each member perturbs with ITS OWN traced ``sam_rho``
+    (``member_rhos`` (N,)) — the sweep axis; the SAM branch is then always
+    traced (exact for rho=0, at the two-backward cost for every member)."""
     from .compiled import (make_grad_masker, pcgrad_value_and_grad,
                            sam_value_and_grad)
 
     masker = make_grad_masker(frozen_mask)
     sam_rho = float(task.optimizer_cfg.get("sam_rho", 0.0) or 0.0)
     pcgrad = bool(task.optimizer_cfg.get("pcgrad", False))
+    if member_sam and pcgrad:
+        raise ValueError("per-member sam_rho cannot be combined with "
+                         "train.optimizer.pcgrad (same exclusion as the "
+                         "sequential trainer)")
 
     def epoch(params, opt_state, arrays, orders, ctx, member_keys, active,
-              member_weights, start_step):
+              member_weights, member_rhos, start_step):
         task.bind_trace_flavors()
         n_steps = orders.shape[1] // bs
 
         def body(carry, i):
             params, opt_state = carry
 
-            def member(p, o, key, order_m, act, w_m):
+            def member(p, o, key, order_m, act, w_m, rho_m):
                 idx = jax.lax.dynamic_slice_in_dim(order_m, i * bs, bs)
                 batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
                 step_rngs = {
@@ -143,7 +152,8 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
                 else:
                     (loss, aux), grads = sam_value_and_grad(
                         lambda q: task.step(q, batch, ctx_m, step_rngs, train=True),
-                        p, sam_rho, masker, ctx["frozen"])
+                        p, rho_m if member_sam else sam_rho,
+                        masker, ctx["frozen"])
                 frozen = ctx["frozen"]
                 grads = masker(grads, frozen)
                 updates, o_new = optimizer.update(grads, o, p)
@@ -155,7 +165,8 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
                 return optax.apply_updates(p, updates), o_new, loss
 
             params, opt_state, losses = jax.vmap(member)(
-                params, opt_state, member_keys, orders, active, member_weights)
+                params, opt_state, member_keys, orders, active,
+                member_weights, member_rhos)
             return (params, opt_state), losses
 
         (params, opt_state), losses = jax.lax.scan(
@@ -206,6 +217,7 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
                  reseed: bool = False, metric_prefix: str = "test",
                  early_stopping_patience: int = 30,
                  member_lrs=None, mesh=None, identical_seeds: bool = False,
+                 member_hparams=None,
                  verbose: bool = True) -> EnsembleResult:
     """Train ``n_members`` independent seeds of ``task`` simultaneously and
     return per-member test metrics (see module docstring for semantics).
@@ -215,6 +227,16 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     compiled program (the LR is an injected per-member optimizer-state leaf,
     so no retrace; each member's plateau scheduler decays from its own
     starting point).
+
+    ``member_hparams``: ``{name: (N,) values}`` generalizes the sweep axis
+    beyond the LR — every name rides the member axis in ONE compiled
+    program. Supported: ``learning_rate`` (same mechanism as
+    ``member_lrs``), ``weight_decay`` / ``ema_decay`` (injected per-member
+    optimizer-state leaves, `trainer._make_optimizer(inject=...)`), and
+    ``sam_rho`` (a traced per-member scalar in the SAM ascent — every
+    member then pays SAM's second backward, exact for rho=0). Anything
+    else raises with the reason (genuinely retrace-forcing parameters
+    belong to the sequential executor).
 
     ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis shards the MEMBER
     axis across devices — members are embarrassingly parallel (zero
@@ -264,16 +286,22 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
         return _fit_ensemble_inner(
             task, datamodule, train_cfg, n_members, reseed, metric_prefix,
             early_stopping_patience, member_lrs, mesh, identical_seeds,
-            verbose)
+            member_hparams, verbose)
     finally:
         if _restore_pipe:
             set_pipeline_mesh(_prev_pipe)
 
 
+#: member_hparams axes that ride as injected optimizer-state leaves
+_INJECTED_HPARAMS = ("learning_rate", "weight_decay", "ema_decay")
+#: all supported member_hparams axes (sam_rho is a traced step scalar)
+SWEEPABLE_HPARAMS = _INJECTED_HPARAMS + ("sam_rho",)
+
+
 def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
                         reseed, metric_prefix, early_stopping_patience,
                         member_lrs, mesh, identical_seeds,
-                        verbose) -> EnsembleResult:
+                        member_hparams, verbose) -> EnsembleResult:
     datamodule.setup("fit")
     datamodule.setup("test")
     for stage in ("train", "val", "test"):
@@ -324,15 +352,51 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
 
     from .trainer import _make_optimizer
 
-    optimizer, lr0 = _make_optimizer(task.optimizer_cfg)
-    opt_state = shard_members(jax.jit(jax.vmap(optimizer.init))(params))
+    # normalize the sweep axes: member_lrs is sugar for the learning_rate
+    # axis of member_hparams; every axis must be an (n,)-vector of floats
+    hparams = {k: np.asarray(v, np.float32)
+               for k, v in dict(member_hparams or {}).items()}
     if member_lrs is not None:
-        member_lrs = np.asarray(member_lrs, np.float32)
-        if member_lrs.shape != (n,):
-            raise ValueError(f"member_lrs must have shape ({n},), "
-                             f"got {member_lrs.shape}")
-        opt_state.hyperparams["learning_rate"] = shard_members(
-            jnp.asarray(member_lrs))
+        if "learning_rate" in hparams:
+            raise ValueError("pass the learning rate either as member_lrs "
+                             "or as member_hparams['learning_rate'], not both")
+        hparams["learning_rate"] = np.asarray(member_lrs, np.float32)
+    bad = sorted(set(hparams) - set(SWEEPABLE_HPARAMS))
+    if bad:
+        raise ValueError(
+            f"member_hparams axes {bad} are not sweepable in one compiled "
+            f"program (supported: {list(SWEEPABLE_HPARAMS)}); model/data "
+            "parameters force a retrace — use the sequential executor")
+    for name, vals in hparams.items():
+        if vals.shape != (n,):
+            raise ValueError(f"member_hparams[{name!r}] must have shape "
+                             f"({n},), got {vals.shape}")
+    member_lrs = hparams.get("learning_rate")
+    member_sam = "sam_rho" in hparams
+    inject = tuple(k for k in hparams if k in _INJECTED_HPARAMS
+                   and k != "learning_rate")
+    from .trainer import ema_params_from_opt_state
+
+    ema_eval = bool(train_cfg.get("ema_eval", False))
+    has_ema = (float(task.optimizer_cfg.get("ema_decay", 0.0) or 0.0) > 0
+               or "ema_decay" in hparams)
+    if ema_eval and not has_ema:
+        raise ValueError("train.ema_eval=true requires "
+                         "train.optimizer.ema_decay > 0 (or an ema_decay "
+                         "member axis)")
+    if "ema_decay" in hparams and not ema_eval:
+        # without ema_eval the averaged tree is never scored, so every
+        # member would post IDENTICAL metrics — reject the meaningless sweep
+        raise ValueError("an ema_decay member axis needs train.ema_eval: "
+                         "true — otherwise the EMA never affects val/test "
+                         "scores and all trials tie")
+
+    optimizer, lr0 = _make_optimizer(task.optimizer_cfg, inject=inject)
+    opt_state = shard_members(jax.jit(jax.vmap(optimizer.init))(params))
+    for name in hparams:
+        if name in _INJECTED_HPARAMS:
+            opt_state.hyperparams[name] = shard_members(
+                jnp.asarray(hparams[name]))
     # member-axis-free mask (leaf scalars broadcast over the stacked leaves)
     frozen_mask = task.frozen_mask(
         jax.tree.map(lambda p: p[0], params))
@@ -350,8 +414,11 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
     else:
         member_weights = np.zeros((n, 1), np.float32)  # unused traced arg
 
+    member_rhos = shard_members(jnp.asarray(
+        hparams.get("sam_rho", np.zeros((n,), np.float32))))
     train_epoch = _make_train_epoch(task, optimizer, frozen_mask, bs,
-                                    per_member_weights=use_softadapt)
+                                    per_member_weights=use_softadapt,
+                                    member_sam=member_sam)
     eval_epoch = _make_eval_epoch(task, bs, per_member_weights=use_softadapt)
 
     arrays = {s: replicate(datamodule.splits[s])
@@ -419,13 +486,23 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
         params, opt_state, tr_losses = train_epoch(
             params, opt_state, arrays["train"],
             shard_members(jnp.asarray(orders, jnp.int32)),
-            ctx, keys, shard_members(jnp.asarray(active)), w_dev, start_step)
+            ctx, keys, shard_members(jnp.asarray(active)), w_dev,
+            member_rhos, start_step)
         start_step += orders.shape[1] // bs
         task.on_train_epoch_end(None, epoch, {})
 
         ctx_val = replicate({k: jnp.asarray(v)
                              for k, v in task.make_ctx(epoch, "val").items()})
-        val_losses, val_aux = eval_epoch(params, arrays["val"], val_order,
+        # train.ema_eval: score the Polyak-averaged tree (stacked (N, ...)
+        # EMA leaves ride in the vmapped opt_state), mirroring the
+        # sequential trainer's _eval_params; best_params then snapshots the
+        # EMA model, so ranking/test reflect it exactly as sequentially
+        eval_tree = params
+        if ema_eval:
+            ema = ema_params_from_opt_state(opt_state)
+            if ema is not None:
+                eval_tree = ema
+        val_losses, val_aux = eval_epoch(eval_tree, arrays["val"], val_order,
                                          ctx_val, w_dev)
         val_loss = np.asarray(val_losses.mean(axis=0))  # (N,)
         if use_softadapt:
@@ -450,7 +527,7 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
                                          {"val_loss": float(val_loss.mean())})
 
         prev_best = np.asarray(best_val)
-        best_params, best_val = _select_best(best_params, params, best_val,
+        best_params, best_val = _select_best(best_params, eval_tree, best_val,
                                              jnp.asarray(val_loss))
         best_epoch = np.where(val_loss <= prev_best, epoch, best_epoch)
 

@@ -220,7 +220,8 @@ def check_param_groups(optimizer_cfg, params) -> None:
                       for i, (g, c) in enumerate(zip(groups, counts))))
 
 
-def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
+def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None,
+                    inject: tuple = ()):
     """Config-driven optimizer (``train.optimizer.type``), with the learning
     rate injected so the plateau scheduler / LR schedules can change it
     between steps without recompiling.
@@ -267,6 +268,11 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
         raise ValueError(
             f"train.optimizer.type={opt_type!r} — expected one of "
             f"{', '.join(_OPTIMIZER_TYPES)}")
+    inject = tuple(inject)
+    bad_inject = set(inject) - {"weight_decay", "ema_decay"}
+    if bad_inject:
+        raise ValueError(f"injectable optimizer hyperparams are "
+                         f"weight_decay/ema_decay; got {sorted(bad_inject)}")
     lr = float(optimizer_cfg.get("lr", 1e-3))
     default_betas = (0.9, 0.99) if opt_type == "lion" else (0.9, 0.999)
     betas = tuple(optimizer_cfg.get("betas", default_betas))
@@ -286,9 +292,9 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
         raise ValueError(
             "train.optimizer.moment_dtype is not applicable to adafactor "
             "(its factored second-moment state is already O(rows+cols))")
-    ema_decay = float(optimizer_cfg.get("ema_decay", 0.0) or 0.0)
-    if not 0.0 <= ema_decay < 1.0:
-        raise ValueError(f"train.optimizer.ema_decay={ema_decay} — expected "
+    base_ema = float(optimizer_cfg.get("ema_decay", 0.0) or 0.0)
+    if not 0.0 <= base_ema < 1.0:
+        raise ValueError(f"train.optimizer.ema_decay={base_ema} — expected "
                          "0 <= decay < 1 (0/unset disables the params EMA)")
     clip_norm = float(optimizer_cfg.get("grad_clip_norm", 0.0) or 0.0)
     clip_value = float(optimizer_cfg.get("grad_clip_value", 0.0) or 0.0)
@@ -302,8 +308,20 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
     if grouped_wd and opt_type == "adafactor":
         raise ValueError("param_groups weight_decay is not applicable to "
                          "adafactor (it applies no decay term)")
+    if "weight_decay" in inject and grouped_wd:
+        raise ValueError("per-member weight_decay cannot be combined with "
+                         "param_groups weight decay (the group table would "
+                         "override the injected scalar)")
+    if "weight_decay" in inject and opt_type == "adafactor":
+        raise ValueError("weight_decay is not applicable to adafactor")
 
-    def make(learning_rate):
+    # ``inject``: names beyond the LR to expose as optax injected
+    # hyperparams — per-member optimizer-STATE leaves the ensemble sweep
+    # executor can vary without retracing (training/ensemble.py). None
+    # defaults keep them static (and the opt_state layout unchanged) on the
+    # normal path; injected mode always appends the relevant chain step so
+    # the traced scalar has somewhere to act.
+    def make(learning_rate, weight_decay=None, ema_decay=None):
         # gradient clipping leads the chain (torch clip_grad_norm_ order:
         # raw grads are clipped BEFORE coupled L2 / moments). It sits inside
         # the trainable_mask wrap below, so frozen/mutable-collection leaves
@@ -318,9 +336,10 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
         # per-group weight decay (param_groups) slots into the exact chain
         # position the scalar decay would take, so coupled (adam/sgd) vs
         # decoupled (adamw/lion/lamb) semantics follow the optimizer type
-        use_decay = wd or grouped_wd
+        wd_eff = wd if weight_decay is None else weight_decay
+        use_decay = wd or grouped_wd or weight_decay is not None
         decay = ((lambda: _grouped_decay(groups, wd)) if grouped_wd
-                 else (lambda: optax.add_decayed_weights(wd)))
+                 else (lambda: optax.add_decayed_weights(wd_eff)))
         if opt_type == "adam":
             if use_decay:
                 steps.append(decay())
@@ -361,14 +380,20 @@ def _make_optimizer(optimizer_cfg: DictConfig, trainable_mask=None):
             # the opt_state layout and checkpoints are unchanged)
             steps.append(_grouped_lr_scale(groups))
         steps.append(optax.scale_by_learning_rate(learning_rate))
-        if ema_decay:
+        if ema_decay is not None or base_ema:
             # params-EMA (Polyak averaging) rides in opt_state; export the
             # averaged weights with `serving export --ema`, or validate with
             # them via train.ema_eval
-            steps.append(_params_ema(ema_decay))
+            steps.append(_params_ema(base_ema if ema_decay is None
+                                     else ema_decay))
         return optax.chain(*steps)
 
-    return optax.inject_hyperparams(make)(learning_rate=lr), lr
+    kwargs = {"learning_rate": lr}
+    if "weight_decay" in inject:
+        kwargs["weight_decay"] = wd
+    if "ema_decay" in inject:
+        kwargs["ema_decay"] = base_ema
+    return optax.inject_hyperparams(make)(**kwargs), lr
 
 
 class Trainer:

@@ -405,3 +405,124 @@ def test_select_best_ignores_nan_epochs():
     assert np.allclose(np.asarray(new_v), [0.5, 0.25])
     # member 0 keeps its finite-best params; member 1 takes the improvement
     assert np.allclose(np.asarray(new_p["w"]), [[1.0], [20.0]])
+
+
+def test_member_hparams_parity_vs_single_member():
+    """The generalized sweep axes (lr x weight_decay in one vmapped
+    program) must reproduce the same trials run one-at-a-time: identical
+    seeds + identical data order => per-trial val losses match the n=1
+    ensembles bit-for-bit (same code path, the member axis is pure vmap)."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    lrs = [3e-3, 3e-3, 1e-3, 1e-3]
+    wds = [0.0, 0.3, 0.0, 0.3]
+    cfg = loads(ENSEMBLE_CFG.format(epochs=3, learnable="true"))
+    task, dm = _build(cfg)
+    res = fit_ensemble(task, dm, cfg.train, 4, verbose=False,
+                       identical_seeds=True,
+                       member_hparams={"learning_rate": lrs,
+                                       "weight_decay": wds})
+    vl = np.asarray(res.val_losses)
+    # weight decay really acts: same-lr trials differ
+    assert abs(vl[0] - vl[1]) > 1e-6 and abs(vl[2] - vl[3]) > 1e-6, vl
+
+    singles = []
+    for lr, wd in zip(lrs, wds):
+        cfg1 = loads(ENSEMBLE_CFG.format(epochs=3, learnable="true"))
+        t1, d1 = _build(cfg1)
+        r1 = fit_ensemble(t1, d1, cfg1.train, 1, verbose=False,
+                          identical_seeds=True,
+                          member_hparams={"learning_rate": [lr],
+                                          "weight_decay": [wd]})
+        singles.append(float(np.asarray(r1.val_losses)[0]))
+    assert np.allclose(vl, singles, rtol=1e-5, atol=1e-6), (vl, singles)
+
+
+def test_injected_weight_decay_matches_static_config():
+    """An injected per-member weight_decay computes the SAME update as the
+    normal static-config decay (coupled-L2 position in the adam chain is
+    unchanged; the traced scalar only replaces the literal)."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=2, learnable="true"))
+    cfg.train.optimizer.weight_decay = 0.2
+    task, dm = _build(cfg)
+    static = fit_ensemble(task, dm, cfg.train, 1, verbose=False,
+                          identical_seeds=True, member_lrs=[3e-3])
+
+    cfg2 = loads(ENSEMBLE_CFG.format(epochs=2, learnable="true"))
+    task2, dm2 = _build(cfg2)  # cfg wd = 0.0; injected axis supplies 0.2
+    injected = fit_ensemble(task2, dm2, cfg2.train, 1, verbose=False,
+                            identical_seeds=True,
+                            member_hparams={"learning_rate": [3e-3],
+                                            "weight_decay": [0.2]})
+    np.testing.assert_allclose(np.asarray(static.val_losses),
+                               np.asarray(injected.val_losses),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_member_sam_rho_axis():
+    """sam_rho as a member axis: rho=0 member matches the plain (no-SAM)
+    run exactly (the always-traced SAM branch is exact at rho=0), nonzero
+    members genuinely perturb."""
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=2, learnable="true"))
+    task, dm = _build(cfg)
+    res = fit_ensemble(task, dm, cfg.train, 3, verbose=False,
+                       identical_seeds=True,
+                       member_hparams={"sam_rho": [0.0, 0.05, 0.5]})
+    vl = np.asarray(res.val_losses)
+    assert np.isfinite(vl).all()
+    assert abs(vl[1] - vl[0]) > 1e-7 and abs(vl[2] - vl[0]) > 1e-7, vl
+
+    cfg2 = loads(ENSEMBLE_CFG.format(epochs=2, learnable="true"))
+    task2, dm2 = _build(cfg2)
+    plain = fit_ensemble(task2, dm2, cfg2.train, 1, verbose=False,
+                         identical_seeds=True)
+    np.testing.assert_allclose(vl[0], np.asarray(plain.val_losses)[0],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_member_ema_decay_axis():
+    """ema_decay as a member axis needs train.ema_eval (scored tree = the
+    Polyak average, mirroring the sequential trainer); without it the axis
+    is rejected as meaningless. With it, different decays score
+    differently and the axis runs in one program."""
+    import pytest
+
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=3, learnable="true"))
+    task, dm = _build(cfg)
+    with pytest.raises(ValueError, match="ema_eval"):
+        fit_ensemble(task, dm, cfg.train, 2, verbose=False,
+                     identical_seeds=True,
+                     member_hparams={"ema_decay": [0.5, 0.99]})
+
+    cfg.train.ema_eval = True
+    task2, dm2 = _build(cfg)
+    res = fit_ensemble(task2, dm2, cfg.train, 2, verbose=False,
+                       identical_seeds=True,
+                       member_hparams={"ema_decay": [0.5, 0.999]})
+    vl = np.asarray(res.val_losses)
+    assert np.isfinite(vl).all()
+    # a near-frozen average (0.999) scores differently from a fast one
+    assert abs(vl[0] - vl[1]) > 1e-6, vl
+
+
+def test_member_hparams_rejects_unsupported_axis():
+    import pytest
+
+    from m2mixer_tpu.config import loads
+    from m2mixer_tpu.training.ensemble import fit_ensemble
+
+    cfg = loads(ENSEMBLE_CFG.format(epochs=1, learnable="false"))
+    task, dm = _build(cfg)
+    with pytest.raises(ValueError, match="dropout"):
+        fit_ensemble(task, dm, cfg.train, 2, verbose=False,
+                     member_hparams={"dropout": [0.1, 0.2]})

@@ -482,34 +482,49 @@ def test_local_sweep_hyperband_e2e(tmp_path):
 
 
 def test_vmap_sweep_plan_validation():
-    """Eligibility rules for the vmapped executor: LR-only sweeps pass
-    (value:-pinned constants allowed), anything else is rejected with the
-    reason, and the trial list respects method/trials."""
+    """Eligibility rules for the vmapped executor: optimizer-scalar sweeps
+    pass (value:-pinned constants allowed), anything else is rejected with
+    the reason, and the trial list respects method/trials."""
     import numpy as np
     import pytest
 
     from m2mixer_tpu.sweep import vmap_sweep_plan
 
     base = {"method": "grid", "metric": "val_loss", "goal": "minimize"}
-    lrs, consts = vmap_sweep_plan(dict(base, parameters={
+    axes, consts = vmap_sweep_plan(dict(base, parameters={
         "train.optimizer.lr": {"values": [1e-3, 1e-2]},
         "model.dropout": {"value": 0.1},
     }), trials=None)
+    lrs = axes["train.optimizer.lr"]
     assert lrs == [1e-3, 1e-2]
     assert consts == {"model.dropout": 0.1}
 
-    # trials caps the grid
-    lrs, _ = vmap_sweep_plan(dict(base, parameters={
-        "train.optimizer.lr": {"values": [1e-3, 1e-2, 1e-1]}}), trials=2)
-    assert lrs == [1e-3, 1e-2]
+    # multi-axis grid: cross product in declaration order
+    axes, _ = vmap_sweep_plan(dict(base, parameters={
+        "train.optimizer.lr": {"values": [1e-3, 1e-2]},
+        "train.optimizer.weight_decay": {"values": [0.0, 0.1]},
+    }), trials=None)
+    assert axes["train.optimizer.lr"] == [1e-3, 1e-3, 1e-2, 1e-2]
+    assert axes["train.optimizer.weight_decay"] == [0.0, 0.1, 0.0, 0.1]
+    # sam_rho / ema_decay are sweepable axes too
+    axes, _ = vmap_sweep_plan(dict(base, parameters={
+        "train.optimizer.sam_rho": {"values": [0.0, 0.05]},
+        "train.optimizer.ema_decay": {"value": 0.9},
+    }), trials=None)
+    assert axes["train.optimizer.sam_rho"] == [0.0, 0.05]
 
-    # a second VARYING parameter is rejected with its name in the message
+    # trials caps the grid
+    axes, _ = vmap_sweep_plan(dict(base, parameters={
+        "train.optimizer.lr": {"values": [1e-3, 1e-2, 1e-1]}}), trials=2)
+    assert axes["train.optimizer.lr"] == [1e-3, 1e-2]
+
+    # a VARYING non-optimizer parameter is rejected with its name
     with pytest.raises(ValueError, match="model.dropout"):
         vmap_sweep_plan(dict(base, parameters={
             "train.optimizer.lr": {"values": [1e-3]},
             "model.dropout": {"values": [0.1, 0.2]}}), trials=None)
 
-    # no swept lr at all
+    # no swept axis at all
     with pytest.raises(ValueError, match="train.optimizer.lr"):
         vmap_sweep_plan(dict(base, parameters={
             "model.dropout": {"value": 0.1}}), trials=None)
@@ -522,9 +537,10 @@ def test_vmap_sweep_plan_validation():
         "train.optimizer.lr": {"values": [1e-3]}}), trials=None)
 
     # random draws honor the distribution bounds and the trial count
-    lrs, _ = vmap_sweep_plan(dict(base, method="random", parameters={
+    axes, _ = vmap_sweep_plan(dict(base, method="random", parameters={
         "train.optimizer.lr": {"distribution": "log_uniform_values",
                                "min": 1e-4, "max": 1e-1}}), trials=7, seed=3)
+    lrs = axes["train.optimizer.lr"]
     assert len(lrs) == 7
     assert all(1e-4 <= v <= 1e-1 for v in lrs)
     assert len(set(np.round(np.log10(lrs), 6))) > 1
@@ -627,3 +643,43 @@ def test_nan_trials_never_rank_best():
     assert min(results, key=_trial_rank_key(-1.0))["trial"] == 2  # maximize
     all_nan = [{"trial": 0, "value": float("nan")}]
     assert min(all_nan, key=_trial_rank_key(1.0))["trial"] == 0
+
+
+def test_vmap_sweep_two_axes_end_to_end(tmp_path):
+    """--vmap with a 2-axis grid (lr x weight_decay): 4 trials in one
+    compiled program, per-trial params recorded, best trial sane."""
+    import json
+
+    import numpy as np
+
+    from m2mixer_tpu.sweep import run_sweep
+
+    cfg_path = _write_cfg(str(tmp_path))
+    sweep_path = os.path.join(tmp_path, "sweep_vmap2.yml")
+    with open(sweep_path, "w") as f:
+        yaml.safe_dump({
+            "method": "grid",
+            "metric": {"name": "val_loss", "goal": "minimize"},
+            "command": ["python", "run.py", "-c", cfg_path],
+            "parameters": {
+                "train": {"parameters": {"optimizer": {"parameters": {
+                    "lr": {"values": [1e-3, 25.0]},
+                    "weight_decay": {"values": [0.0, 0.2]}}}}},
+            },
+        }, f)
+    out = run_sweep(sweep_path, out_dir=os.path.join(tmp_path, "vmap2_out"),
+                    epochs=2, verbose=False, vmap=True)
+    assert out["vmap"] is True and len(out["results"]) == 4
+    combos = {(r["params"]["train.optimizer.lr"],
+               r["params"]["train.optimizer.weight_decay"])
+              for r in out["results"]}
+    assert combos == {(1e-3, 0.0), (1e-3, 0.2), (25.0, 0.0), (25.0, 0.2)}
+    # a sane lr wins regardless of decay; decay makes same-lr trials differ
+    assert out["best"]["params"]["train.optimizer.lr"] == 1e-3
+    by = {(r["params"]["train.optimizer.lr"],
+           r["params"]["train.optimizer.weight_decay"]): r["value"]
+          for r in out["results"]}
+    assert by[(1e-3, 0.0)] != by[(1e-3, 0.2)]
+    rows = [json.loads(l) for l in open(
+        os.path.join(tmp_path, "vmap2_out", "sweep_results.jsonl"))]
+    assert [r["trial"] for r in rows] == [0, 1, 2, 3]
