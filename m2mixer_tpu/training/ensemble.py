@@ -106,7 +106,8 @@ def _pad_order(n: int, bs: int) -> np.ndarray:
 
 def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
                       per_member_weights: bool = False,
-                      member_sam: bool = False):
+                      member_sam: bool = False,
+                      grad_accum: int = 1):
     """``per_member_weights``: each member trains with ITS OWN traced
     loss-weight vector (``member_weights`` (N, n_branches) overrides
     ``ctx['loss_weights']`` inside the vmap) — the per-member SoftAdapt
@@ -115,7 +116,14 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
 
     ``member_sam``: each member perturbs with ITS OWN traced ``sam_rho``
     (``member_rhos`` (N,)) — the sweep axis; the SAM branch is then always
-    traced (exact for rho=0, at the two-backward cost for every member)."""
+    traced (exact for rho=0, at the two-backward cost for every member).
+
+    ``grad_accum`` K > 1: the sequential trainer's accumulation scan
+    (`compiled.py::make_train_epoch_fn`) runs INSIDE the member vmap —
+    each member consumes K consecutive micro-batches, averages their
+    gradients, and applies one optimizer update; rng folds use the same
+    ``update*K + micro`` counter as the sequential path, so a 1-member
+    ensemble reproduces the sequential update schedule exactly."""
     from .compiled import (make_grad_masker, pcgrad_value_and_grad,
                            sam_value_and_grad)
 
@@ -130,30 +138,49 @@ def _make_train_epoch(task, optimizer, frozen_mask, bs: int,
     def epoch(params, opt_state, arrays, orders, ctx, member_keys, active,
               member_weights, member_rhos, start_step):
         task.bind_trace_flavors()
-        n_steps = orders.shape[1] // bs
+        n_steps = orders.shape[1] // (bs * grad_accum)
 
         def body(carry, i):
             params, opt_state = carry
 
             def member(p, o, key, order_m, act, w_m, rho_m):
-                idx = jax.lax.dynamic_slice_in_dim(order_m, i * bs, bs)
-                batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
-                step_rngs = {
-                    name: jax.random.fold_in(
-                        jax.random.fold_in(key, h), start_step + i)
-                    for h, name in enumerate(task.RNG_COLLECTIONS)
-                }
-                ctx_m = dict(ctx, loss_weights=w_m) if per_member_weights else ctx
-                if pcgrad:
-                    (loss, aux), grads = pcgrad_value_and_grad(
-                        lambda q: task.step_components(q, batch, ctx_m,
-                                                       step_rngs, train=True),
-                        p, masker, ctx["frozen"])
-                else:
-                    (loss, aux), grads = sam_value_and_grad(
-                        lambda q: task.step(q, batch, ctx_m, step_rngs, train=True),
-                        p, rho_m if member_sam else sam_rho,
+                def micro_grads(q, j):
+                    idx = jax.lax.dynamic_slice_in_dim(
+                        order_m, (i * grad_accum + j) * bs, bs)
+                    batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0),
+                                         arrays)
+                    micro_step = (start_step + i) * grad_accum + j
+                    step_rngs = {
+                        name: jax.random.fold_in(
+                            jax.random.fold_in(key, h), micro_step)
+                        for h, name in enumerate(task.RNG_COLLECTIONS)
+                    }
+                    ctx_m = (dict(ctx, loss_weights=w_m)
+                             if per_member_weights else ctx)
+                    if pcgrad:
+                        return pcgrad_value_and_grad(
+                            lambda z: task.step_components(
+                                z, batch, ctx_m, step_rngs, train=True),
+                            q, masker, ctx["frozen"])
+                    return sam_value_and_grad(
+                        lambda z: task.step(z, batch, ctx_m, step_rngs,
+                                            train=True),
+                        q, rho_m if member_sam else sam_rho,
                         masker, ctx["frozen"])
+
+                if grad_accum == 1:
+                    (loss, aux), grads = micro_grads(p, 0)
+                else:
+                    def micro(acc, j):
+                        (l, _), g = micro_grads(p, j)
+                        return jax.tree.map(jnp.add, acc, g), l
+
+                    zero = jax.tree.map(
+                        lambda q: jnp.zeros(q.shape, jnp.result_type(q)), p)
+                    grads, micro_losses = jax.lax.scan(
+                        micro, zero, jnp.arange(grad_accum))
+                    grads = jax.tree.map(lambda g: g / grad_accum, grads)
+                    loss = micro_losses.mean()
                 frozen = ctx["frozen"]
                 grads = masker(grads, frozen)
                 updates, o_new = optimizer.update(grads, o, p)
@@ -257,11 +284,8 @@ def fit_ensemble(task, datamodule, train_cfg, n_members: int,
     if getattr(task, "mutable_collections", ()):
         raise ValueError("ensemble training does not support mutable "
                          "collections (BN running stats)")
-    if int(train_cfg.get("grad_accum_steps", 1)) > 1:
-        raise ValueError("ensemble training does not support "
-                         "train.grad_accum_steps > 1; use the sequential "
-                         "runner (silently ignoring it would change the "
-                         "update schedule vs the sequential protocol)")
+    if int(train_cfg.get("grad_accum_steps", 1)) < 1:
+        raise ValueError("train.grad_accum_steps must be >= 1")
     if train_cfg.get("distill", None) and getattr(task, "distiller", None) is None:
         # the teacher enters the step as captured constants, which the
         # member vmap broadcasts — ONE teacher serves every member
@@ -416,9 +440,11 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
 
     member_rhos = shard_members(jnp.asarray(
         hparams.get("sam_rho", np.zeros((n,), np.float32))))
+    grad_accum = int(train_cfg.get("grad_accum_steps", 1))
     train_epoch = _make_train_epoch(task, optimizer, frozen_mask, bs,
                                     per_member_weights=use_softadapt,
-                                    member_sam=member_sam)
+                                    member_sam=member_sam,
+                                    grad_accum=grad_accum)
     eval_epoch = _make_eval_epoch(task, bs, per_member_weights=use_softadapt)
 
     arrays = {s: replicate(datamodule.splits[s])
@@ -466,7 +492,13 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
         ctx = replicate({k: jnp.asarray(v)
                          for k, v in task.make_ctx(epoch, "train").items()})
         shuffle = datamodule.train_shuffle_enabled()
-        n_full = (datamodule.split_size("train") // bs) * bs
+        chunk = bs * grad_accum
+        n_full = (datamodule.split_size("train") // chunk) * chunk
+        if n_full == 0:
+            raise ValueError(
+                f"train split ({datamodule.split_size('train')}) holds no "
+                f"full accumulation chunk (batch {bs} x "
+                f"grad_accum_steps {grad_accum})")
         if identical_seeds:
             # identical_seeds promises "trials differ only in the injected
             # hyperparameters": draw ONE epoch order (one _rng advance per
@@ -488,7 +520,9 @@ def _fit_ensemble_inner(task, datamodule, train_cfg, n_members,
             shard_members(jnp.asarray(orders, jnp.int32)),
             ctx, keys, shard_members(jnp.asarray(active)), w_dev,
             member_rhos, start_step)
-        start_step += orders.shape[1] // bs
+        # start_step counts OPTIMIZER UPDATES (sequential-trainer contract:
+        # rng folds use update*K + micro)
+        start_step += orders.shape[1] // (bs * grad_accum)
         task.on_train_epoch_end(None, epoch, {})
 
         ctx_val = replicate({k: jnp.asarray(v)
