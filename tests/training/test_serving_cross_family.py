@@ -1,0 +1,135 @@
+"""`serving eval` is family-generic: non-AVMNIST artifacts reproduce their
+trainer's test metrics end to end (round-2 review gap — the deployed-
+accuracy loop had only ever been closed on the AV-MNIST family).
+
+Reference behavior being matched: `run.py -m test` semantics
+(`/root/reference/run.py:82-83`) — here computed from the exported
+artifact's own outputs instead of an in-process forward."""
+
+import numpy as np
+import pytest
+
+from m2mixer_tpu.config import loads
+from m2mixer_tpu.datasets import get_data_module
+from m2mixer_tpu.datasets.surrogate import generate
+from m2mixer_tpu.models import get_model
+from m2mixer_tpu.serving import evaluate_serving, export_serving, load_serving
+from m2mixer_tpu.training import Trainer
+
+MIMIC_CFG = """
+train:
+  tensorboard_path: {tmp}/logs
+  log_interval_steps: 5
+  epochs: 2
+  optimizer: {{lr: 1e-3, weight_decay: 0.0}}
+  seed: 3
+  monitor: val_loss
+  monitor_mode: min
+dataset:
+  type: MIMICDataModule
+  params: {{data_dir: {tmp}/data, batch_size: 16, task: -1, num_workers: 0}}
+model:
+  type: MimicMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 6, classifier: StandardClassifier,
+                      input_shape: [16, 25, 16]}}
+    static: {{block_type: MLP, input_dim: 5, hidden_dim: 16, num_blocks: 2,
+              output_dim: 16}}
+    time: {{block_type: MLPMixerNoPatching, embedding_dim: 12, proj_dim: 16,
+            hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1,
+            num_patch: 24}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1}}
+"""
+
+MMHS_CFG = """
+train:
+  tensorboard_path: {tmp}/logs
+  log_interval_steps: 5
+  epochs: 2
+  optimizer: {{lr: 1e-3, weight_decay: 0.0}}
+  seed: 4
+  monitor: val_loss
+  monitor_mode: min
+dataset:
+  type: MMHS150DataModule
+  params:
+    data_dir: {tmp}/data
+    batch_size: 8
+    max_seq_len: 8
+    num_workers: 0
+    projection: {{feature_size: 32, num_hashes: 64, window_size: 1}}
+    vocab:
+      tokenizer_type: wordpiece
+      tokenizer: {{vocab: {tmp}/data/vocab.txt, lowercase: true,
+                   strip_accents: false, clean_text: false}}
+      vocab_path: {tmp}/data/vocab.npy
+model:
+  type: MMHS150MultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 1, classifier: StandardClassifier,
+                      input_shape: [16, 32, 16]}}
+    image: {{block_type: MLPMixer, in_channels: 3, hidden_dim: 16, patch_size: 64,
+             image_size: [256, 256], token_dim: 8, channel_dim: 32, num_mixers: 1}}
+    text: {{block_type: PNLPMixer, max_seq_len: 8, mlp_hidden_dim: 16,
+            bottleneck_window_size: 1, bottleneck_features_size: 32,
+            hidden_dim: 16, num_mixers: 1}}
+    multimodal: {{block_type: FusionMixer, fusion_function: ConcatFusion,
+                  hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1}}
+"""
+
+
+def _fit_and_test(cfg):
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    trainer = Trainer(cfg.train, name="xfam", use_wandb=False, full_cfg=cfg)
+    trainer.fit(task, dm)
+    logs = trainer.test(task, dm, ckpt="best")  # params now = best ckpt
+    return task, dm, trainer, logs
+
+
+def _sample_batch(dm):
+    return next(iter(dm.test_batches()))
+
+
+def test_serving_eval_mimic_matches_trainer(tmp_path):
+    """MIMIC (pickle family, static+time tuple batch): the exported
+    artifact reproduces the trainer's test metric dict exactly."""
+    generate("mimic", str(tmp_path / "data"), n=240)
+    cfg = loads(MIMIC_CFG.format(tmp=tmp_path))
+    task, dm, trainer, logs = _fit_and_test(cfg)
+
+    d = export_serving(task, trainer.params, _sample_batch(dm),
+                       str(tmp_path / "art"), fmt="stablehlo", buckets=(16,))
+    art_logs = evaluate_serving(load_serving(d), task, dm, split="test")
+    for key in ("test_f1_micro", "test_acc"):
+        assert key in logs and key in art_logs
+        assert art_logs[key] == pytest.approx(logs[key], abs=1e-6), key
+    assert art_logs["test_samples"] == dm.split_size("test")
+
+
+def test_serving_eval_mmhs_matches_trainer(tmp_path):
+    """MMHS150K (3-modal per-file family with use_features flags): artifact
+    test metrics == trainer test metrics, unquantized exactly and int8-PTQ
+    within quantization tolerance."""
+    generate("mmhs150", str(tmp_path / "data"), n=80)
+    cfg = loads(MMHS_CFG.format(tmp=tmp_path))
+    task, dm, trainer, logs = _fit_and_test(cfg)
+
+    batch = _sample_batch(dm)
+    d = export_serving(task, trainer.params, batch, str(tmp_path / "art"),
+                       fmt="stablehlo", buckets=(8,))
+    art_logs = evaluate_serving(load_serving(d), task, dm, split="test")
+    for key in ("test_f1", "test_accuracy", "test_auc"):
+        assert key in logs and key in art_logs
+        assert art_logs[key] == pytest.approx(logs[key], abs=1e-6), key
+
+    dq = export_serving(task, trainer.params, batch, str(tmp_path / "art_q"),
+                        fmt="stablehlo", buckets=(8,), quantize="int8")
+    q_logs = evaluate_serving(load_serving(dq), task, dm, split="test")
+    # int8 PTQ: small logit error; threshold metrics stay within tolerance
+    assert q_logs["test_accuracy"] == pytest.approx(logs["test_accuracy"],
+                                                    abs=0.1)
+    assert np.isfinite(q_logs["test_f1"])
