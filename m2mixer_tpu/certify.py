@@ -193,8 +193,22 @@ def certify_config(cfg_path: str, work_dir: str, surrogate_root: str,
     from .parallel import MeshConfig
     from .training import Trainer
 
+    import jax
+
+    from .modules.common import set_bits_dropout, set_gelu_approximate
+
     name = os.path.relpath(cfg_path, REPO) if cfg_path.startswith(REPO) else cfg_path
     report: Dict = {"cfg": name, "ok": False, "checks": {}}
+    # snapshot process-global trace-time state: configs like the turbo
+    # variant bind tanh-GELU / bits-dropout flavors and flip the global
+    # PRNG impl at trace time; a certification run over MANY configs in one
+    # process (and the pytest matrix sharing a process with golden-parity
+    # tests) must leave the process exactly as it found it
+    prev_gelu = set_gelu_approximate(False)
+    set_gelu_approximate(prev_gelu)
+    prev_bits = set_bits_dropout(False)
+    set_bits_dropout(prev_bits)
+    prev_prng = jax.config.jax_default_prng_impl
     try:
         cfg = cfg_lib.load(cfg_path)
         report["model_type"] = str(cfg.model.type)
@@ -259,6 +273,10 @@ def certify_config(cfg_path: str, work_dir: str, surrogate_root: str,
     except Exception as e:  # report, don't raise: the matrix prints all rows
         report["error"] = f"{type(e).__name__}: {e}"
         report["traceback"] = traceback.format_exc()
+    finally:
+        set_gelu_approximate(prev_gelu)
+        set_bits_dropout(prev_bits)
+        jax.config.update("jax_default_prng_impl", prev_prng)
     return report
 
 

@@ -32,8 +32,20 @@ def surrogate_root(tmp_path_factory):
 @pytest.mark.parametrize("cfg_path", CFGS,
                          ids=[os.path.basename(p) for p in CFGS])
 def test_config_certifies(cfg_path, surrogate_root, tmp_path):
+    import jax
+
+    from m2mixer_tpu.modules.common import (set_bits_dropout,
+                                            set_gelu_approximate)
+
+    prng_before = jax.config.jax_default_prng_impl
     report = certify_config(cfg_path, str(tmp_path), surrogate_root,
                             epochs=1)
     assert report["ok"], (report.get("error"),
                           report.get("checks"),
                           report.get("traceback", "")[-2000:])
+    # the certification run must not leak trace-time globals into the rest
+    # of the suite (the turbo config binds tanh-GELU/bits-dropout and flips
+    # the PRNG impl; golden-parity tests downstream assume the defaults)
+    assert set_gelu_approximate(False) is False
+    assert set_bits_dropout(False) is False
+    assert jax.config.jax_default_prng_impl == prng_before
