@@ -505,6 +505,11 @@ class MultiLossTask(TrainTask):
                 "fixed/annealed/SoftAdapt weighting instead.")
         if self.use_gradblend:
             self.gb_update_freq = int(m.get("gb_update_freq", 20))
+            # beyond reference: the nested sub-training length is hardcoded
+            # to 20 in the reference (`/root/reference/modules/gradblend.py:27`);
+            # model.gb_epochs exposes it (the parity harness pins the weight
+            # math against torch at small epochs)
+            self.gb_epochs = int(m.get("gb_epochs", 20))
             self.gb_weights: Optional[np.ndarray] = None
 
     # -- structure -----------------------------------------------------------

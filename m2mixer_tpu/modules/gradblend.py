@@ -208,7 +208,7 @@ def estimate_gradblend_weights(task, trainer) -> Optional[np.ndarray]:
             return task.gradblend_loss(logits, batch)
 
         branch_fns.append(fused_fn)
-        gb = GradBlend(branch_fns)
+        gb = GradBlend(branch_fns, epochs=int(getattr(task, "gb_epochs", 20)))
         task._gb_estimator = gb
 
     # jax.device_get both copies (the reference deepcopies, `gradblend.py:

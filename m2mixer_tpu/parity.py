@@ -366,6 +366,484 @@ def lockstep_experiment(data_dir: str, work_dir: str, epochs: int = 4,
     return {"mode": "lockstep", "native": native, "torch": ref}
 
 
+# ---------------------------------------------------------------------------
+# GradBlend weight-estimation parity (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+def torch_gradblend_weights(model_cfg, state_dict: Dict, datamodule,
+                            epochs: int = 2, lr: float = 1e-3):
+    """The reference's GradBlend estimation
+    (`/root/reference/modules/gradblend.py:24-112`) in torch: per branch,
+    copy encoder+head, measure train/val loss sums, train ``epochs`` with a
+    fresh Adam, re-measure, then ``O = dO_Nn - dO_N``, ``G = L_val_after -
+    L_val_before``, ``w = |O/G^2|``; the fused branch trains mixer+head with
+    the unimodal encoders frozen (`gradblend.py:99-105`); normalize to sum 1.
+
+    Two deliberate deviations from the reference's *plumbing* (the MATH is
+    identical): (a) batches are the native adapter's deterministic
+    sequential drop-last 90/10 split instead of ``shuffle=True`` loaders
+    (`/root/reference/models/avmnist.py:228-229`) — shuffling only permutes
+    the SGD order, and parity needs both sides to see identical batches;
+    (b) modalities are indexed by batch KEY — the reference's positional
+    ``batch[m]`` (`gradblend.py:54`) only works for tuple batches (MIMIC)
+    and is a latent crash on dict batches like AV-MNIST's
+    (`/root/reference/datasets/avmnist.py:144`). Weight order matches the
+    native adapter: (*modalities, fused) — the reference estimates the same
+    per-branch values in (audio, image, fused) order and indexes them back
+    per branch (`models/avmnist.py:222,290-291`), so the per-branch VALUES
+    are directly comparable."""
+    import copy as _copy
+
+    model = build_reference_torch_model(model_cfg, state_dict)
+    splits = datamodule.splits["train"]
+    n = len(next(iter(splits.values())))
+    cut = int(n * 0.1)
+    bs = datamodule.batch_size
+
+    # mirror of modules/gradblend.py::make_batches (drop-last, sequential)
+    def make_batches(lo, hi):
+        n_full = (hi - lo) // bs
+
+        def gen():
+            if n_full == 0:
+                yield {k: v[lo:hi] for k, v in splits.items()}
+                return
+            for i in range(n_full):
+                s = lo + i * bs
+                yield {k: v[s:s + bs] for k, v in splits.items()}
+
+        return gen
+
+    train_b, val_b = make_batches(cut, n), make_batches(0, cut)
+    ce = nn.CrossEntropyLoss()
+
+    def to_t(b, key):
+        return (torch.tensor(np.asarray(b[key])),
+                torch.tensor(np.asarray(b["label"]), dtype=torch.long))
+
+    def single_weight(forward, opt_params):
+        # sum of per-batch mean-CE losses over a loader (`gradblend.py:52-59`)
+        def total(batches):
+            with torch.no_grad():
+                return sum(float(ce(*forward(b))) for b in batches())
+
+        opt = torch.optim.Adam(opt_params, lr=lr)
+        l_n_train, l_n_val = total(train_b), total(val_b)
+        for _ in range(epochs):
+            for b in train_b():
+                opt.zero_grad()
+                loss = ce(*forward(b))
+                loss.backward()
+                opt.step()
+        l_nn_train, l_nn_val = total(train_b), total(val_b)
+        o = (l_nn_val - l_nn_train) - (l_n_val - l_n_train)
+        g = l_nn_val - l_n_val
+        # native adds 1e-12 to G^2 (`modules/gradblend.py:103`); match it
+        return abs(o / (g * g + 1e-12))
+
+    weights = []
+    for key, enc_name, head_name in (("image", "image_mixer", "classifier_image"),
+                                     ("audio", "audio_mixer", "classifier_audio")):
+        enc = _copy.deepcopy(getattr(model, enc_name))
+        head = _copy.deepcopy(getattr(model, head_name))
+
+        def fwd(b, key=key, enc=enc, head=head):
+            x, y = to_t(b, key)
+            feats = enc(x)
+            feats = feats.reshape(feats.shape[0], -1, feats.shape[-1]).mean(1)
+            return head(feats), y
+
+        weights.append(single_weight(
+            fwd, list(enc.parameters()) + list(head.parameters())))
+
+    # fused branch: frozen copies of the unimodal encoders, trainable
+    # fusion mixer + fusion head (`gradblend.py:92-105`)
+    uenc = {k: _copy.deepcopy(getattr(model, f"{k}_mixer"))
+            for k in ("image", "audio")}
+    for e in uenc.values():
+        for p in e.parameters():
+            p.requires_grad = False
+    fm = _copy.deepcopy(model.fusion_mixer)
+    fhead = _copy.deepcopy(model.classifier_fusion)
+
+    def fused_fwd(b):
+        encs = [uenc["image"](torch.tensor(np.asarray(b["image"]))),
+                uenc["audio"](torch.tensor(np.asarray(b["audio"])))]
+        max_rank = max(e.dim() for e in encs)
+        encs = [e.unsqueeze(1) if e.dim() < max_rank else e for e in encs]
+        tokens = fm(torch.cat(encs, dim=1))
+        tokens = tokens.reshape(tokens.shape[0], -1, tokens.shape[-1]).mean(1)
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.long)
+        return fhead(tokens), y
+
+    weights.append(single_weight(
+        fused_fwd, list(fm.parameters()) + list(fhead.parameters())))
+    w = np.asarray(weights, np.float64)
+    return (w / w.sum()).astype(np.float32)
+
+
+def gradblend_parity(cfg, gb_epochs: int = 2) -> Dict:
+    """Run the NATIVE estimator (`modules/gradblend.py`, the exact function
+    the epoch hook calls) and the torch twin above from identical exported
+    init weights on identical data; returns both weight vectors."""
+    import jax
+
+    from .datasets import get_data_module
+    from .models import get_model
+    from .modules.gradblend import estimate_gradblend_weights
+    from .parallel import MeshConfig
+    from .training import Trainer
+    from .utils.torch_import import export_reference_state_dict
+
+    cfg.model.gradblend = True
+    cfg.model.gb_epochs = int(gb_epochs)
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.setup("fit")
+    sample = next(iter(dm.train_batches()))
+    params = task.init_params(jax.random.PRNGKey(int(cfg.train.seed)), sample)
+    m = cfg.model.modalities
+    shapes = {name: (int(m[name].in_channels), int(m[name].patch_size),
+                     int(m[name].patch_size)) for name in ("image", "audio")}
+    sd = export_reference_state_dict(params, ("image", "audio"), shapes)
+
+    trainer = Trainer(cfg.train, name="gb_parity",
+                      mesh_config=MeshConfig(data=1, model=1),
+                      use_wandb=False, full_cfg=cfg)
+    trainer.params = params
+    trainer.datamodule = dm
+    w_native = estimate_gradblend_weights(task, trainer)
+    w_torch = torch_gradblend_weights(cfg.model, sd, dm, epochs=gb_epochs)
+    return {"mode": "gradblend", "order": list(task.loss_names),
+            "native": [float(x) for x in w_native],
+            "torch": [float(x) for x in w_torch],
+            "max_abs_diff": float(np.abs(np.asarray(w_native, np.float64)
+                                         - np.asarray(w_torch, np.float64)).max())}
+
+
+# ---------------------------------------------------------------------------
+# Lockstep parity beyond the flagship topology (VERDICT r3 #2):
+# MM-IMDB (multilabel BCE-pos_weight) and MIMIC (tuple batch, MLP +
+# MLPMixerNoPatching)
+# ---------------------------------------------------------------------------
+
+class _RefMLP(nn.Module):
+    """N x (Linear+ReLU+Dropout) + optional output Linear with the
+    reference's ``module_list`` indices (`/root/reference/modules/mlp.py:4-27`)."""
+
+    def __init__(self, input_dim, hidden_dim, num_blocks, output_dim, dropout):
+        super().__init__()
+        self.module_list = nn.ModuleList()
+        for i in range(num_blocks):
+            self.module_list.append(nn.Linear(input_dim if i == 0 else hidden_dim,
+                                              hidden_dim))
+            self.module_list.append(nn.ReLU())
+            self.module_list.append(nn.Dropout(dropout))
+        if output_dim is not None:
+            self.module_list.append(nn.Linear(hidden_dim, output_dim))
+
+    def forward(self, x):
+        for m in self.module_list:
+            x = m(x)
+        return x
+
+
+class _RefMLPMixerNoPatching(nn.Module):
+    """Linear proj instead of conv patching
+    (`/root/reference/modules/mixer.py:165-186`)."""
+
+    def __init__(self, embedding_dim, proj_dim, hidden, n_tokens, n_blocks,
+                 token_dim, channel_dim, dropout):
+        super().__init__()
+        self.proj = nn.Linear(embedding_dim, proj_dim)
+        self.mixer_blocks = nn.Sequential(*[
+            _MixerBlock(hidden, n_tokens, token_dim, channel_dim, dropout)
+            for _ in range(n_blocks)])
+        self.layer_norm = nn.LayerNorm(hidden)
+
+    def forward(self, x):
+        return self.layer_norm(self.mixer_blocks(self.proj(x)))
+
+
+class RefMMIMDBMixer(nn.Module):
+    """The MMIMDBMixerMultiLoss forward
+    (`/root/reference/models/mmimdb.py:66-133`): image + text MLPMixer
+    encoders (text rides a 1-channel feature grid), token-axis concat,
+    FusionMixer, mean-pooled heads + StandardClassifier."""
+
+    def __init__(self, model_cfg):
+        super().__init__()
+        m = model_cfg.modalities
+        d = float(model_cfg.get("dropout", 0.0))
+
+        def enc(mc):
+            return _RefMLPMixer(int(mc.in_channels), int(mc.hidden_dim),
+                                int(mc.patch_size), tuple(mc.image_size),
+                                int(mc.num_mixers), int(mc.token_dim),
+                                int(mc.channel_dim), d)
+
+        self.image_mixer = enc(m.image)
+        self.text_mixer = enc(m.text)
+        n_tokens = (self.image_mixer.mixer_blocks[0].token_mix[2].net[0].in_features
+                    + self.text_mixer.mixer_blocks[0].token_mix[2].net[0].in_features)
+        mm = m.multimodal
+        self.fusion_mixer = _RefFusionMixer(int(mm.hidden_dim), n_tokens,
+                                            int(mm.num_mixers), int(mm.token_dim),
+                                            int(mm.channel_dim), d)
+        n_cls = int(m.classification.num_classes)
+        self.classifier_image = nn.Linear(int(m.image.hidden_dim), n_cls)
+        self.classifier_text = nn.Linear(int(m.text.hidden_dim), n_cls)
+        self.classifier_fusion = _RefStandardClassifier(int(mm.hidden_dim), n_cls)
+
+    def forward(self, image, text):
+        ti = self.image_mixer(image)
+        tt = self.text_mixer(text)
+        tf = self.fusion_mixer(torch.cat([ti, tt], dim=1))
+        return (self.classifier_image(ti.mean(1)),
+                self.classifier_text(tt.mean(1)),
+                self.classifier_fusion(tf))
+
+
+class RefMimicMixer(nn.Module):
+    """The MimicMixerMultiLoss forward
+    (`/root/reference/models/mimic.py:95-124`): MLP static encoder
+    contributing ONE fused token (``static.unsqueeze(1)``), time-series
+    MLPMixerNoPatching, static head on the raw embedding, time head on
+    pooled tokens."""
+
+    def __init__(self, model_cfg):
+        super().__init__()
+        m = model_cfg.modalities
+        d = float(model_cfg.get("dropout", 0.0))
+        s, t, mm = m.static, m.time, m.multimodal
+        self.static_extractor = _RefMLP(int(s.input_dim), int(s.hidden_dim),
+                                        int(s.num_blocks),
+                                        int(s.output_dim) if s.get("output_dim")
+                                        is not None else None, d)
+        self.time_mixer = _RefMLPMixerNoPatching(
+            int(t.embedding_dim), int(t.proj_dim), int(t.hidden_dim),
+            int(t.num_patch), int(t.num_mixers), int(t.token_dim),
+            int(t.channel_dim), d)
+        n_tokens = 1 + int(t.num_patch)
+        self.fusion_mixer = _RefFusionMixer(int(mm.hidden_dim), n_tokens,
+                                            int(mm.num_mixers), int(mm.token_dim),
+                                            int(mm.channel_dim), d)
+        n_cls = int(m.classification.num_classes)
+        self.classifier_static = nn.Linear(int(s.output_dim), n_cls)
+        self.classifier_time = nn.Linear(int(t.hidden_dim), n_cls)
+        self.classifier_fusion = _RefStandardClassifier(int(mm.hidden_dim), n_cls)
+
+    def forward(self, static, time):
+        fs = self.static_extractor(static)
+        tt = self.time_mixer(time)
+        tf = self.fusion_mixer(torch.cat([fs.unsqueeze(1), tt], dim=1))
+        return (self.classifier_static(fs),
+                self.classifier_time(tt.mean(1)),
+                self.classifier_fusion(tf))
+
+
+def _torch_family_protocol(model, loss_fn, test_fn, datamodule, optimizer_cfg,
+                           epochs: int, es_patience: int = 30) -> Dict:
+    """The reference training protocol (epoch loop, best-val snapshot,
+    plateau LR, early stop — `/root/reference/run.py:59-83`,
+    `train_test_module.py:166-175`) for any (loss_fn, test_fn) family."""
+    from .training.callbacks import EarlyStopping, ReduceLROnPlateau
+
+    opt = torch.optim.Adam(
+        model.parameters(), lr=float(optimizer_cfg.lr),
+        betas=tuple(optimizer_cfg.get("betas", (0.9, 0.999))),
+        eps=float(optimizer_cfg.get("eps", 1e-8)),
+        weight_decay=float(optimizer_cfg.get("weight_decay", 0.0)))
+    plateau = ReduceLROnPlateau(float(optimizer_cfg.lr),
+                                patience=int(optimizer_cfg.get(
+                                    "scheduler_patience", 5)))
+    stopper = EarlyStopping("val_loss", patience=es_patience, mode="min")
+    datamodule.setup("fit")
+    datamodule.setup("test")
+    history = {"train_loss": [], "val_loss": []}
+    best_val, best_state, best_epoch = np.inf, None, -1
+    for epoch in range(epochs):
+        model.train()
+        losses = []
+        for batch in datamodule.train_batches():
+            opt.zero_grad()
+            loss = loss_fn(model, batch)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        model.eval()
+        with torch.no_grad():
+            vl = [float(loss_fn(model, b)) for b in datamodule.val_batches()]
+        val = float(np.mean(vl))
+        history["train_loss"].append(float(np.mean(losses)))
+        history["val_loss"].append(val)
+        if val < best_val:
+            best_val, best_epoch = val, epoch
+            best_state = {k: v.detach().clone()
+                          for k, v in model.state_dict().items()}
+        lr = plateau.update(val)
+        for g in opt.param_groups:
+            g["lr"] = lr
+        if stopper.update({"val_loss": val}):
+            break
+    if best_state is not None:
+        model.load_state_dict(best_state)
+    model.eval()
+    out = {"framework": "torch-reference", "history": history,
+           "best_epoch": best_epoch, "best_val_loss": float(best_val)}
+    with torch.no_grad():
+        out.update(test_fn(model, datamodule))
+    return out
+
+
+def _native_family_protocol(cfg, name: str, init_params=None) -> Dict:
+    """``Trainer.fit`` + best-ckpt test for any family config; returns the
+    full test-metric dict plus loss history."""
+    from .datasets import get_data_module
+    from .models import get_model
+    from .parallel import MeshConfig
+    from .training import Trainer
+
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.shuffle_train = False  # lockstep: both sides iterate dataset order
+    trainer = Trainer(cfg.train, name=name,
+                      mesh_config=MeshConfig(data=1, model=1),
+                      use_wandb=False, full_cfg=cfg)
+    if init_params is not None:
+        trainer.params = init_params
+    trainer.fit(task, dm)
+    logs = trainer.test(task, dm, ckpt="best")
+    rows = [json.loads(l) for l in open(
+        os.path.join(trainer.logger.log_dir, "metrics.jsonl"))]
+    return {"framework": "m2mixer_tpu",
+            "history": {
+                "train_loss": [r["train_loss"] for r in rows if "train_loss" in r],
+                "val_loss": [r["val_loss"] for r in rows if "val_loss" in r]},
+            "best_epoch": int(trainer.logger.summary.get("best_val_loss_epoch", -1)),
+            "best_val_loss": float(trainer.logger.summary.get("best_val_loss", np.nan)),
+            **{k: float(v) for k, v in logs.items() if np.isscalar(v) or
+               getattr(v, "ndim", 1) == 0}}
+
+
+def lockstep_experiment_mmimdb(data_dir: str, work_dir: str, cfg,
+                               epochs: int = 3) -> Dict:
+    """MM-IMDB lockstep: multilabel ``BCEWithLogitsLoss(pos_weight)`` heads,
+    plain-sum combine, sigmoid>0.5 preds, weighted/macro F1
+    (`/root/reference/models/mmimdb.py:47-50,125-133,184-192`)."""
+    import jax
+
+    from .datasets import get_data_module
+    from .models import get_model
+    from .training import metrics as tm
+    from .utils.torch_import import export_reference_state_dict
+
+    cfg.train.tensorboard_path = os.path.join(work_dir, "logs")
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.shuffle_train = False
+    dm.setup("fit")
+    sample = next(iter(dm.train_batches()))
+    params = task.init_params(jax.random.PRNGKey(int(cfg.train.seed)), sample)
+    m = cfg.model.modalities
+    shapes = {name: (int(m[name].in_channels), int(m[name].patch_size),
+                     int(m[name].patch_size)) for name in ("image", "text")}
+    sd = export_reference_state_dict(params, ("image", "text"), shapes)
+    native = _native_family_protocol(cfg, "parity_mmimdb", init_params=params)
+
+    model = RefMMIMDBMixer(cfg.model)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    pos_weight = torch.tensor(np.asarray(cfg.model.pos_weight, np.float32))
+    bce = nn.BCEWithLogitsLoss(pos_weight=pos_weight)
+
+    def loss_fn(model, b):
+        li, lt, lf = model(torch.tensor(np.asarray(b["image"])),
+                           torch.tensor(np.asarray(b["text"])))
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.float32)
+        # plain sum (`mmimdb.py:128-133`)
+        return bce(li, y) + bce(lt, y) + bce(lf, y)
+
+    n_labels = int(cfg.model.modalities.classification.num_classes)
+
+    def test_fn(model, dm):
+        f1w = tm.F1Score(task="multilabel", num_labels=n_labels, average="weighted")
+        f1m = tm.F1Score(task="multilabel", num_labels=n_labels, average="macro")
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            _, _, lf = model(torch.tensor(np.asarray(b["image"])),
+                             torch.tensor(np.asarray(b["text"])))
+            preds = (torch.sigmoid(lf) > 0.5).long().numpy()
+            f1w.update(preds, np.asarray(b["label"]))
+            f1m.update(preds, np.asarray(b["label"]))
+        return {"test_loss": float(np.mean(tl)),
+                "test_f1w": float(f1w.compute()),
+                "test_f1m": float(f1m.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs)
+    return {"mode": "lockstep_mmimdb", "native": native, "torch": ref}
+
+
+def lockstep_experiment_mimic(data_dir: str, work_dir: str, cfg,
+                              epochs: int = 3) -> Dict:
+    """MIMIC lockstep: tuple-semantics batch (static, time, label), CE
+    branches, fixed weighting WITHOUT the x3 scale
+    (`/root/reference/models/mimic.py:95-124`)."""
+    import jax
+
+    from .datasets import get_data_module
+    from .models import get_model
+    from .training import metrics as tm
+    from .utils.torch_import import export_mimic_state_dict
+
+    cfg.train.tensorboard_path = os.path.join(work_dir, "logs")
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.shuffle_train = False
+    dm.setup("fit")
+    sample = next(iter(dm.train_batches()))
+    params = task.init_params(jax.random.PRNGKey(int(cfg.train.seed)), sample)
+    sd = export_mimic_state_dict(params)
+    native = _native_family_protocol(cfg, "parity_mimic", init_params=params)
+
+    model = RefMimicMixer(cfg.model)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    ce = nn.CrossEntropyLoss()
+    w_f = float(cfg.model.get("fusion_loss_weight", 1.0 / 3.0))
+    ow = (1.0 - w_f) / 2.0
+
+    def loss_fn(model, b):
+        ls_, lt_, lf_ = model(torch.tensor(np.asarray(b["static"])),
+                              torch.tensor(np.asarray(b["time"])))
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.long)
+        # fixed weighting, no x3 (`mimic.py:118-120`)
+        return w_f * ce(lf_, y) + ow * ce(ls_, y) + ow * ce(lt_, y)
+
+    n_cls = int(cfg.model.modalities.classification.num_classes)
+
+    def test_fn(model, dm):
+        f1 = tm.F1Score(task="multiclass", num_classes=n_cls, average="micro")
+        acc = tm.Accuracy(task="multiclass", num_classes=n_cls)
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            _, _, lf_ = model(torch.tensor(np.asarray(b["static"])),
+                              torch.tensor(np.asarray(b["time"])))
+            preds = lf_.argmax(dim=1).numpy()
+            f1.update(preds, np.asarray(b["label"]))
+            acc.update(preds, np.asarray(b["label"]))
+        return {"test_loss": float(np.mean(tl)),
+                "test_f1_micro": float(f1.compute()),
+                "test_acc": float(acc.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs)
+    return {"mode": "lockstep_mimic", "native": native, "torch": ref}
+
+
 def protocol_experiment(data_dir: str, work_dir: str, epochs: int = 12,
                         seeds=(0, 1, 2)) -> Dict:
     """Shipped recipe, independent seeds: final metrics within seed noise."""
@@ -402,39 +880,99 @@ def main(argv=None):
                     help="surrogate train size (384 -> val split lands on a "
                     "batch boundary)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--families", default="avmnist",
+                    help="comma list of lockstep families to run: avmnist "
+                    "(lockstep+protocol), mimic, mmimdb")
+    ap.add_argument("--gradblend", action="store_true",
+                    help="also run GradBlend weight-estimation parity "
+                    "(native estimator vs the reference O/G^2 math in torch)")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
+    from . import config as cfg_lib
     from .datasets.surrogate import generate
 
+    families = [f.strip() for f in args.families.split(",") if f.strip()]
     os.makedirs(args.work, exist_ok=True)
-    data_dir = os.path.join(args.work, "avmnist")
-    if not os.path.exists(os.path.join(data_dir, ".complete")):
-        generate("avmnist", data_dir, n=args.n)
-        open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+    out = {}
 
-    lock = lockstep_experiment(data_dir, os.path.join(args.work, "lockstep"),
-                               epochs=args.lockstep_epochs)
-    proto = protocol_experiment(data_dir, os.path.join(args.work, "protocol"),
-                                epochs=args.epochs,
-                                seeds=tuple(range(args.seeds)))
-    out = {"lockstep": lock, "protocol": proto}
+    def show_curves(tag, lock):
+        nv = lock["native"]["history"]["val_loss"]
+        tv = lock["torch"]["history"]["val_loss"]
+        print(f"[parity] {tag} lockstep val-loss curves:")
+        for e, (a, b) in enumerate(zip(nv, tv)):
+            print(f"  epoch {e}: native {a:.6f}  torch {b:.6f}  |d| {abs(a-b):.2e}")
+
+    if "avmnist" in families:
+        data_dir = os.path.join(args.work, "avmnist")
+        if not os.path.exists(os.path.join(data_dir, ".complete")):
+            generate("avmnist", data_dir, n=args.n)
+            open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+        lock = lockstep_experiment(data_dir, os.path.join(args.work, "lockstep"),
+                                   epochs=args.lockstep_epochs)
+        proto = protocol_experiment(data_dir, os.path.join(args.work, "protocol"),
+                                    epochs=args.epochs,
+                                    seeds=tuple(range(args.seeds)))
+        out.update({"lockstep": lock, "protocol": proto})
+        show_curves("avmnist", lock)
+        s = proto["summary"]
+        print(f"[parity] protocol ({args.seeds} seeds, {args.epochs} epochs): "
+              f"native acc {s['native']['test_acc_mean']:.4f}"
+              f"±{s['native']['test_acc_std']:.4f} f1m {s['native']['test_f1m_mean']:.4f} | "
+              f"torch acc {s['torch']['test_acc_mean']:.4f}"
+              f"±{s['torch']['test_acc_std']:.4f} f1m {s['torch']['test_f1m_mean']:.4f}")
+
+    if "mimic" in families:
+        data_dir = os.path.join(args.work, "mimic")
+        if not os.path.exists(os.path.join(data_dir, "im.pk")):
+            generate("mimic", data_dir, n=400)
+        cfg = cfg_lib.load("cfg/mimic/mimic_m2-mixer_H.yml")
+        cfg.dataset.params.data_dir = data_dir
+        cfg.dataset.params.batch_size = 16
+        cfg.dataset.params.num_workers = 0
+        cfg.train.epochs = args.lockstep_epochs
+        cfg.model.dropout = 0.0
+        lock = lockstep_experiment_mimic(data_dir, os.path.join(args.work, "mimic_work"),
+                                         cfg, epochs=args.lockstep_epochs)
+        out["lockstep_mimic"] = lock
+        show_curves("mimic", lock)
+        print(f"[parity] mimic test: native f1_micro {lock['native']['test_f1_micro']:.4f} "
+              f"| torch {lock['torch']['test_f1_micro']:.4f}")
+
+    if "mmimdb" in families:
+        data_dir = os.path.join(args.work, "mmimdb")
+        if not os.path.isdir(os.path.join(data_dir, "train")):
+            generate("mmimdb_ext", data_dir, n=320)
+        cfg = cfg_lib.load("cfg/mmimdb/mmimdb_3loss.yml")
+        cfg.dataset.params.data_dir = data_dir
+        cfg.dataset.params.batch_size = 16
+        cfg.dataset.params.num_workers = 0
+        cfg.train.epochs = args.lockstep_epochs
+        cfg.train.seed = 0
+        cfg.model.dropout = 0.0
+        lock = lockstep_experiment_mmimdb(data_dir, os.path.join(args.work, "mmimdb_work"),
+                                          cfg, epochs=args.lockstep_epochs)
+        out["lockstep_mmimdb"] = lock
+        show_curves("mmimdb", lock)
+        print(f"[parity] mmimdb test: native f1w {lock['native']['test_f1w']:.4f} "
+              f"| torch {lock['torch']['test_f1w']:.4f}")
+
+    if args.gradblend:
+        data_dir = os.path.join(args.work, "avmnist")
+        if not os.path.exists(os.path.join(data_dir, ".complete")):
+            generate("avmnist", data_dir, n=args.n)
+            open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+        cfg = _load_s_cfg(data_dir, args.work, 1, 0, dropout=0.0)
+        gb = gradblend_parity(cfg, gb_epochs=2)
+        out["gradblend"] = gb
+        print(f"[parity] gradblend weights native {gb['native']} | torch "
+              f"{gb['torch']} (max |d| {gb['max_abs_diff']:.2e})")
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
-
-    nv, tv = lock["native"]["history"]["val_loss"], lock["torch"]["history"]["val_loss"]
-    print("[parity] lockstep val-loss curves:")
-    for e, (a, b) in enumerate(zip(nv, tv)):
-        print(f"  epoch {e}: native {a:.6f}  torch {b:.6f}  |d| {abs(a-b):.2e}")
-    s = proto["summary"]
-    print(f"[parity] protocol ({args.seeds} seeds, {args.epochs} epochs): "
-          f"native acc {s['native']['test_acc_mean']:.4f}"
-          f"±{s['native']['test_acc_std']:.4f} f1m {s['native']['test_f1m_mean']:.4f} | "
-          f"torch acc {s['torch']['test_acc_mean']:.4f}"
-          f"±{s['torch']['test_acc_std']:.4f} f1m {s['torch']['test_f1m_mean']:.4f}")
     print(f"[parity] wrote {args.out}")
 
 

@@ -144,6 +144,15 @@ def trial_params(sweep: Dict[str, Any], trials: Optional[int],
         combos = itertools.product(*grids)
         for i, combo in enumerate(combos):
             if trials is not None and i >= trials:
+                # no-silent-caps: enumerate what the cap cuts off so a
+                # truncated grid never reads as full coverage (ADVICE r3)
+                dropped = list(itertools.islice(combos, 8))
+                rest = sum(1 for _ in combos)
+                shown = ", ".join(str(dict(zip(names, c))) for c in dropped)
+                print(f"[sweep] grid cross-product exceeds --trials {trials}: "
+                      f"dropping {len(dropped) + rest + 1} combos starting at "
+                      f"{dict(zip(names, combo))}; next: {shown}"
+                      + (f" … and {rest} more" if rest else ""))
                 return
             yield dict(zip(names, combo))
         return
@@ -432,6 +441,21 @@ def _trial_rank_key(sign: float):
                       else math.inf)
 
 
+def _select_best(results, sign: float):
+    """Rank trials NaN-proof and refuse to present a diverged trial as the
+    winner: when EVERY trial's value is non-finite, ``min`` over
+    ``_trial_rank_key`` would silently report trial 0 as 'best' even though
+    nothing converged — raise instead so sweeps that fully diverge fail
+    loudly (ADVICE r3)."""
+    best = min(results, key=_trial_rank_key(sign))
+    if not math.isfinite(best["value"]):
+        raise RuntimeError(
+            f"all {len(results)} sweep trials produced non-finite metric "
+            "values (every trial diverged) — no best trial exists; inspect "
+            "sweep_results.jsonl and narrow the search space")
+    return best
+
+
 def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
                     out_dir: str, extra_overrides, epochs, verbose: bool,
                     sign: float) -> dict:
@@ -511,7 +535,7 @@ def _run_sweep_vmap(sweep: Dict[str, Any], cfg_file: str, trials, seed: int,
             if verbose:
                 print(f"[sweep] trial {i}: {metric}={row['value']:.5f} "
                       f"{trial_axes}")
-    best = min(results, key=_trial_rank_key(sign))
+    best = _select_best(results, sign)
     if verbose:
         print(f"[sweep] best trial {best['trial']}: "
               f"{metric}={best['value']:.5f} {best['params']}")
@@ -654,7 +678,7 @@ def run_sweep(sweep_path: str, trials: Optional[int] = None, seed: int = 0,
     if not results:
         raise ValueError("sweep produced no trials (was --trials 0, or an "
                          "empty grid?)")
-    best = min(results, key=_trial_rank_key(sign))
+    best = _select_best(results, sign)
     if verbose:
         print(f"[sweep] best trial {best['trial']}: "
               f"{sweep['metric']}={best['value']:.5f} {best['params']}")

@@ -42,7 +42,7 @@ def sam_value_and_grad(loss_fn, params, rho: float, masker=None, frozen=None):
     # branched on — fall through to the SAM math, which is exact for rho=0
     # too (scale 0 -> adv == params); the static-0 early exit keeps plain
     # runs at one backward pass
-    if isinstance(rho, (int, float)) and not rho:
+    if isinstance(rho, (int, float, np.integer, np.floating)) and not rho:
         return (loss, aux), grads
     ascent = masker(grads, frozen) if masker is not None else grads
     norm = optax.global_norm(ascent)

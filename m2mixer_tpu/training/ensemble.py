@@ -34,10 +34,13 @@ bias for every member/epoch). Config-driven LR schedules
 Trainer (epoch-driven, shared by all members). SoftAdapt runs PER MEMBER:
 each member's loss-weight vector refits from its own per-branch val-loss
 histories on the task's schedule and enters the step as a traced
-``(N, n_branches)`` override of ``ctx['loss_weights']``. GradBlend
-(per-member nested sub-training), mutable collections, and
-``train.grad_accum_steps`` are rejected with an error — use the sequential
-runner for those configs.
+``(N, n_branches)`` override of ``ctx['loss_weights']``.
+``train.grad_accum_steps`` is supported: the accumulation scan runs inside
+the member vmap (sequential ``update*K`` with a micro-step rng counter), so
+K micro-batches of B/K match a batch-B member bit-for-bit (parity-tested in
+``test_significance.py::test_vmap_ensemble_grad_accum_matches_big_batch``).
+GradBlend (per-member nested sub-training) and mutable collections are
+rejected with an error — use the sequential runner for those configs.
 """
 
 from __future__ import annotations

@@ -980,7 +980,10 @@ class Trainer:
             return None
         from ..utils.flops import peak_flops
 
-        peak = peak_flops(jax.devices()[0]) * self.mesh.size
+        # peak from the mesh's OWN devices (summed per device, so a
+        # heterogeneous mesh is priced correctly), not jax.devices()[0]
+        peak = float(sum(peak_flops(d)
+                         for d in np.asarray(self.mesh.devices).flat))
         return samples_per_sec * self._mfu_flops_per_sample / peak
 
     def _measure_step_flops(self) -> Optional[float]:

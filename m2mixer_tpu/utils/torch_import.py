@@ -169,6 +169,54 @@ def export_reference_state_dict(variables: dict,
     return sd
 
 
+def export_mimic_state_dict(variables: dict) -> Dict[str, np.ndarray]:
+    """MIMIC-topology params -> reference-named torch state_dict
+    (`/root/reference/models/mimic.py:39-50`): ``static_extractor`` is an
+    MLP whose Linears live at ``module_list.{3i}`` (Linear/ReLU/Dropout
+    triplets, output Linear at ``module_list.{3*num_blocks}``,
+    `/root/reference/modules/mlp.py:11-21`); ``time_mixer`` is an
+    MLPMixerNoPatching with a ``proj`` Linear before the blocks
+    (`/root/reference/modules/mixer.py:165-186`)."""
+    p = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix, node):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(node["linear"]["kernel"]).T)
+        sd[f"{prefix}.bias"] = np.asarray(node["linear"]["bias"])
+
+    def put_ln(prefix, node):
+        sd[f"{prefix}.weight"] = np.asarray(node["LayerNorm_0"]["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(node["LayerNorm_0"]["bias"])
+
+    def put_blocks(prefix, node):
+        i = 0
+        while f"block_{i}" in node:
+            b = node[f"block_{i}"]
+            put_ln(f"{prefix}.mixer_blocks.{i}.token_mix.0", b["norm_token"])
+            put_linear(f"{prefix}.mixer_blocks.{i}.token_mix.2.net.0", b["token_mix"]["fc1"])
+            put_linear(f"{prefix}.mixer_blocks.{i}.token_mix.2.net.3", b["token_mix"]["fc2"])
+            put_ln(f"{prefix}.mixer_blocks.{i}.channel_mix.0", b["norm_channel"])
+            put_linear(f"{prefix}.mixer_blocks.{i}.channel_mix.1.net.0", b["channel_mix"]["fc1"])
+            put_linear(f"{prefix}.mixer_blocks.{i}.channel_mix.1.net.3", b["channel_mix"]["fc2"])
+            i += 1
+        put_ln(f"{prefix}.layer_norm", node["norm_out"])
+
+    mlp = p["encoders_0"]
+    i = 0
+    while f"fc_{i}" in mlp:
+        put_linear(f"static_extractor.module_list.{3 * i}", mlp[f"fc_{i}"])
+        i += 1
+    if "fc_out" in mlp:
+        put_linear(f"static_extractor.module_list.{3 * i}", mlp["fc_out"])
+    put_linear("time_mixer.proj", p["encoders_1"]["proj"])
+    put_blocks("time_mixer", p["encoders_1"])
+    put_linear("classifier_static", p["heads_0"])
+    put_linear("classifier_time", p["heads_1"])
+    put_blocks("fusion_mixer", p["fusion_mixer"])
+    put_linear("classifier_fusion.classifer", p["classifier"]["cls"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # Migration CLI: Lightning .ckpt -> a native checkpoint directory
 # ---------------------------------------------------------------------------

@@ -68,6 +68,28 @@ def test_sam_math_on_quadratic():
     assert float(loss_c) == pytest.approx(12.5)
 
 
+def test_sam_numpy_scalar_zero_takes_early_exit():
+    """ADVICE r3 regression: a host numpy scalar rho=0 (np.float32(0.0))
+    must hit the static early exit — ONE backward pass, like python 0.0 —
+    instead of silently paying the traced SAM branch for a no-op."""
+    w = {"a": jnp.asarray([3.0, 0.0])}
+    calls = {"n": 0}
+
+    def loss_fn(p):
+        calls["n"] += 1
+        return 0.5 * jnp.sum(p["a"] * p["a"]), {}
+
+    for rho in (np.float32(0.0), np.int32(0), 0.0):
+        calls["n"] = 0
+        (_, _), g = sam_value_and_grad(loss_fn, w, rho)
+        assert calls["n"] == 1, rho
+        np.testing.assert_allclose(np.asarray(g["a"]), [3.0, 0.0])
+    # a nonzero numpy rho still runs the SAM second pass
+    calls["n"] = 0
+    sam_value_and_grad(loss_fn, w, np.float32(0.5))
+    assert calls["n"] == 2
+
+
 def test_sam_respects_mask():
     """Masked-out leaves are not perturbed: their own SAM gradient stays the
     clean gradient and they do not contribute to the ascent norm."""

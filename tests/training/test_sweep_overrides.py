@@ -645,6 +645,40 @@ def test_nan_trials_never_rank_best():
     assert min(all_nan, key=_trial_rank_key(1.0))["trial"] == 0
 
 
+def test_all_diverged_sweep_raises(capsys):
+    """ADVICE r3 regression: when EVERY trial diverges (all values
+    non-finite), the sweep must refuse to report a 'best' trial instead of
+    silently printing trial 0."""
+    import pytest
+
+    from m2mixer_tpu.sweep import _select_best
+
+    with pytest.raises(RuntimeError, match="non-finite"):
+        _select_best([{"trial": 0, "value": float("nan")},
+                      {"trial": 1, "value": float("inf")}], 1.0)
+    # one finite trial is enough to have a winner
+    best = _select_best([{"trial": 0, "value": float("nan")},
+                         {"trial": 1, "value": 0.7}], 1.0)
+    assert best["trial"] == 1
+
+
+def test_grid_trials_cap_reports_dropped(capsys):
+    """ADVICE r3 regression: capping a grid cross-product with --trials
+    must say WHICH combos were cut (no-silent-caps convention)."""
+    from m2mixer_tpu.sweep import trial_params
+
+    grid_sweep = {"method": "grid", "parameters": {
+        "a": {"values": [1, 2]}, "b": {"values": [10, 20, 30]}}}
+    combos = list(trial_params(grid_sweep, 4))
+    assert len(combos) == 4
+    out = capsys.readouterr().out
+    assert "dropping 2 combos" in out
+    assert "'a': 2" in out and "'b': 20" in out  # first dropped combo named
+    # uncapped grids stay silent
+    list(trial_params(grid_sweep, None))
+    assert "dropping" not in capsys.readouterr().out
+
+
 def test_vmap_sweep_two_axes_end_to_end(tmp_path):
     """--vmap with a 2-axis grid (lr x weight_decay): 4 trials in one
     compiled program, per-trial params recorded, best trial sane."""
