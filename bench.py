@@ -108,37 +108,46 @@ def main():
         "label": jnp.asarray(np.random.randint(0, 10, (pool,)), jnp.int32),
     }
 
-    def measure(batch_size: int, chunk: int, n_chunks: int) -> float:
-        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
-        def run_chunk(params, opt_state, arrays, order, start_step, bs):
-            def body(carry, i):
-                params, opt_state = carry
-                idx = jax.lax.dynamic_slice_in_dim(order, i * bs, bs)
-                batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
-                step_rngs = {k: jax.random.fold_in(v, start_step + i) for k, v in rngs.items()}
-                (loss, _), grads = jax.value_and_grad(
-                    lambda p: task.step(p, batch, ctx, step_rngs, train=True), has_aux=True
-                )(params)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                return (optax.apply_updates(params, updates), opt_state), loss
+    def make_measure(task, opt, params0, arrays, ctx, rngs, pool):
+        """Generic epoch-compiled throughput harness for ANY task: a scan
+        of full optimizer steps over a device-resident pool (the same shape
+        training/compiled.py runs)."""
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), jnp.arange(chunk)
-            )
-            return params, opt_state, losses[-1]
+        def measure(batch_size: int, chunk: int, n_chunks: int) -> float:
+            @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
+            def run_chunk(params, opt_state, arrays, order, start_step, bs):
+                def body(carry, i):
+                    params, opt_state = carry
+                    idx = jax.lax.dynamic_slice_in_dim(order, i * bs, bs)
+                    batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), arrays)
+                    step_rngs = {k: jax.random.fold_in(v, start_step + i) for k, v in rngs.items()}
+                    (loss, _), grads = jax.value_and_grad(
+                        lambda p: task.step(p, batch, ctx, step_rngs, train=True), has_aux=True
+                    )(params)
+                    updates, opt_state = opt.update(grads, opt_state, params)
+                    return (optax.apply_updates(params, updates), opt_state), loss
 
-        params = jax.tree.map(jnp.copy, params0)
-        opt_state = opt.init(params)
-        order = jnp.asarray(np.random.randint(0, pool, (chunk * batch_size,)), jnp.int32)
-        params, opt_state, loss = run_chunk(params, opt_state, arrays, order, 0, batch_size)
-        float(loss)  # compile + warm
-        t0 = time.perf_counter()
-        for c in range(n_chunks):
-            params, opt_state, loss = run_chunk(
-                params, opt_state, arrays, order, c * chunk, batch_size)
-        float(loss)  # force completion
-        dt = time.perf_counter() - t0
-        return n_chunks * chunk * batch_size / dt
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), jnp.arange(chunk)
+                )
+                return params, opt_state, losses[-1]
+
+            params = jax.tree.map(jnp.copy, params0)
+            opt_state = opt.init(params)
+            order = jnp.asarray(np.random.randint(0, pool, (chunk * batch_size,)), jnp.int32)
+            params, opt_state, loss = run_chunk(params, opt_state, arrays, order, 0, batch_size)
+            float(loss)  # compile + warm
+            t0 = time.perf_counter()
+            for c in range(n_chunks):
+                params, opt_state, loss = run_chunk(
+                    params, opt_state, arrays, order, c * chunk, batch_size)
+            float(loss)  # force completion
+            dt = time.perf_counter() - t0
+            return n_chunks * chunk * batch_size / dt
+
+        return measure
+
+    measure = make_measure(task, opt, params0, arrays, ctx, rngs, pool)
 
     def measure_accum(micro_bs: int, accum: int, chunk: int,
                       n_chunks: int) -> float:
@@ -201,6 +210,51 @@ def main():
     mfu = sps * flops_per_sample / peak
     mfu_512 = sps_512 * flops_per_sample / peak
 
+    # -- driver-tracked cross-family + framework-ceiling datapoints --------
+    # (round-3 review: these used to live as round-2 prose in BASELINE.md;
+    # now re-measured every round)
+
+    def measure_mimic() -> float:
+        """MIMIC-H geometry (`cfg/mimic/mimic_m2-mixer_H.yml`): MLP static
+        encoder + MLPMixerNoPatching time series at the shipped batch 128."""
+        mcfg = load(os.path.join(repo, "cfg", "mimic", "mimic_m2-mixer_H.yml"))
+        mcfg.model.precision = "bf16"
+        mcfg.model.approximate_gelu = True
+        mcfg.model.bits_dropout = True
+        mtask = get_model(mcfg.model.type)(mcfg.model, mcfg.train.optimizer)
+        m_arrays = {
+            "static": jnp.asarray(np.random.rand(pool, 5), jnp.float32),
+            "time": jnp.asarray(np.random.rand(pool, 24, 12), jnp.float32),
+            "label": jnp.asarray(np.random.randint(0, 6, (pool,)), jnp.int32),
+        }
+        m_init = {k: v[:128] for k, v in m_arrays.items()}
+        m_params = mtask.init_params(jax.random.PRNGKey(1), m_init)
+        m_ctx = {k: jnp.asarray(v) for k, v in mtask.make_ctx(0, "train").items()}
+        m = make_measure(mtask, opt, m_params, m_arrays, m_ctx, rngs, pool)
+        return m(batch_size=128, chunk=64, n_chunks=6)
+
+    def measure_l_geometry():
+        """Framework-ceiling datapoint: the L geometry
+        (`cfg/avmnist/avmnist_m2-mixer_L.yml`) at batch 512, where the MXU
+        is fed wide enough that MFU reflects the framework, not dispatch
+        (round-2 kbench32 measured 47.6-56.7% at L/XL/XXL)."""
+        lcfg = load(os.path.join(repo, "cfg", "avmnist", "avmnist_m2-mixer_L.yml"))
+        lcfg.model.precision = "bf16"
+        lcfg.model.paired_encoders = True
+        lcfg.model.approximate_gelu = True
+        lcfg.model.bits_dropout = True
+        lcfg.train.optimizer.moment_dtype = "bf16"
+        ltask = get_model(lcfg.model.type)(lcfg.model, lcfg.train.optimizer)
+        l_params = ltask.init_params(jax.random.PRNGKey(2),
+                                     {k: v[:32] for k, v in arrays.items()})
+        l_ctx = {k: jnp.asarray(v) for k, v in ltask.make_ctx(0, "train").items()}
+        m = make_measure(ltask, opt, l_params, arrays, l_ctx, rngs, pool)
+        l_sps = m(batch_size=512, chunk=16, n_chunks=4)
+        return l_sps, l_sps * analytic_train_flops_per_sample(lcfg) / peak
+
+    mimic_sps = measure_mimic()
+    l_sps, l_mfu = measure_l_geometry()
+
     baseline_path = os.path.join(repo, "BASELINE_MEASURED.json")
     vs = vs_1t = None
     if os.path.exists(baseline_path):
@@ -224,6 +278,9 @@ def main():
         "batch512_mfu": round(mfu_512, 4),
         "batch4096_accum_samples_per_sec": round(sps_4096, 1),
         "batch4096_accum_mfu": round(sps_4096 * flops_per_sample / peak, 4),
+        "mimic_H_samples_per_sec": round(mimic_sps, 1),
+        "l_geometry_batch512_samples_per_sec": round(l_sps, 1),
+        "l_geometry_batch512_mfu": round(l_mfu, 4),
         "train_flops_per_sample": round(flops_per_sample),
         "device": jax.devices()[0].device_kind,
         "peak_bf16_flops": peak,

@@ -31,6 +31,11 @@ class LazyDataModule(DataModule):
         self._epoch = 0
         self.split_sizes: Dict[str, int] = {}
 
+    def split_size(self, stage: str) -> int:
+        # same accessor the in-memory base exposes (base.py:62-64), so
+        # family-generic tooling (serving eval, certify) works on both
+        return int(self.split_sizes[stage])
+
     # -- to implement ------------------------------------------------------
     def load_sample(self, split: str, idx: int) -> Dict[str, np.ndarray]:
         raise NotImplementedError

@@ -931,9 +931,17 @@ def evaluate_serving(model: ServedModel, task, datamodule, split: str = "test",
             aux = {"preds": jnp.argmax(outputs["logits"], axis=-1),
                    "labels": jnp.asarray(batch["label"]),
                    "probs": jax.nn.softmax(outputs["logits"], axis=-1)}
-        else:
+        elif hasattr(task, "predictions"):
             aux = task.predictions(
                 outputs, {k: jnp.asarray(v) for k, v in batch.items()})
+        else:
+            # plain-classification TrainTasks (e.g. the text-only
+            # PnlpMixerSeqClsTask, whose step argmaxes softmax logits,
+            # models/pnlp.py) expose no predictions() adapter — apply the
+            # same multiclass argmax semantics here
+            aux = {"preds": jnp.argmax(outputs["logits"], axis=-1),
+                   "labels": jnp.asarray(batch["label"]),
+                   "probs": jax.nn.softmax(outputs["logits"], axis=-1)}
         preds_l.append(np.asarray(aux["preds"]))
         labels_l.append(np.asarray(aux["labels"]))
         if aux.get("probs") is not None:

@@ -181,6 +181,11 @@ class CheckpointManager:
         # newest checkpoint KNOWN to be committed on disk — what the on-disk
         # index's 'last' points at while a newer save is still in flight
         self._last_durable: Optional[str] = self.index.get("last")
+        # multi-host: every process calls save() on the SAME directory
+        # (orbax coordinates the write internally), but host-side filesystem
+        # mutations — index.json, stale-dir deletion — happen on the primary
+        # only; non-primaries keep the in-memory index for best_path()
+        self._primary = jax.process_count() == 1 or jax.process_index() == 0
 
     def wait(self) -> None:
         """Block until any in-flight async save has committed to disk, then
@@ -200,10 +205,18 @@ class CheckpointManager:
         # never delete a directory whose async write is still in flight
         if self._inflight == path:
             self.wait()
-        if os.path.exists(path):
+        if self._primary and os.path.exists(path):
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            # no process may start (re)writing this path until the primary's
+            # deletion has happened
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_rm:{path}")
 
     def _write_index(self):
+        if not self._primary:
+            return  # in-memory index stays current for best_path()
         # monitor name + mode recorded so offline consumers (e.g. serving's
         # --average top-k checkpoint soup) can rank entries standalone
         self.index["monitor"] = self.monitor

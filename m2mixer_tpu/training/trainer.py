@@ -524,12 +524,32 @@ class Trainer:
             print("[trainer] train.fsdp=true but the mesh data axis is 1; "
                   "nothing to shard (FSDP disabled)")
             self._fsdp = False
-        self.logger = ExperimentLogger(
-            work_dir or train_cfg.get("tensorboard_path", "./logs"),
-            name,
-            use_wandb=use_wandb,
-            config=todict(full_cfg) if full_cfg else None,
-        )
+        log_root = work_dir or train_cfg.get("tensorboard_path", "./logs")
+        if jax.process_count() > 1:
+            # multi-host: ONE shared run dir. Process 0 claims a version and
+            # writes all files; the others mirror the exact same paths with
+            # a write-free logger so orbax coordinates one checkpoint (its
+            # cross-process barriers hang forever on mismatched paths)
+            from jax.experimental import multihost_utils
+
+            primary = jax.process_index() == 0
+            ver = 0
+            if primary:
+                self.logger = ExperimentLogger(
+                    log_root, name, use_wandb=use_wandb,
+                    config=todict(full_cfg) if full_cfg else None)
+                ver = self.logger.version
+            ver = int(multihost_utils.broadcast_one_to_all(np.int32(ver)))
+            if not primary:
+                self.logger = ExperimentLogger(log_root, name, version=ver,
+                                               write=False)
+        else:
+            self.logger = ExperimentLogger(
+                log_root,
+                name,
+                use_wandb=use_wandb,
+                config=todict(full_cfg) if full_cfg else None,
+            )
         self.ckpt_dir = os.path.join(self.logger.log_dir, "checkpoints")
         self.checkpoints = CheckpointManager(
             self.ckpt_dir, monitor=self.monitor, mode=self.monitor_mode, top_k=5, save_last=True,
@@ -1429,19 +1449,19 @@ class Trainer:
         # one host sync per epoch
         if self._preempt_requested and not losses_dev:
             return  # preempted before the first step of this epoch
-        losses = np.concatenate([np.atleast_1d(x) for x in jax.device_get(losses_dev)])
+        losses = np.concatenate([np.atleast_1d(x) for x in self._fetch_rows(losses_dev)])
         logs = {"train_loss": float(losses.mean()), "epoch": epoch}
         for k, vals in extra_dev.items():
-            flat = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
+            flat = np.concatenate([np.atleast_1d(x) for x in self._fetch_rows(vals)])
             logs[f"train_{k}"] = float(flat.mean())
         for k, vals in scalar_dev.items():
             if vals:
-                flat = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
+                flat = np.concatenate([np.atleast_1d(x) for x in self._fetch_rows(vals)])
                 logs[f"train_{k}"] = float(flat.mean())
         if self.compute_train_metrics and train_scores is not None and preds_dev:
-            preds = np.concatenate(jax.device_get(preds_dev))
-            labels = np.concatenate(jax.device_get(labels_dev))
-            probs = np.concatenate(jax.device_get(probs_dev)) if probs_dev else None
+            preds = np.concatenate(self._fetch_rows(preds_dev))
+            labels = np.concatenate(self._fetch_rows(labels_dev))
+            probs = np.concatenate(self._fetch_rows(probs_dev)) if probs_dev else None
             for mname, metric in train_scores.items():
                 metric.update(probs if metric.wants_scores and probs is not None else preds, labels)
                 logs[f"train_{mname}"] = metric.compute()
@@ -1456,6 +1476,24 @@ class Trainer:
                     logs["train_mfu"] = mfu
         self.callback_metrics.update(logs)
         self.logger.log(logs, self.global_step)
+
+    def _fetch_rows(self, dev_list):
+        """device->host fetch of per-batch row arrays. On a multi-host
+        cluster, batch-sharded global arrays are not fully addressable from
+        one process — allgather them (``multihost_utils.process_allgather``
+        returns the fully-replicated global rows on every host), so epoch
+        metrics are computed over the GLOBAL samples and match a
+        single-process run on every host. Single-process: plain device_get."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            out = []
+            for a in dev_list:
+                if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                    a = multihost_utils.process_allgather(a, tiled=True)
+                out.append(np.asarray(a))
+            return out
+        return jax.device_get(dev_list)
 
     def _run_eval_epoch(self, task, batches: Iterable, epoch: int, scores, prefix: str,
                         collect_artifacts: bool = False):
@@ -1558,18 +1596,18 @@ class Trainer:
                 loss, aux = self._eval_step(eval_params, batch, ctx)
                 consume(loss, aux, flat=False)
 
-        losses = np.concatenate([np.atleast_1d(x) for x in jax.device_get(losses_dev)])
+        losses = np.concatenate([np.atleast_1d(x) for x in self._fetch_rows(losses_dev)])
         logs = {f"{prefix}_loss": float(losses.mean())}
         for k, vals in extra_dev.items():
-            flat_vals = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
+            flat_vals = np.concatenate([np.atleast_1d(x) for x in self._fetch_rows(vals)])
             logs[f"{prefix}_{k}"] = float(flat_vals.mean())
         for k, vals in scalar_dev.items():
             if vals:
-                flat_vals = np.concatenate([np.atleast_1d(x) for x in jax.device_get(vals)])
+                flat_vals = np.concatenate([np.atleast_1d(x) for x in self._fetch_rows(vals)])
                 logs[f"{prefix}_{k}"] = float(flat_vals.mean())
-        preds = np.concatenate(jax.device_get(preds_dev)) if preds_dev else np.zeros((0,))
-        labels = np.concatenate(jax.device_get(labels_dev)) if labels_dev else np.zeros((0,))
-        probs = np.concatenate(jax.device_get(probs_dev)) if probs_dev else None
+        preds = np.concatenate(self._fetch_rows(preds_dev)) if preds_dev else np.zeros((0,))
+        labels = np.concatenate(self._fetch_rows(labels_dev)) if labels_dev else np.zeros((0,))
+        probs = np.concatenate(self._fetch_rows(probs_dev)) if probs_dev else None
 
         def unpermute(a):
             # sharded pools process samples in shard-aligned (non-natural)
@@ -1584,7 +1622,7 @@ class Trainer:
         preds, labels, probs = unpermute(preds), unpermute(labels), unpermute(probs)
         for k in list(artifacts):
             if artifacts[k]:
-                artifacts[k] = [unpermute(np.concatenate(jax.device_get(artifacts[k])))]
+                artifacts[k] = [unpermute(np.concatenate(self._fetch_rows(artifacts[k])))]
         if scores is not None:
             for mname, metric in scores.items():
                 metric.update(probs if metric.wants_scores and probs is not None else preds, labels)
@@ -1597,14 +1635,14 @@ class Trainer:
 
             p_int = preds.astype(np.int64)
             l_int = labels.astype(np.int64).reshape(-1)
-            if p_int.shape == l_int.shape:
+            if p_int.shape == l_int.shape and self.logger.write:
                 k = int(max(p_int.max(), l_int.max())) + 1
                 cm = _cm(p_int, l_int, k)
                 np.save(os.path.join(self.logger.log_dir,
                                      f"confusion_matrix_{prefix}_{epoch}.npy"), cm)
 
         out_artifacts = {
-            k: np.concatenate(jax.device_get(v)) for k, v in artifacts.items() if v
+            k: np.concatenate(self._fetch_rows(v)) for k, v in artifacts.items() if v
         }
         return logs, out_artifacts
 
@@ -1658,6 +1696,22 @@ class Trainer:
             "es_best": np.float64(es.best if es.best is not None else nan),
             "es_wait": np.int32(es.wait),
         }
+        if jax.process_count() > 1:
+            # orbax multi-host save rejects host-local/single-device
+            # jax.Arrays (e.g. the injected plateau-lr hyperparam leaf,
+            # committed to one device); such leaves are replicated VALUES
+            # by construction — materialize them to numpy so every process
+            # serializes an identical host array
+            mesh_devices = set(np.asarray(self.mesh.devices).flat)
+
+            def to_global(x):
+                if isinstance(x, jax.Array):
+                    dev = set(getattr(x.sharding, "device_set", ()))
+                    if dev != mesh_devices and x.is_fully_addressable:
+                        return np.asarray(x)
+                return x
+
+            state = jax.tree.map(to_global, state)
         return state
 
     def _save_checkpoint(self, epoch: int, logs: Dict[str, float]) -> None:
@@ -1784,7 +1838,7 @@ class Trainer:
             collect_artifacts=True,
         )
         self.logger.set_summary("test_time", time.time() - t0)
-        if artifacts:
+        if artifacts and self.logger.write:
             out = os.path.join(self.ckpt_dir, "test_preds.npz")
             np.savez(out, **artifacts)
             print(f"[trainer] saved test predictions to {out}")

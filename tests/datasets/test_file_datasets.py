@@ -218,6 +218,56 @@ class TestMosi:
         with pytest.raises(ImportError, match="CMU-MultimodalSDK"):
             download_mosi("/tmp/nowhere")
 
+    def test_prepare_mosi_pickle(self, tmp_path, vocab):
+        """The h5->pkl conversion (`prepare_mosi_pickle`, analog of
+        `/root/reference/datasets/mosi_preprocessing.py:48-56,152-179`):
+        a synthetic aligned-h5 in the SDK export layout converts to the
+        ``mosi_raw.pkl`` dict-of-folds and loads through the datamodule
+        end to end (VERDICT r3 #8)."""
+        import pickle
+
+        import h5py
+
+        from m2mixer_tpu.datasets.mosi import CMUMosiDataModule, prepare_mosi_pickle
+
+        rng = np.random.RandomState(3)
+        h5_path = str(tmp_path / "aligned.h5")
+        with h5py.File(h5_path, "w") as f:
+            for fold, n in (("train", 6), ("valid", 4), ("test", 4)):
+                grp = f.create_group(fold)
+                grp.create_dataset("vision", data=rng.rand(n, 60, 35).astype(np.float32))
+                audio = rng.rand(n, 60, 74).astype(np.float32)
+                audio[0, 0, 0] = -np.inf  # COVAREP silence marker
+                grp.create_dataset("audio", data=audio)
+                grp.create_dataset("text", data=np.array(
+                    [b"a great movie"] * (n - 1) + [b""], dtype=object),
+                    dtype=h5py.string_dtype())
+                grp.create_dataset("labels", data=rng.randn(n, 1).astype(np.float32))
+
+        pkl = str(tmp_path / "mosi_raw.pkl")
+        prepare_mosi_pickle(h5_path, pkl)
+
+        # the converted layout is the reference's dict-of-folds
+        with open(pkl, "rb") as f:
+            folds = pickle.load(f)
+        assert set(folds) == {"train", "valid", "test"}
+        assert folds["train"]["vision"].shape == (6, 60, 35)
+        assert folds["train"]["text"][0] == "a great movie"  # bytes decoded
+
+        # and it loads through the real datamodule (drop_entry removes the
+        # empty-text row, -inf audio scrubbed, COVAREP 70-dim truncation)
+        train_cfg = DictConfig({"max_seq_len": 8, "task": "classification",
+                                "z_norm": False})
+        dm = CMUMosiDataModule(data_path=pkl, batch_size=2, num_workers=0,
+                               vocab_cfg=vocab, train_cfg=train_cfg,
+                               proj_cfg=PROJ)
+        dm.setup()
+        assert dm.split_sizes["train"] == 5
+        batch = next(iter(dm.train_batches()))
+        assert batch["vision"].shape == (2, 50, 35)
+        assert batch["audio"].shape == (2, 50, 70)
+        assert np.isfinite(batch["audio"]).all()
+
 
 def test_make_mmimdb_builder(tmp_path):
     """Offline MM-IMDB builder on a tiny raw corpus: per-sample file layout,

@@ -133,3 +133,100 @@ def test_serving_eval_mmhs_matches_trainer(tmp_path):
     assert q_logs["test_accuracy"] == pytest.approx(logs["test_accuracy"],
                                                     abs=0.1)
     assert np.isfinite(q_logs["test_f1"])
+
+
+# ---------------------------------------------------------------------------
+# The remaining 5 families (VERDICT r3 #5): shipped configs pointed at their
+# surrogates, model dims shrunk for CI; metric keys per family follow
+# SURVEY §6 (multioff `models/multioff.py:182-196`, memotion
+# `memotion.py:187-192`, mmimdb `mmimdb.py:184-192`; pnlp/mosi are
+# framework-native tasks with acc/f1m)
+# ---------------------------------------------------------------------------
+
+_FAMILY_CASES = {
+    "mmimdb_ext": ("cfg/mmimdb/mmimdb_3loss.yml", ("test_f1w", "test_f1m")),
+    "multioff": ("cfg/multioff/multioff_3loss.yml", ("test_f1", "test_accuracy")),
+    "memotion": ("cfg/memotion/memotion_3loss.yml", ("test_f1m",)),
+    "pnlp": ("cfg/pnlp/imdb.yml", ("test_acc",)),
+    "mosi": ("cfg/mosi/mosi_m2-mixer.yml", ("test_acc", "test_f1m")),
+}
+
+
+def _shrink_model(cfg, family):
+    """Tiny geometry, same topology: every structural knob the shipped
+    config sets survives; only widths/depths shrink."""
+    m = cfg.model
+    if family == "pnlp":  # flat schema (bottleneck/mixer/seq_cls)
+        p = cfg.dataset.params
+        p.proj_cfg.feature_size = 64
+        p.train_cfg.max_seq_len = 8
+        p.train_cfg.train_batch_size = 8
+        p.train_cfg.test_batch_size = 8
+        m.bottleneck.feature_size = 64
+        m.bottleneck.hidden_dim = 16
+        m.mixer.bottleneck_features_size = 64
+        m.mixer.hidden_dim = 16
+        m.mixer.max_seq_len = 8
+        m.mixer.mlp_hidden_dim = 16
+        m.mixer.num_mixers = 1
+        m.seq_cls.hidden_dim = 16
+        m.seq_cls.proj_dim = 16
+        return
+    p = cfg.dataset.params
+    for key in m.modalities:
+        mc = m.modalities[key]
+        if key == "classification":
+            continue
+        for field, v in (("hidden_dim", 16), ("channel_dim", 32),
+                         ("token_dim", 8), ("mlp_hidden_dim", 16),
+                         ("num_mixers", 1), ("proj_dim", 16)):
+            if field in mc:
+                mc[field] = v
+        if mc.get("block_type") == "MLPMixer" and tuple(mc.image_size) == (512, 512):
+            mc.patch_size = 128  # 16 tokens instead of 64+
+        if mc.get("block_type") == "PNLPMixer":
+            mc.bottleneck_features_size = 64
+            mc.max_seq_len = 8
+        if mc.get("block_type") == "MLPMixerNoPatching" and "embedding_dim" in mc \
+                and family == "mosi" and key == "text":
+            mc.embedding_dim = 64  # = proj feature_size (window 0)
+    m.modalities.classification.input_shape = [8, 8, 16]
+    if "projection" in p:
+        p.projection.feature_size = 64
+    if "proj_cfg" in p:
+        p.proj_cfg.feature_size = 64
+    if "max_seq_len" in p:
+        p.max_seq_len = 8
+
+
+@pytest.mark.parametrize("family", sorted(_FAMILY_CASES))
+def test_serving_eval_matches_trainer_all_families(tmp_path, family):
+    """Every remaining family's exported artifact reproduces the trainer's
+    test metrics exactly — the `run.py -m test` semantics
+    (`/root/reference/run.py:82-83`) computed from the artifact."""
+    import os
+
+    from m2mixer_tpu import config as cfg_lib
+    from m2mixer_tpu.certify import (SURROGATE_N, _point_at_surrogate,
+                                     ensure_surrogate)
+
+    cfg_rel, keys = _FAMILY_CASES[family]
+    sdir = ensure_surrogate(family, str(tmp_path))
+    cfg = cfg_lib.load(cfg_rel)
+    _point_at_surrogate(cfg, family, sdir, batch=8)
+    _shrink_model(cfg, family)
+    cfg.train.epochs = 2
+    cfg.train.tensorboard_path = str(tmp_path / "logs")
+    cfg.train.log_interval_steps = 5
+    cfg.train.mesh_data = 1
+    cfg.train.mesh_model = 1
+    cfg.model.dropout = 0.0
+
+    task, dm, trainer, logs = _fit_and_test(cfg)
+    d = export_serving(task, trainer.params, _sample_batch(dm),
+                       str(tmp_path / "art"), fmt="stablehlo", buckets=(8,))
+    art_logs = evaluate_serving(load_serving(d), task, dm, split="test")
+    for key in keys:
+        assert key in logs and key in art_logs, (key, sorted(logs))
+        assert art_logs[key] == pytest.approx(logs[key], abs=1e-6), key
+    assert art_logs["test_samples"] == dm.split_size("test")
