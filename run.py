@@ -29,6 +29,9 @@ def parse_args():
     parser.add_argument("-p", "--ckpt", type=str)
     parser.add_argument("-m", "--mode", type=str, default="train")
     parser.add_argument("--disable-wandb", action="store_true", default=False)
+    parser.add_argument("--out", type=str, default=None,
+                        help="output dir for -m export-intermediates "
+                        "(default: <run>/checkpoints/corrects_data)")
     args, unknown = parser.parse_known_args()
     return args, unknown
 
@@ -136,6 +139,24 @@ def main():
             print(f"[ablate] {cond}: "
                   + json.dumps({k: round(v, 5) for k, v in sorted(logs.items())
                                 if k.startswith("test_")}))
+    elif args.mode == "export-intermediates":
+        # write the corrects_data layout the post-hoc probe trains on
+        # (`/root/reference/models/avmnist.py:424-444` +
+        # `/root/reference/datasets/avmnist.py:193-261`): per-branch
+        # flattened encoder tokens + was-this-branch-correct labels. The
+        # output dir is `dataset.params.data_dir` of the probe config
+        # (cfg/avmnist/avmnist_post.yml) — `--out DIR` chooses it.
+        from m2mixer_tpu.utils.intermediates import export_intermediates
+
+        if not args.ckpt:
+            raise SystemExit("run: -m export-intermediates needs -p CKPT "
+                             "(a trained MultiLoss run to export from)")
+        trainer.restore_params_only(_resolve_ckpt(args.ckpt), task, datamodule)
+        datamodule.setup("fit")  # the export sweeps train AND test splits
+        out = args.out or os.path.join(trainer.ckpt_dir, "corrects_data")
+        counts = export_intermediates(task, trainer.params, datamodule, str(out))
+        print(f"[intermediates] wrote {out}: "
+              + ", ".join(f"{k}={v}" for k, v in counts.items()))
     else:
         raise ValueError(f"Unknown mode: {args.mode}")
     trainer.logger.close()

@@ -82,3 +82,55 @@ def test_post_hoc_probe_pipeline(tmp_path):
     ptrainer.fit(probe, pdm)
     logs = ptrainer.test(probe, pdm, ckpt="best")
     assert "test_acc" in logs and np.isfinite(logs["test_loss"])
+
+
+def test_export_intermediates_cli_mode(tmp_path, monkeypatch):
+    """The probe chain's middle step as a user drives it:
+    ``run.py -m export-intermediates -p CKPT --out DIR`` writes the
+    corrects_data layout from a trained run, and the probe config trains on
+    it through the normal ``run.py`` path (round-4: the full chain is
+    CLI-drivable, not just library-callable)."""
+    import json
+    import os
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    import run as run_cli
+
+    from m2mixer_tpu.config import todict
+
+    monkeypatch.chdir(tmp_path)
+    cfg_path = os.path.join(tmp_path, "base.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(todict(loads(BASE_CFG.format(tmp=tmp_path))), f,
+                       sort_keys=False)
+
+    monkeypatch.setattr("sys.argv", ["run.py", "-c", cfg_path, "-n", "pb",
+                                     "-m", "train", "--disable-wandb"])
+    trained = run_cli.main()
+    ckpt = trained.checkpoints.last_path()
+
+    out = str(tmp_path / "cli_corrects")
+    monkeypatch.setattr("sys.argv", ["run.py", "-c", cfg_path, "-n", "pe",
+                                     "-m", "export-intermediates",
+                                     "--disable-wandb", "-p", ckpt,
+                                     "--out", out])
+    run_cli.main()
+    v = np.load(os.path.join(out, "train", "image_vectors.npy"))
+    assert v.shape == (32, 4 * 16)
+
+    # the probe trains on the CLI-exported data via the normal train mode
+    pcfg = loads(PROBE_CFG.format(tmp=tmp_path))
+    pcfg.dataset.params.data_dir = out
+    pcfg_path = os.path.join(tmp_path, "probe.yml")
+    with open(pcfg_path, "w") as f:
+        yaml.safe_dump(todict(pcfg), f, sort_keys=False)
+    monkeypatch.setattr("sys.argv", ["run.py", "-c", pcfg_path, "-n", "pp",
+                                     "-m", "train", "--disable-wandb"])
+    ptrainer = run_cli.main()
+    summary = json.load(open(os.path.join(ptrainer.logger.log_dir,
+                                          "summary.json")))
+    assert np.isfinite(summary["best_val_loss"])
