@@ -89,11 +89,17 @@ def main():
         "label": jnp.asarray(np.random.randint(0, 10, (32,)), jnp.int32),
     }
     params0 = task.init_params(rng, init_batch)
-    lr = float(cfg.train.optimizer.lr)
-    betas = cfg.train.optimizer.get("betas", [0.9, 0.999])
-    opt = optax.adam(lr, b1=float(betas[0]), b2=float(betas[1]),
-                     eps=float(cfg.train.optimizer.get("eps", 1e-8)),
-                     mu_dtype=jnp.bfloat16)
+    def make_opt(c):
+        """Adam from a config's own optimizer section (mu in bf16 when the
+        config sets moment_dtype, as every tuned bench config here does) —
+        so per-measurement optimizer knobs actually take effect."""
+        o = c.train.optimizer
+        betas = o.get("betas", [0.9, 0.999])
+        mu = jnp.bfloat16 if str(o.get("moment_dtype", "")) == "bf16" else None
+        return optax.adam(float(o.lr), b1=float(betas[0]), b2=float(betas[1]),
+                          eps=float(o.get("eps", 1e-8)), mu_dtype=mu)
+
+    opt = make_opt(cfg)
     ctx = {k: jnp.asarray(v) for k, v in task.make_ctx(0, "train").items()}
     rng_d, rng_s, rng_m = jax.random.split(rng, 3)
     rngs = {"dropout": rng_d, "stochastic": rng_s, "mute": rng_m}
@@ -221,6 +227,7 @@ def main():
         mcfg.model.precision = "bf16"
         mcfg.model.approximate_gelu = True
         mcfg.model.bits_dropout = True
+        mcfg.train.optimizer.moment_dtype = "bf16"
         mtask = get_model(mcfg.model.type)(mcfg.model, mcfg.train.optimizer)
         m_arrays = {
             "static": jnp.asarray(np.random.rand(pool, 5), jnp.float32),
@@ -230,7 +237,7 @@ def main():
         m_init = {k: v[:128] for k, v in m_arrays.items()}
         m_params = mtask.init_params(jax.random.PRNGKey(1), m_init)
         m_ctx = {k: jnp.asarray(v) for k, v in mtask.make_ctx(0, "train").items()}
-        m = make_measure(mtask, opt, m_params, m_arrays, m_ctx, rngs, pool)
+        m = make_measure(mtask, make_opt(mcfg), m_params, m_arrays, m_ctx, rngs, pool)
         return m(batch_size=128, chunk=64, n_chunks=6)
 
     def measure_l_geometry():
@@ -248,7 +255,7 @@ def main():
         l_params = ltask.init_params(jax.random.PRNGKey(2),
                                      {k: v[:32] for k, v in arrays.items()})
         l_ctx = {k: jnp.asarray(v) for k, v in ltask.make_ctx(0, "train").items()}
-        m = make_measure(ltask, opt, l_params, arrays, l_ctx, rngs, pool)
+        m = make_measure(ltask, make_opt(lcfg), l_params, arrays, l_ctx, rngs, pool)
         l_sps = m(batch_size=512, chunk=16, n_chunks=4)
         return l_sps, l_sps * analytic_train_flops_per_sample(lcfg) / peak
 

@@ -497,6 +497,15 @@ def gradblend_parity(cfg, gb_epochs: int = 2) -> Dict:
 
     cfg.model.gradblend = True
     cfg.model.gb_epochs = int(gb_epochs)
+    if float(cfg.model.get("dropout", 0.0)) != 0.0:
+        # the torch twin trains/evaluates without dropout RNG lockstep — a
+        # nonzero dropout would make the two O/G^2 estimates diverge for
+        # RNG reasons and report a bogus 'parity failure'; force the only
+        # configuration in which the comparison is meaningful
+        print(f"[gradblend-parity] forcing model.dropout=0 "
+              f"(was {cfg.model.dropout}): the torch twin has no dropout-RNG "
+              "lockstep, so parity is only defined dropout-free")
+        cfg.model.dropout = 0.0
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
     dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
     dm.setup("fit")
@@ -896,6 +905,12 @@ def main(argv=None):
     from .datasets.surrogate import generate
 
     families = [f.strip() for f in args.families.split(",") if f.strip()]
+    unknown = set(families) - {"avmnist", "mimic", "mmimdb"}
+    if unknown:
+        # a typo must not produce an empty-but-"successful" parity run
+        raise SystemExit(f"parity: unknown families {sorted(unknown)}; "
+                         "valid: avmnist, mimic, mmimdb")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(args.work, exist_ok=True)
     out = {}
 
@@ -929,7 +944,7 @@ def main(argv=None):
         data_dir = os.path.join(args.work, "mimic")
         if not os.path.exists(os.path.join(data_dir, "im.pk")):
             generate("mimic", data_dir, n=400)
-        cfg = cfg_lib.load("cfg/mimic/mimic_m2-mixer_H.yml")
+        cfg = cfg_lib.load(os.path.join(repo, "cfg", "mimic", "mimic_m2-mixer_H.yml"))
         cfg.dataset.params.data_dir = data_dir
         cfg.dataset.params.batch_size = 16
         cfg.dataset.params.num_workers = 0
@@ -946,7 +961,7 @@ def main(argv=None):
         data_dir = os.path.join(args.work, "mmimdb")
         if not os.path.isdir(os.path.join(data_dir, "train")):
             generate("mmimdb_ext", data_dir, n=320)
-        cfg = cfg_lib.load("cfg/mmimdb/mmimdb_3loss.yml")
+        cfg = cfg_lib.load(os.path.join(repo, "cfg", "mmimdb", "mmimdb_3loss.yml"))
         cfg.dataset.params.data_dir = data_dir
         cfg.dataset.params.batch_size = 16
         cfg.dataset.params.num_workers = 0

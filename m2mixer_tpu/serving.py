@@ -938,7 +938,16 @@ def evaluate_serving(model: ServedModel, task, datamodule, split: str = "test",
             # plain-classification TrainTasks (e.g. the text-only
             # PnlpMixerSeqClsTask, whose step argmaxes softmax logits,
             # models/pnlp.py) expose no predictions() adapter — apply the
-            # same multiclass argmax semantics here
+            # same multiclass argmax semantics here. Warn ONCE: a future
+            # task with non-multiclass semantics (sigmoid thresholds,
+            # regression) must add a predictions() adapter or these
+            # metrics are silently wrong.
+            if not getattr(task, "_warned_argmax_fallback", False):
+                task._warned_argmax_fallback = True
+                print(f"[serving] {type(task).__name__} has no predictions() "
+                      "adapter; evaluating with multiclass argmax/softmax "
+                      "semantics — add predictions() if this task is not "
+                      "plain multiclass")
             aux = {"preds": jnp.argmax(outputs["logits"], axis=-1),
                    "labels": jnp.asarray(batch["label"]),
                    "probs": jax.nn.softmax(outputs["logits"], axis=-1)}

@@ -145,14 +145,19 @@ def trial_params(sweep: Dict[str, Any], trials: Optional[int],
         for i, combo in enumerate(combos):
             if trials is not None and i >= trials:
                 # no-silent-caps: enumerate what the cap cuts off so a
-                # truncated grid never reads as full coverage (ADVICE r3)
+                # truncated grid never reads as full coverage (ADVICE r3).
+                # The drop COUNT comes from the grid lengths in O(1) — never
+                # exhaust the remaining cross-product (10 axes x 10 values
+                # would mean ~1e10 wasted tuples); only an 8-combo preview
+                # is materialized.
+                total = math.prod(len(g) for g in grids)
                 dropped = list(itertools.islice(combos, 8))
-                rest = sum(1 for _ in combos)
                 shown = ", ".join(str(dict(zip(names, c))) for c in dropped)
+                rest = total - trials - 1 - len(dropped)
                 print(f"[sweep] grid cross-product exceeds --trials {trials}: "
-                      f"dropping {len(dropped) + rest + 1} combos starting at "
+                      f"dropping {total - trials} combos starting at "
                       f"{dict(zip(names, combo))}; next: {shown}"
-                      + (f" … and {rest} more" if rest else ""))
+                      + (f" … and {rest} more" if rest > 0 else ""))
                 return
             yield dict(zip(names, combo))
         return

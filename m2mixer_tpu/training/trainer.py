@@ -1227,7 +1227,7 @@ class Trainer:
                         self._run_train_epoch(task, datamodule, epoch, train_scores)
                 else:
                     self._run_train_epoch(task, datamodule, epoch, train_scores)
-                if self._preempt_requested:
+                if self._preempt_agreed():
                     # interrupted during (or right after) the train phase:
                     # skip val, save under 'preempted', re-run this epoch
                     # on resume (params may carry partial-epoch updates —
@@ -1257,7 +1257,7 @@ class Trainer:
                 self.callback_metrics.update(logs)
                 self.logger.log(logs, self.global_step)
                 self._save_checkpoint(epoch, logs)
-                if self._preempt_requested:
+                if self._preempt_agreed():
                     # signal arrived during val/save: the normal end-of-
                     # epoch checkpoint just covered epoch `epoch` — done
                     self.preempted = True
@@ -1383,7 +1383,7 @@ class Trainer:
                 staged = stage(chunks[0])
                 prev_done = None
                 for c, idx in enumerate(chunks):
-                    if self._preempt_requested:
+                    if self._preempt_midepoch():
                         break
                     (chunk_arrays, inner), staged = staged, None
                     if prev_done is not None:
@@ -1422,7 +1422,7 @@ class Trainer:
                 nsteps += len(device_order) // bs
             # ragged/unbalanced tail through the per-step path
             for start in range(0, len(tail_order), bs):
-                if self._preempt_requested:
+                if self._preempt_midepoch():
                     break
                 idx = tail_order[start : start + bs]
                 batch = self._put_batch(
@@ -1433,7 +1433,7 @@ class Trainer:
             flush_accum()
         else:
             for batch in self._prefetched(datamodule.train_batches()):
-                if self._preempt_requested:
+                if self._preempt_midepoch():
                     break
                 loss = train_one(batch)
                 nsteps += 1
@@ -1476,6 +1476,30 @@ class Trainer:
                     logs["train_mfu"] = mfu
         self.callback_metrics.update(logs)
         self.logger.log(logs, self.global_step)
+
+    def _preempt_midepoch(self) -> bool:
+        """Mid-epoch preemption break. Single-process only: on a multi-host
+        cluster a per-process break would desynchronize the step sequence
+        (peers stall in the next collective), so the preempt defers to the
+        epoch-boundary COLLECTIVE decision (``_preempt_agreed``)."""
+        return self._preempt_requested and jax.process_count() == 1
+
+    def _preempt_agreed(self) -> bool:
+        """Collective preemption decision at a safe point: SIGTERM lands
+        per-process, but every process must take the SAME branch (the
+        checkpoint saves barrier on matching paths — divergent branches
+        would hang the cluster). OR-reduce the local flags; any process
+        signaled => all preempt."""
+        if jax.process_count() <= 1:
+            return self._preempt_requested
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(int(self._preempt_requested), np.int32))
+        agreed = bool(np.any(flags))
+        if agreed:
+            self._preempt_requested = True  # adopt a peer's signal
+        return agreed
 
     def _fetch_rows(self, dev_list):
         """device->host fetch of per-batch row arrays. On a multi-host
@@ -1564,7 +1588,7 @@ class Trainer:
                 staged = stage(chunks[0])
                 prev_done = None
                 for c, idx in enumerate(chunks):
-                    if self._preempt_requested:
+                    if self._preempt_midepoch():
                         # a streamed eval epoch can run for minutes; honor the
                         # SIGTERM grace window (partial val metrics may rank
                         # this epoch's checkpoint slightly off — resume

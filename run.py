@@ -31,7 +31,7 @@ def parse_args():
     parser.add_argument("--disable-wandb", action="store_true", default=False)
     parser.add_argument("--out", type=str, default=None,
                         help="output dir for -m export-intermediates "
-                        "(default: <run>/checkpoints/corrects_data)")
+                        "(default: corrects_data/ next to the -p checkpoint)")
     args, unknown = parser.parse_known_args()
     return args, unknown
 
@@ -151,9 +151,12 @@ def main():
         if not args.ckpt:
             raise SystemExit("run: -m export-intermediates needs -p CKPT "
                              "(a trained MultiLoss run to export from)")
-        trainer.restore_params_only(_resolve_ckpt(args.ckpt), task, datamodule)
+        ckpt = _resolve_ckpt(args.ckpt)
+        trainer.restore_params_only(ckpt, task, datamodule)
         datamodule.setup("fit")  # the export sweeps train AND test splits
-        out = args.out or os.path.join(trainer.ckpt_dir, "corrects_data")
+        # default output lands NEXT TO the trained checkpoint the user
+        # named with -p (not in this export invocation's fresh run dir)
+        out = args.out or os.path.join(os.path.dirname(ckpt), "corrects_data")
         counts = export_intermediates(task, trainer.params, datamodule, str(out))
         print(f"[intermediates] wrote {out}: "
               + ", ".join(f"{k}={v}" for k, v in counts.items()))
