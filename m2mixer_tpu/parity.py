@@ -137,11 +137,32 @@ class _RefStandardClassifier(nn.Module):
         return self.classifer(x.reshape(x.shape[0], -1, x.shape[-1]).mean(1))
 
 
+class _RefBiModalGatedUnit(nn.Module):
+    """GMU fusion: ``z*tanh(W1 m1) + (1-z)*tanh(W2 m2)``, gate
+    ``z = sigmoid(Wz [m1;m2])`` (`/root/reference/modules/fusion.py:7-23`);
+    param names match the reference so exported state dicts load."""
+
+    def __init__(self, mod1_in, mod2_in, out_size):
+        super().__init__()
+        self.mod1_hidden = nn.Linear(mod1_in, out_size)
+        self.mod2_hidden = nn.Linear(mod2_in, out_size)
+        self.z_hidden = nn.Linear(mod1_in + mod2_in, out_size)
+
+    def forward(self, mod1, mod2):
+        h1 = torch.tanh(self.mod1_hidden(mod1))
+        h2 = torch.tanh(self.mod2_hidden(mod2))
+        z = torch.sigmoid(self.z_hidden(torch.cat([mod1, mod2], dim=-1)))
+        return z * h1 + (1 - z) * h2
+
+
 class RefM2Mixer(nn.Module):
     """The AVMnistMixerMultiLoss forward
     (`/root/reference/models/avmnist.py:236-312`): two MLPMixer encoders,
-    token-axis concat fusion, FusionMixer, mean-pooled per-modality heads
-    + StandardClassifier fusion head."""
+    fusion (token-axis concat, or per-token GMU when the config sets
+    ``fusion_function: BiModalGatedUnit`` — the avmnist_gated_4loss
+    topology, `/root/reference/cfg/avmnist/avmnist_gated_4loss.yml:39-56`),
+    FusionMixer, mean-pooled per-modality heads + StandardClassifier
+    fusion head."""
 
     def __init__(self, model_cfg):
         super().__init__()
@@ -156,9 +177,18 @@ class RefM2Mixer(nn.Module):
 
         self.image_mixer = enc(m.image)
         self.audio_mixer = enc(m.audio)
-        n_tokens = (self.image_mixer.mixer_blocks[0].token_mix[2].net[0].in_features
-                    + self.audio_mixer.mixer_blocks[0].token_mix[2].net[0].in_features)
         mm = m.multimodal
+        im_tokens = self.image_mixer.mixer_blocks[0].token_mix[2].net[0].in_features
+        au_tokens = self.audio_mixer.mixer_blocks[0].token_mix[2].net[0].in_features
+        self._gmu = str(mm.get("fusion_function", "ConcatFusion")) == "BiModalGatedUnit"
+        if self._gmu:
+            # GMU fuses per token on the feature axis; token count passes
+            # through (`fusion.py:25-55` with dim=1 -> args[0])
+            self.fusion_function = _RefBiModalGatedUnit(
+                int(mm.mod1_in), int(mm.mod2_in), int(mm.out_size))
+            n_tokens = im_tokens
+        else:
+            n_tokens = im_tokens + au_tokens
         self.fusion_mixer = _RefFusionMixer(int(mm.hidden_dim), n_tokens,
                                             int(mm.num_mixers),
                                             int(mm.token_dim),
@@ -172,7 +202,9 @@ class RefM2Mixer(nn.Module):
     def forward(self, image, audio):
         ti = self.image_mixer(image)
         ta = self.audio_mixer(audio)
-        tf = self.fusion_mixer(torch.cat([ti, ta], dim=1))
+        fused = (self.fusion_function(ti, ta) if self._gmu
+                 else torch.cat([ti, ta], dim=1))
+        tf = self.fusion_mixer(fused)
         return (self.classifier_image(ti.mean(1)),
                 self.classifier_audio(ta.mean(1)),
                 self.classifier_fusion(tf))
@@ -352,12 +384,14 @@ def _shared_init(cfg, datamodule):
 
 
 def lockstep_experiment(data_dir: str, work_dir: str, epochs: int = 4,
-                        seed: int = 0) -> Dict:
+                        seed: int = 0, cfg=None) -> Dict:
     """Weight-ported, dropout-0, shuffle-False: same data, same order, same
-    init — per-epoch curves must nearly coincide."""
+    init — per-epoch curves must nearly coincide. ``cfg`` overrides the
+    default S config (e.g. the GMU-fusion topology)."""
     from .datasets import get_data_module
 
-    cfg = _load_s_cfg(data_dir, work_dir, epochs, seed, dropout=0.0)
+    if cfg is None:
+        cfg = _load_s_cfg(data_dir, work_dir, epochs, seed, dropout=0.0)
     dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
     params, sd = _shared_init(cfg, dm)
     native = native_protocol(cfg, work_dir, init_params=params)

@@ -164,6 +164,11 @@ def export_reference_state_dict(variables: dict,
             enc["patch_embed"]["proj"]["linear"]["bias"])
         put_linear(f"classifier_{m}", p[f"heads_{i}"])
     put_blocks("fusion_mixer", p["fusion_mixer"])
+    if "fusion" in p and "mod1_hidden" in p["fusion"]:
+        # parametered GMU fusion (`/root/reference/models/avmnist.py:183`
+        # names it 'fusion_function'; weights `fusion.py:9-14`)
+        for leaf in ("mod1_hidden", "mod2_hidden", "z_hidden"):
+            put_linear(f"fusion_function.{leaf}", p["fusion"][leaf])
     if "classifier" in p and "cls" in p["classifier"]:
         put_linear("classifier_fusion.classifer", p["classifier"]["cls"])
     return sd

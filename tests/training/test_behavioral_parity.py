@@ -44,6 +44,54 @@ def test_lockstep_parity(tmp_path):
     assert abs(res["native"]["test_loss"] - res["torch"]["test_loss"]) < 1e-3
 
 
+def test_lockstep_parity_gmu_fusion(tmp_path):
+    """GMU-fusion topology lockstep (the avmnist_gated_4loss variant,
+    `/root/reference/cfg/avmnist/avmnist_gated_4loss.yml:39-56`): the
+    parametered BiModalGatedUnit — ``z*tanh(W1 m1)+(1-z)*tanh(W2 m2)``,
+    gate on the concatenated features (`fusion.py:7-23`) — fuses per token,
+    so the fusion mixer sees image-token count, and the gate weights ride
+    the exported state dict (``fusion_function.*`` keys)."""
+    from m2mixer_tpu import config as cfg_lib
+    from m2mixer_tpu.datasets.surrogate import generate
+    from m2mixer_tpu.parity import lockstep_experiment
+
+    data = str(tmp_path / "avmnist")
+    generate("avmnist", data, n=384)
+    cfg = cfg_lib.load("cfg/avmnist/avmnist_m2-mixer_S.yml")
+    cfg.dataset.params.data_dir = data
+    cfg.dataset.params.num_workers = 0
+    cfg.train.epochs = 3
+    cfg.train.tensorboard_path = str(tmp_path / "logs")
+    cfg.train.mesh_data = 1
+    cfg.train.mesh_model = 1
+    cfg.model.dropout = 0.0
+    # shrink + switch the fusion to the gated unit (config-driven, same
+    # string-registry path the shipped gated config uses)
+    for mod in ("image", "audio", "multimodal"):
+        mc = cfg.model.modalities[mod]
+        mc.hidden_dim = 16
+        mc.channel_dim = 32
+        mc.token_dim = 8
+        mc.num_mixers = 1
+    cfg.model.modalities.image.patch_size = 14
+    cfg.model.modalities.audio.patch_size = 56
+    mm = cfg.model.modalities.multimodal
+    mm.fusion_function = "BiModalGatedUnit"
+    mm.mod1_in = 16
+    mm.mod2_in = 16
+    mm.out_size = 16
+    cfg.model.modalities.classification.input_shape = [16, 4, 16]
+
+    res = lockstep_experiment(data, str(tmp_path), epochs=3, cfg=cfg)
+    nv = np.asarray(res["native"]["history"]["val_loss"])
+    tv = np.asarray(res["torch"]["history"]["val_loss"])
+    assert nv.shape == tv.shape == (3,)
+    assert np.abs(nv - tv).max() < 1e-3, (nv, tv)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_acc"] - res["torch"]["test_acc"]) <= 1 / 64 + 1e-9
+    assert abs(res["native"]["test_f1m"] - res["torch"]["test_f1m"]) < 0.02
+
+
 def test_lockstep_parity_mimic(tmp_path):
     """MIMIC topology lockstep (VERDICT r3 #2b): tuple-semantics batch, MLP
     static encoder + MLPMixerNoPatching time encoder, CE branches with
