@@ -155,6 +155,275 @@ class _RefBiModalGatedUnit(nn.Module):
         return z * h1 + (1 - z) * h2
 
 
+class _RefSpatialGatingUnit(nn.Module):
+    """Split channels, LN + token-axis Linear on half, gate ``u*v``
+    (`/root/reference/modules/gmpl.py:6-23`)."""
+
+    def __init__(self, d_ffn, seq_len, dropout):
+        super().__init__()
+        self.norm = nn.LayerNorm(d_ffn // 2)
+        self.proj = nn.Linear(seq_len, seq_len)
+        self.dropout = nn.Dropout(dropout)
+
+    def forward(self, x):
+        u, v = x.chunk(2, dim=-1)
+        v = self.norm(v).permute(0, 2, 1)
+        v = self.dropout(self.proj(v)).permute(0, 2, 1)
+        return u * v
+
+
+class _RefGatingMlpBlock(nn.Module):
+    """Pre-LN -> proj_1 -> GELU -> SGU -> proj_2, residual
+    (`gmpl.py:26-51`); lockstep runs with survival prob 1 so the
+    stochastic-depth draw never fires."""
+
+    def __init__(self, d_model, d_ffn, seq_len, dropout):
+        super().__init__()
+        self.norm = nn.LayerNorm(d_model)
+        self.dropout = nn.Dropout(dropout)
+        self.proj_1 = nn.Linear(d_model, d_ffn)
+        self.activation = nn.GELU()
+        self.spatial_gating_unit = _RefSpatialGatingUnit(d_ffn, seq_len, dropout)
+        self.proj_2 = nn.Linear(d_ffn // 2, d_model)
+
+    def forward(self, x):
+        y = self.activation(self.dropout(self.proj_1(self.norm(x))))
+        y = self.dropout(self.proj_2(self.spatial_gating_unit(y)))
+        return x + y
+
+
+class _RefgMLP(nn.Module):
+    def __init__(self, d_model, d_ffn, seq_len, n_blocks, dropout):
+        super().__init__()
+        self.blocks = nn.ModuleList([
+            _RefGatingMlpBlock(d_model, d_ffn, seq_len, dropout)
+            for _ in range(n_blocks)])
+
+    def forward(self, x):
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+class _RefVisiongMLP(nn.Module):
+    """einops-style patchify + Linear embed + gMLP stack
+    (`gmpl.py:77-118`; the reference's unused ``cls_token`` parameter is
+    omitted — it never enters the forward)."""
+
+    def __init__(self, image_size, in_ch, patch, d_model, d_ffn, n_blocks,
+                 dropout):
+        super().__init__()
+        self.patch_size = patch
+        self.num_patch = (image_size[0] // patch) * (image_size[1] // patch)
+        self.patch_embedding = nn.Linear(in_ch * patch * patch, d_model)
+        self.gmlp = _RefgMLP(d_model, d_ffn, self.num_patch, n_blocks, dropout)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        p = self.patch_size
+        x = x.reshape(b, c, h // p, p, w // p, p)
+        x = x.permute(0, 2, 4, 1, 3, 5).reshape(b, self.num_patch, c * p * p)
+        return self.gmlp(self.patch_embedding(x))
+
+
+class _RefFusiongMLP(nn.Module):
+    """Learnable cls token prepended to the fused sequence + gMLP
+    (`gmpl.py:121-148`)."""
+
+    def __init__(self, d_model, d_ffn, n_blocks, num_patches, dropout):
+        super().__init__()
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, d_model))
+        self.gmlp = _RefgMLP(d_model, d_ffn, num_patches + 1, n_blocks, dropout)
+
+    def forward(self, x):
+        cls = self.cls_token.expand(x.shape[0], 1, -1)
+        return self.gmlp(torch.cat((cls, x), dim=1))
+
+
+class RefM2MixerGMLP(nn.Module):
+    """The gMLP-encoder MultiLoss topology (the avmnist_gmlp config made
+    runnable here — its reference model type ``avmnist_gmlp`` resolves to
+    no class, see PARITY.md; the BLOCK math is straight from
+    `/root/reference/modules/gmpl.py`): VisiongMLP per modality, token-axis
+    concat, cls-token FusiongMLP, mean-pooled heads + StandardClassifier."""
+
+    def __init__(self, model_cfg):
+        super().__init__()
+        m = model_cfg.modalities
+        d = float(model_cfg.get("dropout", 0.0))
+
+        def enc(mc):
+            return _RefVisiongMLP(tuple(mc.image_size), int(mc.in_channels),
+                                  int(mc.patch_size), int(mc.d_model),
+                                  int(mc.d_ffn), int(mc.n_blocks), d)
+
+        self.image_mixer = enc(m.image)
+        self.audio_mixer = enc(m.audio)
+        mm = m.multimodal
+        n_tokens = self.image_mixer.num_patch + self.audio_mixer.num_patch
+        self.fusion_mixer = _RefFusiongMLP(int(mm.d_model), int(mm.d_ffn),
+                                           int(mm.n_blocks), n_tokens, d)
+        n_cls = int(m.classification.num_classes)
+        self.classifier_image = nn.Linear(int(m.image.d_model), n_cls)
+        self.classifier_audio = nn.Linear(int(m.audio.d_model), n_cls)
+        self.classifier_fusion = _RefStandardClassifier(int(mm.d_model), n_cls)
+
+    def forward(self, image, audio):
+        ti = self.image_mixer(image)
+        ta = self.audio_mixer(audio)
+        tf = self.fusion_mixer(torch.cat([ti, ta], dim=1))
+        return (self.classifier_image(ti.mean(1)),
+                self.classifier_audio(ta.mean(1)),
+                self.classifier_fusion(tf))
+
+
+class _RefDynaMixerOp(nn.Module):
+    """Dynamic token mixing: per-sample L×L weights generated from
+    compressed features, softmax over dim −2, applied per head
+    (`/root/reference/modules/dynamixer.py:10-31`)."""
+
+    def __init__(self, dim, seq_len, num_head, reduced_dim):
+        super().__init__()
+        self.dim, self.seq_len = dim, seq_len
+        self.num_head, self.reduced_dim = num_head, reduced_dim
+        self.out = nn.Linear(dim, dim)
+        self.compress = nn.Linear(dim, num_head * reduced_dim)
+        self.generate = nn.Linear(seq_len * reduced_dim, seq_len * seq_len)
+
+    def forward(self, x):
+        B, L, C = x.shape
+        w = self.compress(x).reshape(B, L, self.num_head, self.reduced_dim)
+        w = w.permute(0, 2, 1, 3).reshape(B, self.num_head, -1)
+        w = self.generate(w).reshape(B, self.num_head, L, L).softmax(dim=-2)
+        x = x.reshape(B, L, self.num_head, C // self.num_head).permute(0, 2, 3, 1)
+        x = torch.matmul(x, w).permute(0, 3, 1, 2).reshape(B, L, C)
+        return self.out(x)
+
+
+class _RefFeedForwardOut(nn.Module):
+    """FeedForward with ``out_dim`` (`mixer.py:9-22` with out_dim) — the
+    DynaMixer block's 3-way reweight head."""
+
+    def __init__(self, dim, hidden, out_dim, dropout):
+        super().__init__()
+        self.net = nn.Sequential(nn.Linear(dim, hidden), nn.GELU(),
+                                 nn.Dropout(dropout), nn.Linear(hidden, out_dim),
+                                 nn.Dropout(dropout))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _RefDynaMixerBlock(nn.Module):
+    """Row-mix + column-mix + channel MLP, 3-way softmax reweighting
+    (`dynamixer.py:34-62`)."""
+
+    def __init__(self, hidden, num_patch, num_head, reduced_dim, dropout):
+        super().__init__()
+        self.mix_h = _RefDynaMixerOp(hidden, num_patch, num_head, reduced_dim)
+        self.mix_w = _RefDynaMixerOp(hidden, num_patch, num_head, reduced_dim)
+        self.mlp_c = nn.Linear(hidden, hidden, bias=False)  # qkv_bias=False
+        self.reweight = _RefFeedForwardOut(hidden, hidden // 4, hidden * 3, dropout)
+        self.proj = nn.Linear(hidden, hidden)
+        self.proj_drop = nn.Dropout(dropout)
+
+    def forward(self, x):
+        B, H, W, C = x.shape
+        h = self.mix_h(x.permute(0, 2, 1, 3).reshape(-1, H, C)).reshape(
+            B, W, H, C).permute(0, 2, 1, 3)
+        w = self.mix_w(x.reshape(-1, W, C)).reshape(B, H, W, C)
+        c = self.mlp_c(x)
+        a = (h + w + c).permute(0, 3, 1, 2).flatten(2).mean(2)
+        a = self.reweight(a).reshape(B, C, 3).permute(2, 0, 1).softmax(
+            dim=0).unsqueeze(2).unsqueeze(2)
+        x = h * a[0] + w * a[1] + c * a[2]
+        return self.proj_drop(self.proj(x))
+
+
+class _RefDynaMixer(nn.Module):
+    """Conv patch embed keeping the (b,h,w,c) grid + blocks + LN
+    (`dynamixer.py:65-92`)."""
+
+    def __init__(self, in_ch, hidden, patch, image_size, n_blocks, num_head,
+                 reduced_dim, dropout):
+        super().__init__()
+        self.to_patch_embedding = nn.Sequential(
+            nn.Conv2d(in_ch, hidden, patch, patch))
+        self.grid = image_size[0] // patch
+        self.num_patch = (image_size[0] // patch) * (image_size[1] // patch)
+        self.mixer_blocks = nn.ModuleList([
+            _RefDynaMixerBlock(hidden, self.grid, num_head, reduced_dim, dropout)
+            for _ in range(n_blocks)])
+        self.layer_norm = nn.LayerNorm(hidden)
+
+    def forward(self, x):
+        x = self.to_patch_embedding(x).permute(0, 2, 3, 1)  # b h w c
+        for b in self.mixer_blocks:
+            x = b(x)
+        return self.layer_norm(x)
+
+
+class _RefFusionDynaMixer(nn.Module):
+    """Blocks over a fused square grid (resolution sqrt(num_patches)) + LN
+    (`dynamixer.py:95-115`)."""
+
+    def __init__(self, hidden, num_patches, n_blocks, num_head, reduced_dim,
+                 dropout):
+        super().__init__()
+        import math as _math
+
+        grid = int(_math.sqrt(num_patches))
+        self.mixer_blocks = nn.ModuleList([
+            _RefDynaMixerBlock(hidden, grid, num_head, reduced_dim, dropout)
+            for _ in range(n_blocks)])
+        self.layer_norm = nn.LayerNorm(hidden)
+
+    def forward(self, x):
+        for b in self.mixer_blocks:
+            x = b(x)
+        return self.layer_norm(x)
+
+
+class RefM2MixerDyna(nn.Module):
+    """The DynaMixer MultiLoss topology
+    (`/root/reference/cfg/avmnist/avmnist_3loss_dyna.yml`): DynaMixer
+    encoders on the 2-D patch grid, elementwise MaxFusion
+    (`fusion.py:190-204`), FusionDynaMixer, grid-flattened mean-pooled
+    heads (`models/avmnist.py:267-273`)."""
+
+    def __init__(self, model_cfg):
+        super().__init__()
+        m = model_cfg.modalities
+        d = float(model_cfg.get("dropout", 0.0))
+
+        def enc(mc):
+            return _RefDynaMixer(int(mc.in_channels), int(mc.hidden_dim),
+                                 int(mc.patch_size), tuple(mc.image_size),
+                                 int(mc.num_mixers), int(mc.num_head),
+                                 int(mc.reduced_dim), d)
+
+        self.image_mixer = enc(m.image)
+        self.audio_mixer = enc(m.audio)
+        mm = m.multimodal
+        n_tokens = self.image_mixer.num_patch  # MaxFusion: shape passthrough
+        self.fusion_mixer = _RefFusionDynaMixer(
+            int(mm.hidden_dim), n_tokens, int(mm.num_mixers),
+            int(mm.num_head), int(mm.reduced_dim), d)
+        n_cls = int(m.classification.num_classes)
+        self.classifier_image = nn.Linear(int(m.image.hidden_dim), n_cls)
+        self.classifier_audio = nn.Linear(int(m.audio.hidden_dim), n_cls)
+        self.classifier_fusion = _RefStandardClassifier(int(mm.hidden_dim), n_cls)
+
+    def forward(self, image, audio):
+        ti = self.image_mixer(image)          # (B, H, W, C)
+        ta = self.audio_mixer(audio)
+        tf = self.fusion_mixer(torch.maximum(ti, ta))
+        pool = lambda t: t.reshape(t.shape[0], -1, t.shape[-1]).mean(1)
+        return (self.classifier_image(pool(ti)),
+                self.classifier_audio(pool(ta)),
+                self.classifier_fusion(tf))
+
+
 class RefM2Mixer(nn.Module):
     """The AVMnistMixerMultiLoss forward
     (`/root/reference/models/avmnist.py:236-312`): two MLPMixer encoders,
@@ -211,8 +480,11 @@ class RefM2Mixer(nn.Module):
 
 
 def build_reference_torch_model(model_cfg,
-                                state_dict: Optional[Dict] = None) -> RefM2Mixer:
-    model = RefM2Mixer(model_cfg)
+                                state_dict: Optional[Dict] = None) -> nn.Module:
+    block = str(model_cfg.modalities.image.get("block_type", "MLPMixer"))
+    cls = {"VisiongMLP": RefM2MixerGMLP,
+           "DynaMixer": RefM2MixerDyna}.get(block, RefM2Mixer)
+    model = cls(model_cfg)
     if state_dict is not None:
         model.load_state_dict({k: torch.tensor(np.asarray(v))
                                for k, v in state_dict.items()}, strict=True)
@@ -377,9 +649,21 @@ def _shared_init(cfg, datamodule):
     sample = next(iter(datamodule.train_batches()))
     params = task.init_params(jax.random.PRNGKey(int(cfg.train.seed)), sample)
     m = cfg.model.modalities
-    shapes = {name: (int(m[name].in_channels), int(m[name].patch_size),
-                     int(m[name].patch_size)) for name in ("image", "audio")}
-    sd = export_reference_state_dict(params, ("image", "audio"), shapes)
+    block = str(m.image.get("block_type", "MLPMixer"))
+    if block == "VisiongMLP":
+        from .utils.torch_import import export_gmlp_state_dict
+
+        sd = export_gmlp_state_dict(params)
+    elif block == "DynaMixer":
+        from .utils.torch_import import export_dyna_state_dict
+
+        shapes = {name: (int(m[name].in_channels), int(m[name].patch_size),
+                         int(m[name].patch_size)) for name in ("image", "audio")}
+        sd = export_dyna_state_dict(params, shapes)
+    else:
+        shapes = {name: (int(m[name].in_channels), int(m[name].patch_size),
+                         int(m[name].patch_size)) for name in ("image", "audio")}
+        sd = export_reference_state_dict(params, ("image", "audio"), shapes)
     return params, sd
 
 

@@ -174,6 +174,105 @@ def export_reference_state_dict(variables: dict,
     return sd
 
 
+def export_gmlp_state_dict(variables: dict,
+                           modalities: Sequence[str] = ("image", "audio"),
+                           ) -> Dict[str, np.ndarray]:
+    """gMLP-topology params -> reference-named torch state_dict
+    (`/root/reference/modules/gmpl.py`): VisiongMLP encoders (Linear
+    ``patch_embedding`` + ``gmlp.blocks.N`` of norm/proj_1/
+    spatial_gating_unit{norm,proj}/proj_2) and the cls-token FusiongMLP.
+    The reference VisiongMLP's UNUSED ``cls_token`` (`gmpl.py:105`, never
+    in the forward) has no native counterpart and is not emitted."""
+    p = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_dense(prefix, node):  # plain nn.Dense leaves (no 'linear' child)
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(node["kernel"]).T)
+        sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    def put_linear(prefix, node):  # common.Linear leaves
+        put_dense(prefix, node["linear"])
+
+    def put_ln(prefix, node):
+        sd[f"{prefix}.weight"] = np.asarray(node["LayerNorm_0"]["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(node["LayerNorm_0"]["bias"])
+
+    def put_gmlp(prefix, node):
+        i = 0
+        while f"block_{i}" in node:
+            b = node[f"block_{i}"]
+            put_ln(f"{prefix}.blocks.{i}.norm", b["norm"])
+            put_dense(f"{prefix}.blocks.{i}.proj_1", b["proj_1"])
+            put_ln(f"{prefix}.blocks.{i}.spatial_gating_unit.norm",
+                   b["sgu"]["norm"])
+            put_dense(f"{prefix}.blocks.{i}.spatial_gating_unit.proj",
+                      b["sgu"]["proj"])
+            put_dense(f"{prefix}.blocks.{i}.proj_2", b["proj_2"])
+            i += 1
+
+    for i, m in enumerate(modalities):
+        enc = p[f"encoders_{i}"]
+        put_dense(f"{m}_mixer.patch_embedding", enc["patch_embedding"])
+        put_gmlp(f"{m}_mixer.gmlp", enc["gmlp"])
+        put_linear(f"classifier_{m}", p[f"heads_{i}"])
+    fm = p["fusion_mixer"]
+    sd["fusion_mixer.cls_token"] = np.asarray(fm["cls_token"])
+    put_gmlp("fusion_mixer.gmlp", fm["gmlp"])
+    put_linear("classifier_fusion.classifer", p["classifier"]["cls"])
+    return sd
+
+
+def export_dyna_state_dict(variables: dict,
+                           patch_conv_shapes: Dict[str, tuple],
+                           modalities: Sequence[str] = ("image", "audio"),
+                           ) -> Dict[str, np.ndarray]:
+    """DynaMixer-topology params -> reference-named torch state_dict
+    (`/root/reference/modules/dynamixer.py`): per block mix_h/mix_w
+    (compress/generate/out), bias-free mlp_c, 3-way reweight FeedForward,
+    proj; conv patch embed keeping the grid."""
+    p = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix, node):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(node["linear"]["kernel"]).T)
+        if "bias" in node["linear"]:
+            sd[f"{prefix}.bias"] = np.asarray(node["linear"]["bias"])
+
+    def put_ln(prefix, node):
+        sd[f"{prefix}.weight"] = np.asarray(node["LayerNorm_0"]["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(node["LayerNorm_0"]["bias"])
+
+    def put_op(prefix, node):
+        for leaf in ("compress", "generate", "out"):
+            put_linear(f"{prefix}.{leaf}", node[leaf])
+
+    def put_blocks(prefix, node):
+        i = 0
+        while f"block_{i}" in node:
+            b = node[f"block_{i}"]
+            put_op(f"{prefix}.mixer_blocks.{i}.mix_h", b["mix_h"])
+            put_op(f"{prefix}.mixer_blocks.{i}.mix_w", b["mix_w"])
+            put_linear(f"{prefix}.mixer_blocks.{i}.mlp_c", b["mlp_c"])
+            put_linear(f"{prefix}.mixer_blocks.{i}.reweight.net.0", b["reweight"]["fc1"])
+            put_linear(f"{prefix}.mixer_blocks.{i}.reweight.net.3", b["reweight"]["fc2"])
+            put_linear(f"{prefix}.mixer_blocks.{i}.proj", b["proj"])
+            i += 1
+        put_ln(f"{prefix}.layer_norm", node["norm_out"])
+
+    for i, m in enumerate(modalities):
+        enc = p[f"encoders_{i}"]
+        kernel = np.asarray(enc["patch_embed"]["proj"]["linear"]["kernel"])
+        w = kernel.T.reshape(kernel.shape[1], *patch_conv_shapes[m])
+        sd[f"{m}_mixer.to_patch_embedding.0.weight"] = np.ascontiguousarray(w)
+        sd[f"{m}_mixer.to_patch_embedding.0.bias"] = np.asarray(
+            enc["patch_embed"]["proj"]["linear"]["bias"])
+        put_blocks(f"{m}_mixer", enc)
+        put_linear(f"classifier_{m}", p[f"heads_{i}"])
+    put_blocks("fusion_mixer", p["fusion_mixer"])
+    put_linear("classifier_fusion.classifer", p["classifier"]["cls"])
+    return sd
+
+
 def export_mimic_state_dict(variables: dict) -> Dict[str, np.ndarray]:
     """MIMIC-topology params -> reference-named torch state_dict
     (`/root/reference/models/mimic.py:39-50`): ``static_extractor`` is an

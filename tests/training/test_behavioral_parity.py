@@ -92,6 +92,107 @@ def test_lockstep_parity_gmu_fusion(tmp_path):
     assert abs(res["native"]["test_f1m"] - res["torch"]["test_f1m"]) < 0.02
 
 
+def test_lockstep_parity_gmlp(tmp_path):
+    """gMLP-encoder topology lockstep (the avmnist_gmlp intent — its
+    reference model type is unresolvable, PARITY.md; the BLOCK math is the
+    reference's `/root/reference/modules/gmpl.py`): VisiongMLP patchify +
+    SpatialGatingUnit blocks per modality, cls-token FusiongMLP over the
+    concatenated tokens. prob_0_L=[1,1] pins stochastic depth off so both
+    frameworks are deterministic."""
+    from m2mixer_tpu import config as cfg_lib
+    from m2mixer_tpu.datasets.surrogate import generate
+    from m2mixer_tpu.parity import lockstep_experiment
+
+    data = str(tmp_path / "avmnist")
+    generate("avmnist", data, n=384)
+    cfg = cfg_lib.load("cfg/avmnist/avmnist_m2-mixer_S.yml")
+    cfg.dataset.params.data_dir = data
+    cfg.dataset.params.num_workers = 0
+    cfg.train.epochs = 3
+    cfg.train.tensorboard_path = str(tmp_path / "logs")
+    cfg.train.mesh_data = 1
+    cfg.train.mesh_model = 1
+    cfg.model.dropout = 0.0
+    m = cfg.model.modalities
+    for mod, patch in (("image", 14), ("audio", 56)):
+        mc = m[mod]
+        mc.block_type = "VisiongMLP"
+        mc.patch_size = patch
+        mc.d_model = 16
+        mc.d_ffn = 32
+        mc.n_blocks = 2
+        mc.prob_0_L = [1.0, 1.0]
+        for stale in ("hidden_dim", "token_dim", "channel_dim", "num_mixers"):
+            if stale in mc:
+                del mc[stale]
+    mm = m.multimodal
+    mm.block_type = "FusiongMLP"
+    mm.d_model = 16
+    mm.d_ffn = 32
+    mm.n_blocks = 1
+    mm.prob_0_L = [1.0, 1.0]
+    for stale in ("hidden_dim", "token_dim", "channel_dim", "num_mixers"):
+        if stale in mm:
+            del mm[stale]
+    m.classification.input_shape = [16, 9, 16]
+
+    res = lockstep_experiment(data, str(tmp_path), epochs=3, cfg=cfg)
+    nv = np.asarray(res["native"]["history"]["val_loss"])
+    tv = np.asarray(res["torch"]["history"]["val_loss"])
+    assert nv.shape == tv.shape == (3,)
+    # the SGU's bias-1 token projection makes untrained losses O(10^2-10^3)
+    # at this geometry, so float-reassociation noise scales with them:
+    # tolerances are RELATIVE here (measured ~1.4e-4 rel over 3 epochs)
+    assert (np.abs(nv - tv) / np.abs(tv)).max() < 1e-3, (nv, tv)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_acc"] - res["torch"]["test_acc"]) <= 1 / 64 + 1e-9
+    assert abs(res["native"]["test_f1m"] - res["torch"]["test_f1m"]) < 0.05
+
+
+def test_lockstep_parity_dynamixer(tmp_path):
+    """DynaMixer topology lockstep (the live avmnist_3loss_dyna config,
+    `/root/reference/cfg/avmnist/avmnist_3loss_dyna.yml`): input-dependent
+    per-sample L×L mixing weights softmaxed over dim −2
+    (`/root/reference/modules/dynamixer.py:10-31`), row+column mixes with a
+    learned 3-way softmax reweighting, elementwise MaxFusion over the 2-D
+    grids, FusionDynaMixer."""
+    from m2mixer_tpu import config as cfg_lib
+    from m2mixer_tpu.datasets.surrogate import generate
+    from m2mixer_tpu.parity import lockstep_experiment
+
+    data = str(tmp_path / "avmnist")
+    generate("avmnist", data, n=384)
+    cfg = cfg_lib.load("cfg/avmnist/avmnist_3loss_dyna.yml")
+    cfg.dataset.params.data_dir = data
+    cfg.dataset.params.num_workers = 0
+    cfg.dataset.params.batch_size = 32
+    cfg.train.epochs = 3
+    cfg.train.tensorboard_path = str(tmp_path / "logs")
+    cfg.train.mesh_data = 1
+    cfg.train.mesh_model = 1
+    cfg.model.dropout = 0.0
+    m = cfg.model.modalities
+    for mod, patch in (("image", 14), ("audio", 56)):
+        mc = m[mod]
+        mc.patch_size = patch  # 2x2 grids
+        mc.hidden_dim = 16
+        mc.num_head = 2
+        mc.num_mixers = 1
+    m.multimodal.hidden_dim = 16
+    m.multimodal.num_head = 2
+    m.multimodal.num_mixers = 1
+    m.classification.input_shape = [16, 4, 16]
+
+    res = lockstep_experiment(data, str(tmp_path), epochs=3, cfg=cfg)
+    nv = np.asarray(res["native"]["history"]["val_loss"])
+    tv = np.asarray(res["torch"]["history"]["val_loss"])
+    assert nv.shape == tv.shape == (3,)
+    assert np.abs(nv - tv).max() < 1e-3, (nv, tv)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_acc"] - res["torch"]["test_acc"]) <= 1 / 64 + 1e-9
+    assert abs(res["native"]["test_f1m"] - res["torch"]["test_f1m"]) < 0.05
+
+
 def test_lockstep_parity_mimic(tmp_path):
     """MIMIC topology lockstep (VERDICT r3 #2b): tuple-semantics batch, MLP
     static encoder + MLPMixerNoPatching time encoder, CE branches with
