@@ -5,12 +5,18 @@ The reference's de-facto integration test is "run the CLI on a dataset and
 get metrics" (`/root/reference/run.py:76-83`,
 `/root/reference/modules/train_test_module.py:72-132`). The reference repo
 itself cannot run here (pytorch-lightning is not installed), so this module
-implements the reference's FULL S-config training protocol in plain torch —
+implements the reference's FULL training protocol in plain torch —
 the same equations as `/root/reference/modules/mixer.py` (MLPMixer /
 FusionMixer), `/root/reference/models/avmnist.py:236-312` (3-loss combine),
 and `/root/reference/modules/train_test_module.py:166-175` (Adam +
 ReduceLROnPlateau(patience)) — and trains it against ``Trainer.fit`` on the
-SAME AV-MNIST surrogate batches.
+SAME surrogate batches. Six topologies have lockstep twins: the flagship
+concat-CE S config, GMU fusion (`BiModalGatedUnit`), gMLP encoders
+(`gmpl.py`), DynaMixer (`dynamixer.py`), MIMIC (MLP + MLPMixerNoPatching,
+`lockstep_experiment_mimic`), and MM-IMDB (multilabel BCE-pos_weight,
+`lockstep_experiment_mmimdb`); ``gradblend_parity`` additionally pins the
+GradBlend O/G^2 weight estimation value-for-value against
+`/root/reference/modules/gradblend.py:62-108`.
 
 Two protocols:
 
@@ -44,7 +50,9 @@ import torch
 from torch import nn
 
 __all__ = ["build_reference_torch_model", "torch_protocol", "native_protocol",
-           "lockstep_experiment", "protocol_experiment"]
+           "lockstep_experiment", "protocol_experiment",
+           "lockstep_experiment_mimic", "lockstep_experiment_mmimdb",
+           "gradblend_parity", "torch_gradblend_weights"]
 
 
 # ---------------------------------------------------------------------------
