@@ -68,6 +68,8 @@ class _UnimodalMixerTask(TrainTask):
     (`/root/reference/models/avmnist.py:93-120`)."""
 
     modality: str = "image"
+    #: serving-eval contract: step() argmaxes softmax logits (serving.py)
+    plain_multiclass = True
 
     def build_network(self):
         mc = self.model_cfg.modalities
@@ -115,6 +117,9 @@ class AVMnistAudioMixer(_UnimodalMixerTask):
 class AVMnistMixer(TrainTask):
     """Bimodal mixer with a single fused CE loss
     (parity: `/root/reference/models/avmnist.py:123-163`)."""
+
+    #: serving-eval contract: step() argmaxes softmax logits (serving.py)
+    plain_multiclass = True
 
     def __init__(self, model_cfg, optimizer_cfg, **kwargs):
         super().__init__(model_cfg, optimizer_cfg, **kwargs)

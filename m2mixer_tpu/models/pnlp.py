@@ -78,6 +78,10 @@ class PnlpMixerTokenCls(nn.Module):
 class PnlpMixerSeqClsTask(TrainTask):
     """Trainable text-classification task over the pNLP-Mixer (IMDB path)."""
 
+    #: serving-eval contract: step() argmaxes softmax logits, so
+    #: evaluate_serving may apply plain multiclass semantics (serving.py)
+    plain_multiclass = True
+
     def __init__(self, model_cfg, optimizer_cfg, **kwargs):
         self.num_classes = int(model_cfg.seq_cls.num_classes)
         super().__init__(model_cfg, optimizer_cfg, **kwargs)

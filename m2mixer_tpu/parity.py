@@ -331,7 +331,10 @@ class _RefDynaMixerBlock(nn.Module):
         self.mix_h = _RefDynaMixerOp(hidden, num_patch, num_head, reduced_dim)
         self.mix_w = _RefDynaMixerOp(hidden, num_patch, num_head, reduced_dim)
         self.mlp_c = nn.Linear(hidden, hidden, bias=False)  # qkv_bias=False
-        self.reweight = _RefFeedForwardOut(hidden, hidden // 4, hidden * 3, dropout)
+        # the reference constructs the reweight head with FeedForward's
+        # DEFAULT dropout=0 regardless of the block dropout
+        # (`/root/reference/modules/dynamixer.py:44`)
+        self.reweight = _RefFeedForwardOut(hidden, hidden // 4, hidden * 3, 0.0)
         self.proj = nn.Linear(hidden, hidden)
         self.proj_drop = nn.Dropout(dropout)
 
@@ -1149,6 +1152,15 @@ def lockstep_experiment_mimic(data_dir: str, work_dir: str, cfg,
     ce = nn.CrossEntropyLoss()
     w_f = float(cfg.model.get("fusion_loss_weight", 1.0 / 3.0))
     ow = (1.0 - w_f) / 2.0
+    # the torch loss below holds w_f FIXED across epochs; both frameworks
+    # support per-epoch fusion_loss_change annealing (`mimic.py:149-150`,
+    # models/base.py), so a nonzero value here would report a bogus
+    # divergence — guard like the lockstep dropout guard
+    if float(cfg.model.get("fusion_loss_change", 0.0)) != 0.0:
+        raise ValueError(
+            "lockstep_experiment_mimic: model.fusion_loss_change must be 0 "
+            "(the torch twin's loss uses a fixed fusion weight; annealing "
+            "parity is covered by the annealed-weighting unit tests)")
 
     def loss_fn(model, b):
         ls_, lt_, lf_ = model(torch.tensor(np.asarray(b["static"])),

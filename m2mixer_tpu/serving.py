@@ -934,23 +934,25 @@ def evaluate_serving(model: ServedModel, task, datamodule, split: str = "test",
         elif hasattr(task, "predictions"):
             aux = task.predictions(
                 outputs, {k: jnp.asarray(v) for k, v in batch.items()})
-        else:
-            # plain-classification TrainTasks (e.g. the text-only
-            # PnlpMixerSeqClsTask, whose step argmaxes softmax logits,
-            # models/pnlp.py) expose no predictions() adapter — apply the
-            # same multiclass argmax semantics here. Warn ONCE: a future
-            # task with non-multiclass semantics (sigmoid thresholds,
-            # regression) must add a predictions() adapter or these
-            # metrics are silently wrong.
-            if not getattr(task, "_warned_argmax_fallback", False):
-                task._warned_argmax_fallback = True
-                print(f"[serving] {type(task).__name__} has no predictions() "
-                      "adapter; evaluating with multiclass argmax/softmax "
-                      "semantics — add predictions() if this task is not "
-                      "plain multiclass")
+        elif getattr(task, "plain_multiclass", False):
+            # tasks that DECLARE plain-multiclass semantics (their step
+            # argmaxes softmax logits; e.g. the text-only
+            # PnlpMixerSeqClsTask, models/pnlp.py) get the same argmax here
             aux = {"preds": jnp.argmax(outputs["logits"], axis=-1),
                    "labels": jnp.asarray(batch["label"]),
                    "probs": jax.nn.softmax(outputs["logits"], axis=-1)}
+        else:
+            # fail LOUDLY: a task with non-multiclass semantics (sigmoid
+            # thresholds, regression) evaluated via argmax would report
+            # plausible-but-wrong metrics. New tasks either implement
+            # predictions() or opt in with plain_multiclass = True.
+            raise TypeError(
+                f"evaluate_serving: {type(task).__name__} has no "
+                "predictions() adapter and does not declare "
+                "plain_multiclass = True — refusing to guess the "
+                "prediction semantics. Implement predictions(), or set "
+                "plain_multiclass = True if the task's step argmaxes "
+                "softmax logits.")
         preds_l.append(np.asarray(aux["preds"]))
         labels_l.append(np.asarray(aux["labels"]))
         if aux.get("probs") is not None:

