@@ -259,8 +259,36 @@ def main():
         l_sps = m(batch_size=512, chunk=16, n_chunks=4)
         return l_sps, l_sps * analytic_train_flops_per_sample(lcfg) / peak
 
+    def measure_mmimdb() -> float:
+        """MM-IMDB 3-loss geometry (`cfg/mmimdb/mmimdb_3loss.yml`): 160x256
+        posters + same-grid 1-channel text through paired encoders (the
+        modality-batched-GEMM lever applies because both encoders share
+        geometry) at the shipped batch 32 — driver-tracks the round-2
+        51.5k prose claim (BASELINE.md) every round."""
+        icfg = load(os.path.join(repo, "cfg", "mmimdb", "mmimdb_3loss.yml"))
+        icfg.model.precision = "bf16"
+        icfg.model.paired_encoders = True
+        icfg.model.approximate_gelu = True
+        icfg.model.bits_dropout = True
+        icfg.train.optimizer.moment_dtype = "bf16"
+        itask = get_model(icfg.model.type)(icfg.model, icfg.train.optimizer)
+        ipool = 512  # 160x256x3 posters: keep the device pool modest
+        i_arrays = {
+            "image": jnp.asarray(np.random.rand(ipool, 3, 160, 256), jnp.float32),
+            "text": jnp.asarray(np.random.rand(ipool, 1, 160, 256), jnp.float32),
+            "label": jnp.asarray(
+                np.random.randint(0, 2, (ipool, 23)), jnp.float32),
+        }
+        i_init = {k: v[:32] for k, v in i_arrays.items()}
+        i_params = itask.init_params(jax.random.PRNGKey(3), i_init)
+        i_ctx = {k: jnp.asarray(v) for k, v in itask.make_ctx(0, "train").items()}
+        m = make_measure(itask, make_opt(icfg), i_params, i_arrays, i_ctx,
+                         rngs, ipool)
+        return m(batch_size=32, chunk=64, n_chunks=4)
+
     mimic_sps = measure_mimic()
     l_sps, l_mfu = measure_l_geometry()
+    mmimdb_sps = measure_mmimdb()
 
     baseline_path = os.path.join(repo, "BASELINE_MEASURED.json")
     vs = vs_1t = None
@@ -286,6 +314,7 @@ def main():
         "batch4096_accum_samples_per_sec": round(sps_4096, 1),
         "batch4096_accum_mfu": round(sps_4096 * flops_per_sample / peak, 4),
         "mimic_H_samples_per_sec": round(mimic_sps, 1),
+        "mmimdb_3loss_samples_per_sec": round(mmimdb_sps, 1),
         "l_geometry_batch512_samples_per_sec": round(l_sps, 1),
         "l_geometry_batch512_mfu": round(l_mfu, 4),
         "train_flops_per_sample": round(flops_per_sample),

@@ -10,13 +10,19 @@ the same equations as `/root/reference/modules/mixer.py` (MLPMixer /
 FusionMixer), `/root/reference/models/avmnist.py:236-312` (3-loss combine),
 and `/root/reference/modules/train_test_module.py:166-175` (Adam +
 ReduceLROnPlateau(patience)) — and trains it against ``Trainer.fit`` on the
-SAME surrogate batches. Six topologies have lockstep twins: the flagship
+SAME surrogate batches. TEN topologies have lockstep twins: the flagship
 concat-CE S config, GMU fusion (`BiModalGatedUnit`), gMLP encoders
 (`gmpl.py`), DynaMixer (`dynamixer.py`), MIMIC (MLP + MLPMixerNoPatching,
-`lockstep_experiment_mimic`), and MM-IMDB (multilabel BCE-pos_weight,
-`lockstep_experiment_mmimdb`); ``gradblend_parity`` additionally pins the
-GradBlend O/G^2 weight estimation value-for-value against
-`/root/reference/modules/gradblend.py:62-108`.
+`lockstep_experiment_mimic`), MM-IMDB (multilabel BCE-pos_weight,
+`lockstep_experiment_mmimdb`), MMHS150K (3-modal masked-flag 4-loss,
+`lockstep_experiment_mmhs`), UQ/EDL (least-uncertain-branch prediction,
+`lockstep_experiment_uq`), MultiOFF, and Memotion — every loss topology
+the reference defines. The loss-weight estimators are additionally
+verified IN THE TRAINING LOOP (`lockstep_experiment_softadapt` /
+`lockstep_experiment_gradblend_loop`: both frameworks refit from their own
+histories/parameters and the per-epoch applied weight vectors must agree),
+and ``gradblend_parity`` pins the GradBlend O/G^2 weight estimation
+value-for-value against `/root/reference/modules/gradblend.py:62-108`.
 
 Two protocols:
 
@@ -52,6 +58,10 @@ from torch import nn
 __all__ = ["build_reference_torch_model", "torch_protocol", "native_protocol",
            "lockstep_experiment", "protocol_experiment",
            "lockstep_experiment_mimic", "lockstep_experiment_mmimdb",
+           "lockstep_experiment_mmhs", "lockstep_experiment_uq",
+           "lockstep_experiment_multioff", "lockstep_experiment_memotion",
+           "lockstep_experiment_softadapt", "lockstep_experiment_gradblend_loop",
+           "protocol_experiment_mimic", "protocol_experiment_mmimdb",
            "gradblend_parity", "torch_gradblend_weights"]
 
 
@@ -506,24 +516,53 @@ def build_reference_torch_model(model_cfg,
 # The reference training protocol in torch
 # ---------------------------------------------------------------------------
 
-def _combined_loss(model, batch, ce, w_fusion):
+def _branch_losses(model, batch, ce):
     li, la, lf = model(torch.tensor(batch["image"]), torch.tensor(batch["audio"]))
     y = torch.tensor(np.asarray(batch["label"]), dtype=torch.long)
-    l_i, l_a, l_f = ce(li, y), ce(la, y), ce(lf, y)
-    ow = (1.0 - w_fusion) / 2.0
-    # x3 scale for fixed weighting (`/root/reference/models/avmnist.py:290-291`)
-    loss = (w_fusion * l_f + ow * (l_i + l_a)) * 3.0
-    return loss, lf
+    return ce(li, y), ce(la, y), ce(lf, y), lf
+
+
+def _combined_loss(model, batch, ce, weights):
+    """``weights``: either the scalar fusion weight (fixed mode — x3 scale,
+    `/root/reference/models/avmnist.py:290-291`) or a 3-vector
+    (image, audio, fusion) from an active SoftAdapt/GradBlend estimator —
+    then the plain weighted sum WITHOUT the x3
+    (`models/avmnist.py:284-289`)."""
+    l_i, l_a, l_f, lf = _branch_losses(model, batch, ce)
+    if np.ndim(weights) == 0:
+        w_fusion = float(weights)
+        ow = (1.0 - w_fusion) / 2.0
+        loss = (w_fusion * l_f + ow * (l_i + l_a)) * 3.0
+    else:
+        loss = weights[0] * l_i + weights[1] * l_a + weights[2] * l_f
+    return loss, lf, (l_i, l_a, l_f)
 
 
 def torch_protocol(model_cfg, optimizer_cfg, datamodule, epochs: int,
                    seed: int = 0, state_dict: Optional[Dict] = None,
-                   es_patience: int = 30) -> Dict:
+                   es_patience: int = 30, estimator: Optional[str] = None) -> Dict:
     """Train the reference protocol end to end on the given datamodule.
 
     Reuses THIS framework's ``ReduceLROnPlateau`` / ``EarlyStopping``
     host-side callbacks (pure Python, torch-parity semantics by contract)
-    so both frameworks schedule identically."""
+    so both frameworks schedule identically.
+
+    ``estimator`` activates a loss-weight estimator IN THE TRAINING LOOP,
+    refitting from this torch run's own histories/parameters exactly like
+    the reference hooks:
+
+    - ``'softadapt'`` — per-epoch val branch-loss histories, refit at
+      ``epoch % model.update_loss_weights_per_epoch == 0`` (epoch != 0),
+      weighted sum without the x3 (`/root/reference/models/avmnist.py:
+      284-286,340-361`); the weight math is the native
+      ``LossWeightedSoftAdapt`` (pinned to the reference's softadapt
+      package at rtol 1e-8, tests/training/test_recipes.py).
+    - ``'gradblend'`` — O/G^2 re-estimation from the CURRENT model at every
+      ``model.gb_update_freq`` train-epoch start
+      (`models/avmnist.py:219-234`), via ``torch_gradblend_weights``.
+
+    The returned dict then carries ``weights_per_epoch``: the (image,
+    audio, fusion) vector APPLIED during each epoch's train steps."""
     from .training.callbacks import EarlyStopping, ReduceLROnPlateau
     from .training import metrics as tm
 
@@ -535,7 +574,21 @@ def torch_protocol(model_cfg, optimizer_cfg, datamodule, epochs: int,
         eps=float(optimizer_cfg.get("eps", 1e-8)),
         weight_decay=float(optimizer_cfg.get("weight_decay", 0.0)))
     ce = nn.CrossEntropyLoss()
-    w_fusion = float(model_cfg.get("fusion_loss_weight", 1.0 / 3.0))
+    weights = float(model_cfg.get("fusion_loss_weight", 1.0 / 3.0))
+    softadapt = None
+    if estimator == "softadapt":
+        from .modules.softadapt import LossWeightedSoftAdapt
+
+        update_every = int(model_cfg.get("update_loss_weights_per_epoch", 6))
+        softadapt = LossWeightedSoftAdapt(beta=-0.1,
+                                          accuracy_order=update_every - 1)
+        histories = [[], [], []]
+        weights = np.full((3,), 1.0 / 3.0, np.float64)
+    elif estimator == "gradblend":
+        gb_freq = int(model_cfg.get("gb_update_freq", 20))
+        gb_epochs = int(model_cfg.get("gb_epochs", 20))
+    elif estimator is not None:
+        raise ValueError(f"unknown estimator {estimator!r}")
     plateau = ReduceLROnPlateau(float(optimizer_cfg.lr),
                                 patience=int(optimizer_cfg.get(
                                     "scheduler_patience", 5)))
@@ -544,23 +597,45 @@ def torch_protocol(model_cfg, optimizer_cfg, datamodule, epochs: int,
     datamodule.setup("fit")
     datamodule.setup("test")
     history = {"train_loss": [], "val_loss": []}
+    weights_per_epoch = []
     best_val, best_state, best_epoch = np.inf, None, -1
     for epoch in range(epochs):
+        if estimator == "gradblend" and epoch % gb_freq == 0:
+            # refit from the CURRENT weights (`models/avmnist.py:220-233`)
+            weights = torch_gradblend_weights(
+                model_cfg, None, datamodule, epochs=gb_epochs, model=model
+            ).astype(np.float64)
+        weights_per_epoch.append(
+            [float(x) for x in np.atleast_1d(np.asarray(weights))])
         model.train()
         losses = []
         for batch in datamodule.train_batches():
             opt.zero_grad()
-            loss, _ = _combined_loss(model, batch, ce, w_fusion)
+            loss, _, _ = _combined_loss(model, batch, ce, weights)
             loss.backward()
             opt.step()
             losses.append(float(loss.detach()))
         model.eval()
+        branch_sums = np.zeros(3)
         with torch.no_grad():
-            vl = [float(_combined_loss(model, b, ce, w_fusion)[0])
-                  for b in datamodule.val_batches()]
+            vl = []
+            for b in datamodule.val_batches():
+                loss, _, branches = _combined_loss(model, b, ce, weights)
+                vl.append(float(loss))
+                branch_sums += [float(x) for x in branches]
         val = float(np.mean(vl))
         history["train_loss"].append(float(np.mean(losses)))
         history["val_loss"].append(val)
+        if softadapt is not None:
+            # the reference's validation_epoch_end: append per-epoch val
+            # branch means, refit every N epochs (`avmnist.py:340-361`)
+            for i in range(3):
+                histories[i].append(branch_sums[i] / len(vl))
+            if epoch != 0 and epoch % update_every == 0:
+                weights = softadapt.get_component_weights(
+                    *[np.asarray(h, np.float64) for h in histories]
+                ).astype(np.float64)
+                histories = [[], [], []]
         if val < best_val:
             best_val, best_epoch = val, epoch
             best_state = {k: v.detach().clone()
@@ -580,7 +655,7 @@ def torch_protocol(model_cfg, optimizer_cfg, datamodule, epochs: int,
     tl = []
     with torch.no_grad():
         for b in datamodule.test_batches():
-            loss, lf = _combined_loss(model, b, ce, w_fusion)
+            loss, lf, _ = _combined_loss(model, b, ce, weights)
             tl.append(float(loss))
             preds = lf.argmax(dim=1).numpy()
             acc.update(preds, np.asarray(b["label"]))
@@ -588,6 +663,7 @@ def torch_protocol(model_cfg, optimizer_cfg, datamodule, epochs: int,
     return {"framework": "torch-reference", "seed": seed,
             "history": history, "best_epoch": best_epoch,
             "best_val_loss": float(best_val),
+            "weights_per_epoch": weights_per_epoch,
             "test_loss": float(np.mean(tl)),
             "test_acc": float(acc.compute()),
             "test_f1m": float(f1m.compute())}
@@ -615,9 +691,13 @@ def _load_s_cfg(data_dir: str, work_dir: str, epochs: int, seed: int,
     return cfg
 
 
-def native_protocol(cfg, work_dir: str, init_params=None) -> Dict:
+def native_protocol(cfg, work_dir: str, init_params=None,
+                    task_hook=None) -> Dict:
     """``Trainer.fit`` + best-checkpoint test; returns the torch-side dict
-    shape plus the exported init state dict when ``init_params`` is given."""
+    shape plus the exported init state dict when ``init_params`` is given.
+    ``task_hook(task)`` instruments the task before fit (the estimator
+    in-the-loop experiments wrap epoch hooks to capture the applied
+    loss-weight vectors)."""
     import jax
 
     from .datasets import get_data_module
@@ -626,6 +706,8 @@ def native_protocol(cfg, work_dir: str, init_params=None) -> Dict:
     from .training import Trainer
 
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    if task_hook is not None:
+        task_hook(task)
     dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
     trainer = Trainer(cfg.train, name=f"parity_seed{cfg.train.seed}",
                       mesh_config=MeshConfig(data=1, model=1),
@@ -699,8 +781,8 @@ def lockstep_experiment(data_dir: str, work_dir: str, epochs: int = 4,
 # GradBlend weight-estimation parity (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
 
-def torch_gradblend_weights(model_cfg, state_dict: Dict, datamodule,
-                            epochs: int = 2, lr: float = 1e-3):
+def torch_gradblend_weights(model_cfg, state_dict: Optional[Dict], datamodule,
+                            epochs: int = 2, lr: float = 1e-3, model=None):
     """The reference's GradBlend estimation
     (`/root/reference/modules/gradblend.py:24-112`) in torch: per branch,
     copy encoder+head, measure train/val loss sums, train ``epochs`` with a
@@ -723,7 +805,8 @@ def torch_gradblend_weights(model_cfg, state_dict: Dict, datamodule,
     are directly comparable."""
     import copy as _copy
 
-    model = build_reference_torch_model(model_cfg, state_dict)
+    if model is None:
+        model = build_reference_torch_model(model_cfg, state_dict)
     splits = datamodule.splits["train"]
     n = len(next(iter(splits.values())))
     cut = int(n * 0.1)
@@ -1034,17 +1117,23 @@ def _torch_family_protocol(model, loss_fn, test_fn, datamodule, optimizer_cfg,
     return out
 
 
-def _native_family_protocol(cfg, name: str, init_params=None) -> Dict:
+def _native_family_protocol(cfg, name: str, init_params=None, dm=None,
+                            shuffle_train: bool = False) -> Dict:
     """``Trainer.fit`` + best-ckpt test for any family config; returns the
-    full test-metric dict plus loss history."""
+    full test-metric dict plus loss history. ``dm`` overrides the
+    config-built datamodule (the synthetic in-memory lockstep modules).
+    ``shuffle_train`` stays False for lockstep (both sides iterate dataset
+    order); the seed-noise protocol experiments pass True (the shipped
+    shuffled recipe)."""
     from .datasets import get_data_module
     from .models import get_model
     from .parallel import MeshConfig
     from .training import Trainer
 
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
-    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
-    dm.shuffle_train = False  # lockstep: both sides iterate dataset order
+    if dm is None:
+        dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.shuffle_train = shuffle_train
     trainer = Trainer(cfg.train, name=name,
                       mesh_config=MeshConfig(data=1, model=1),
                       use_wandb=False, full_cfg=cfg)
@@ -1191,6 +1280,678 @@ def lockstep_experiment_mimic(data_dir: str, work_dir: str, cfg,
     return {"mode": "lockstep_mimic", "native": native, "torch": ref}
 
 
+# ---------------------------------------------------------------------------
+# Image+text twins (MultiOFF / Memotion / MMHS150K) and the UQ/EDL twin
+# (VERDICT r4 #2/#4/#8)
+# ---------------------------------------------------------------------------
+
+class _RefPNLPMixer(nn.Module):
+    """Bottleneck Linear over windowed hash features + MixerBlocks + LN
+    (`/root/reference/modules/mixer.py:232-264`; both FF hidden dims use
+    ``mlp_hidden_dim``)."""
+
+    def __init__(self, max_seq_len, hidden_dim, num_mixers, mlp_hidden_dim,
+                 window, feat_size, dropout):
+        super().__init__()
+        self.num_patch = max_seq_len
+        self.bottleneck = nn.Linear((2 * window + 1) * feat_size, hidden_dim)
+        self.mixer_blocks = nn.Sequential(*[
+            _MixerBlock(hidden_dim, max_seq_len, mlp_hidden_dim,
+                        mlp_hidden_dim, dropout) for _ in range(num_mixers)])
+        self.layer_norm = nn.LayerNorm(hidden_dim)
+
+    def forward(self, x):
+        return self.layer_norm(self.mixer_blocks(self.bottleneck(x)))
+
+
+class RefImageTextMixer(nn.Module):
+    """The image+PNLP-text MultiLoss topology shared by MultiOFF
+    (`/root/reference/models/multioff.py:35-45`), Memotion
+    (`memotion.py:34-46`), and — with ``with_ocr=True`` — the 3-modal
+    MMHS150K whose OCR mixer reuses the text block config
+    (`mmhs150.py:36-49`): MLPMixer image encoder, PNLPMixer text encoder(s),
+    token-axis concat, FusionMixer, mean-pooled Linear heads +
+    StandardClassifier fusion head."""
+
+    def __init__(self, model_cfg, with_ocr: bool = False):
+        super().__init__()
+        m = model_cfg.modalities
+        d = float(model_cfg.get("dropout", 0.0))
+        mi = m.image
+        self.image_mixer = _RefMLPMixer(int(mi.in_channels), int(mi.hidden_dim),
+                                        int(mi.patch_size), tuple(mi.image_size),
+                                        int(mi.num_mixers), int(mi.token_dim),
+                                        int(mi.channel_dim), d)
+        mt = m.text
+
+        def text_enc():
+            return _RefPNLPMixer(int(mt.max_seq_len), int(mt.hidden_dim),
+                                 int(mt.num_mixers), int(mt.mlp_hidden_dim),
+                                 int(mt.bottleneck_window_size),
+                                 int(mt.bottleneck_features_size), d)
+
+        self.text_mixer = text_enc()
+        self.with_ocr = with_ocr
+        n_tokens = (int(mi.image_size[0]) // int(mi.patch_size)) * (
+            int(mi.image_size[1]) // int(mi.patch_size)) + int(mt.max_seq_len)
+        n_cls = int(m.classification.num_classes)
+        if with_ocr:
+            self.text_ocr_mixer = text_enc()
+            n_tokens += int(mt.max_seq_len)
+            self.classifier_text_ocr = nn.Linear(int(mt.hidden_dim), n_cls)
+        mm = m.multimodal
+        self.fusion_mixer = _RefFusionMixer(int(mm.hidden_dim), n_tokens,
+                                            int(mm.num_mixers), int(mm.token_dim),
+                                            int(mm.channel_dim), d)
+        self.classifier_image = nn.Linear(int(mi.hidden_dim), n_cls)
+        self.classifier_text = nn.Linear(int(mt.hidden_dim), n_cls)
+        self.classifier_fusion = _RefStandardClassifier(int(mm.hidden_dim), n_cls)
+
+    def forward(self, image, text, ocr=None):
+        ti = self.image_mixer(image)
+        tt = self.text_mixer(text)
+        encs = [ti, tt]
+        if self.with_ocr:
+            encs.append(self.text_ocr_mixer(ocr))
+        tf = self.fusion_mixer(torch.cat(encs, dim=1))
+        out = [self.classifier_image(ti.mean(1)),
+               self.classifier_text(tt.mean(1))]
+        if self.with_ocr:
+            out.append(self.classifier_text_ocr(encs[2].mean(1)))
+        out.append(self.classifier_fusion(tf))
+        return tuple(out)
+
+
+def _torch_edl_mse(logits, y, num_classes):
+    """EDL MSE Bayes risk (`/root/reference/modules/losses.py:24-31`); the
+    reference's annealed KL term is multiplied by ZERO (`:20-21`) and its
+    value is always finite (alpha >= 1), so the product is exactly 0.0 and
+    is omitted here."""
+    target = torch.eye(num_classes)[y]
+    evidence = torch.relu(logits)
+    alpha = evidence + 1.0
+    strength = alpha.sum(dim=-1)
+    p = alpha / strength[:, None]
+    err = (target - p) ** 2
+    var = p * (1 - p) / (strength[:, None] + 1)
+    return (err + var).sum(dim=-1).mean()
+
+
+from .datasets.base import ArrayDataModule as _ArrayDataModule  # noqa: E402
+
+
+class _SyntheticImageText(_ArrayDataModule):
+    """Deterministic in-memory surrogate for the image+PNLP-text lockstep
+    families: class-signal planted in every modality, optional OCR features
+    with per-sample ``use_features``/``use_features_ocr`` flags (~30% zero,
+    so the MMHS masked-loss branches genuinely fire — the file datamodule's
+    pnlp path always sets the flags to 1, `datasets/mmhs150.py:94-97`;
+    the zero-flag regime is the reference word2vec path's,
+    `/root/reference/datasets/mmhs150.py`)."""
+
+    def __init__(self, n: int, batch_size: int, image_shape, seq: int,
+                 width: int, n_labels: int, with_ocr: bool = False,
+                 flag_rate: float = 0.7, seed: int = 0):
+        super().__init__(batch_size=batch_size, shuffle_train=False)
+        rng = np.random.RandomState(seed)
+        labels = rng.randint(0, n_labels, n).astype(np.int32)
+        img_pat = rng.randn(n_labels, *image_shape).astype(np.float32)
+        txt_pat = rng.randn(n_labels, seq, width).astype(np.float32)
+        ocr_pat = rng.randn(n_labels, seq, width).astype(np.float32)
+        data = {
+            "image": (0.6 * img_pat[labels]
+                      + 0.4 * rng.randn(n, *image_shape)).astype(np.float32),
+            "text": (0.6 * txt_pat[labels]
+                     + 0.4 * rng.randn(n, seq, width)).astype(np.float32),
+            "label": labels,
+        }
+        if with_ocr:
+            data["ocr"] = (0.6 * ocr_pat[labels]
+                           + 0.4 * rng.randn(n, seq, width)).astype(np.float32)
+            data["use_features"] = (rng.rand(n) < flag_rate).astype(np.float32)
+            data["use_features_ocr"] = (rng.rand(n) < flag_rate).astype(np.float32)
+        cut1, cut2 = int(0.7 * n), int(0.8 * n)
+        self.splits = {
+            "train": {k: v[:cut1] for k, v in data.items()},
+            "val": {k: v[cut1:cut2] for k, v in data.items()},
+            "test": {k: v[cut2:] for k, v in data.items()},
+        }
+
+    def setup(self, stage=None):
+        pass
+
+
+def _init_image_text(cfg, dm, names, with_conv_image=True):
+    """Native init + reference-named export for an image+text family."""
+    import jax
+
+    from .models import get_model
+    from .utils.torch_import import export_reference_state_dict
+
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm.setup("fit")
+    sample = next(iter(dm.train_batches()))
+    params = task.init_params(jax.random.PRNGKey(int(cfg.train.seed)), sample)
+    mi = cfg.model.modalities.image
+    shapes = ({"image": (int(mi.in_channels), int(mi.patch_size),
+                         int(mi.patch_size))} if with_conv_image else {})
+    sd = export_reference_state_dict(params, names, shapes)
+    return params, sd
+
+
+def small_image_text_cfg(family: str, work_dir: str, epochs: int = 3,
+                         seed: int = 0):
+    """Shrink a shipped image+text family config (multioff / memotion /
+    mmhs150) to lockstep-test geometry: the data shapes and loss math stay
+    the family's own; only dims shrink. Train/val/test = 224/32/64 of
+    n=320 at batch 16 — whole batches everywhere (no drop-last
+    ambiguity)."""
+    import os as _os
+
+    from . import config as cfg_lib
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    paths = {"multioff": "multioff/multioff_3loss.yml",
+             "memotion": "memotion/memotion_3loss.yml",
+             "mmhs150": "mmhs150/mmhs150_4loss.yml"}
+    cfg = cfg_lib.load(_os.path.join(repo, "cfg", paths[family]))
+    cfg.dataset.params.batch_size = 16
+    cfg.dataset.params.num_workers = 0
+    cfg.train.epochs = int(epochs)
+    cfg.train.seed = int(seed)
+    cfg.train.monitor = "val_loss"
+    cfg.train.monitor_mode = "min"
+    cfg.train.tensorboard_path = _os.path.join(work_dir, "logs")
+    cfg.train.mesh_data = 1
+    cfg.train.mesh_model = 1
+    cfg.model.dropout = 0.0
+    mi = cfg.model.modalities.image
+    mi.image_size = [32, 32]
+    mi.patch_size = 16
+    mi.hidden_dim = 32
+    mi.channel_dim = 64
+    mi.token_dim = 8
+    mi.num_mixers = 1
+    mt = cfg.model.modalities.text
+    mt.max_seq_len = 8
+    mt.bottleneck_features_size = 16
+    mt.bottleneck_window_size = 1
+    mt.hidden_dim = 32
+    mt.mlp_hidden_dim = 16
+    mt.num_mixers = 1
+    mm = cfg.model.modalities.multimodal
+    mm.hidden_dim = 32
+    mm.channel_dim = 64
+    mm.token_dim = 8
+    mm.num_mixers = 1
+    tokens = 4 + 8 + (8 if family == "mmhs150" else 0)
+    cfg.model.modalities.classification.input_shape = [16, tokens, 32]
+    return cfg
+
+
+def lockstep_experiment_multioff(work_dir: str, cfg, epochs: int = 3,
+                                 n: int = 320) -> Dict:
+    """MultiOFF lockstep: unweighted BCE on all three heads, plain-sum
+    combine, sigmoid>0.5 preds (`/root/reference/models/multioff.py:47-50,
+    115-136`)."""
+    from .training import metrics as tm
+
+    dm = _SyntheticImageText(
+        n, int(cfg.dataset.params.batch_size),
+        (int(cfg.model.modalities.image.in_channels),
+         *[int(x) for x in cfg.model.modalities.image.image_size]),
+        int(cfg.model.modalities.text.max_seq_len),
+        (2 * int(cfg.model.modalities.text.bottleneck_window_size) + 1)
+        * int(cfg.model.modalities.text.bottleneck_features_size),
+        n_labels=2, seed=int(cfg.train.seed))
+    params, sd = _init_image_text(cfg, dm, ("image", "text"))
+    native = _native_family_protocol(cfg, "parity_multioff",
+                                     init_params=params, dm=dm)
+
+    model = RefImageTextMixer(cfg.model)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    bce = nn.BCEWithLogitsLoss()
+
+    def loss_fn(model, b):
+        li, lt, lf = model(torch.tensor(np.asarray(b["image"])),
+                           torch.tensor(np.asarray(b["text"])))
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.float32)[:, None]
+        return bce(li, y) + bce(lt, y) + bce(lf, y)
+
+    def test_fn(model, dm):
+        f1 = tm.F1Score(task="binary")
+        acc = tm.Accuracy(task="binary")
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            _, _, lf = model(torch.tensor(np.asarray(b["image"])),
+                             torch.tensor(np.asarray(b["text"])))
+            preds = (torch.sigmoid(lf) > 0.5).long().numpy()
+            f1.update(preds, np.asarray(b["label"]).reshape(-1, 1))
+            acc.update(preds, np.asarray(b["label"]).reshape(-1, 1))
+        return {"test_loss": float(np.mean(tl)), "test_f1": float(f1.compute()),
+                "test_accuracy": float(acc.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs)
+    return {"mode": "lockstep_multioff", "native": native, "torch": ref}
+
+
+def lockstep_experiment_memotion(work_dir: str, cfg, epochs: int = 3,
+                                 n: int = 320) -> Dict:
+    """Memotion lockstep: CE on all three heads, PLAIN SUM (no weighting,
+    no x3 — `/root/reference/models/memotion.py:105-112`), argmax preds,
+    macro F1."""
+    from .training import metrics as tm
+
+    dm = _SyntheticImageText(
+        n, int(cfg.dataset.params.batch_size),
+        (int(cfg.model.modalities.image.in_channels),
+         *[int(x) for x in cfg.model.modalities.image.image_size]),
+        int(cfg.model.modalities.text.max_seq_len),
+        (2 * int(cfg.model.modalities.text.bottleneck_window_size) + 1)
+        * int(cfg.model.modalities.text.bottleneck_features_size),
+        n_labels=int(cfg.model.modalities.classification.num_classes),
+        seed=int(cfg.train.seed))
+    params, sd = _init_image_text(cfg, dm, ("image", "text"))
+    native = _native_family_protocol(cfg, "parity_memotion",
+                                     init_params=params, dm=dm)
+
+    model = RefImageTextMixer(cfg.model)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    ce = nn.CrossEntropyLoss()
+
+    def loss_fn(model, b):
+        li, lt, lf = model(torch.tensor(np.asarray(b["image"])),
+                           torch.tensor(np.asarray(b["text"])))
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.long)
+        return ce(li, y) + ce(lt, y) + ce(lf, y)
+
+    n_cls = int(cfg.model.modalities.classification.num_classes)
+
+    def test_fn(model, dm):
+        f1m = tm.F1Score(task="multiclass", num_classes=n_cls, average="macro")
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            _, _, lf = model(torch.tensor(np.asarray(b["image"])),
+                             torch.tensor(np.asarray(b["text"])))
+            f1m.update(lf.argmax(dim=1).numpy(), np.asarray(b["label"]))
+        return {"test_loss": float(np.mean(tl)), "test_f1m": float(f1m.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs)
+    return {"mode": "lockstep_memotion", "native": native, "torch": ref}
+
+
+def lockstep_experiment_mmhs(work_dir: str, cfg, epochs: int = 3,
+                             n: int = 320) -> Dict:
+    """MMHS150K lockstep (VERDICT r4 #2): the only 3-modal, masked-flag,
+    4-way-weighted topology — image MLPMixer + two PNLPMixers, 3-ary
+    token concat, four BCE(pos_weight=3.57) heads with the text/OCR losses
+    masked by per-sample ``use_features`` flags (~30% zero rows in the
+    surrogate so the masks genuinely fire), ``ow=(1-w_f)/3`` weighting
+    without the x3 (`/root/reference/models/mmhs150.py:36-54,100-107`).
+    The reference's debugging leftover that randomizes ``preds``
+    (`mmhs150.py:113`) is not replicated on either side (SURVEY §7.4)."""
+    from .training import metrics as tm
+
+    dm = _SyntheticImageText(
+        n, int(cfg.dataset.params.batch_size),
+        (int(cfg.model.modalities.image.in_channels),
+         *[int(x) for x in cfg.model.modalities.image.image_size]),
+        int(cfg.model.modalities.text.max_seq_len),
+        (2 * int(cfg.model.modalities.text.bottleneck_window_size) + 1)
+        * int(cfg.model.modalities.text.bottleneck_features_size),
+        n_labels=2, with_ocr=True, seed=int(cfg.train.seed))
+    params, sd = _init_image_text(cfg, dm, ("image", "text", "text_ocr"))
+    native = _native_family_protocol(cfg, "parity_mmhs",
+                                     init_params=params, dm=dm)
+
+    model = RefImageTextMixer(cfg.model, with_ocr=True)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    bce = nn.BCEWithLogitsLoss(pos_weight=torch.tensor([3.57]))
+    w_f = float(cfg.model.get("fusion_loss_weight", 1.0 / 4.0))
+    ow = (1.0 - w_f) / 3.0
+
+    def forward(model, b):
+        return model(torch.tensor(np.asarray(b["image"])),
+                     torch.tensor(np.asarray(b["text"])),
+                     torch.tensor(np.asarray(b["ocr"])))
+
+    def loss_fn(model, b):
+        li, lt, lo, lf = forward(model, b)
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.float32)[:, None]
+        use_t = torch.tensor(np.asarray(b["use_features"],
+                                        np.float32)).reshape(-1, 1)
+        use_o = torch.tensor(np.asarray(b["use_features_ocr"],
+                                        np.float32)).reshape(-1, 1)
+        # masked exactly like the reference: zero both logits and labels
+        # for flag-0 rows (`mmhs150.py:100-103`)
+        return (w_f * bce(lf, y) + ow * bce(li, y)
+                + ow * bce(lt * use_t, y * use_t)
+                + ow * bce(lo * use_o, y * use_o))
+
+    def test_fn(model, dm):
+        f1 = tm.F1Score(task="binary")
+        acc = tm.Accuracy(task="binary")
+        auc = tm.AUROC(task="binary")
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            lf = forward(model, b)[-1]
+            preds = (torch.sigmoid(lf) > 0.5).long().numpy()
+            labels = np.asarray(b["label"]).reshape(-1, 1)
+            f1.update(preds, labels)
+            acc.update(preds, labels)
+            auc.update(torch.sigmoid(lf).numpy(), labels)
+        return {"test_loss": float(np.mean(tl)), "test_f1": float(f1.compute()),
+                "test_accuracy": float(acc.compute()),
+                "test_auc": float(auc.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs)
+    return {"mode": "lockstep_mmhs", "native": native, "torch": ref}
+
+
+def lockstep_experiment_uq(data_dir: str, work_dir: str, epochs: int = 3,
+                           cfg=None) -> Dict:
+    """UQ/EDL lockstep (VERDICT r4 #4): the evidential topology — same
+    network as the flagship, EDL MSE Bayes-risk per branch with the x0 KL
+    quirk, PLAIN-SUM combine, least-uncertain-branch prediction
+    (`/root/reference/models/avmnist.py:447-572`). Predictions: the torch
+    side implements the reference's three strict-< masks verbatim
+    (`:525-537`, exact ties -> class 0); the native argmin tie-break
+    (models/avmnist.py) differs only on exact float ties, which do not
+    occur on real logits."""
+    from .datasets import get_data_module
+    from .training import metrics as tm
+
+    if cfg is None:
+        cfg = _load_s_cfg(data_dir, work_dir, epochs, 0, dropout=0.0)
+    cfg.model.type = "AVMnistMixerMultiLossUQ"
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    params, sd = _shared_init(cfg, dm)
+    native = _native_family_protocol(cfg, "parity_uq", init_params=params,
+                                     dm=dm)
+
+    model = RefM2Mixer(cfg.model)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    K = int(cfg.model.modalities.classification.num_classes)
+
+    def loss_fn(model, b):
+        li, la, lf = model(torch.tensor(np.asarray(b["image"])),
+                           torch.tensor(np.asarray(b["audio"])))
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.long)
+        # plain sum (`avmnist.py:508-511`); the KL x0 makes the annealing
+        # epoch irrelevant
+        return (_torch_edl_mse(li, y, K) + _torch_edl_mse(la, y, K)
+                + _torch_edl_mse(lf, y, K))
+
+    def combined_preds(li, la, lf):
+        ev, ev_i, ev_a = (torch.relu(x) for x in (lf, li, la))
+        preds = ev.argmax(dim=1)
+        preds_i = ev_i.argmax(dim=1)
+        preds_a = ev_a.argmax(dim=1)
+        u = K / (ev + 1).sum(dim=1)
+        u_i = K / (ev_i + 1).sum(dim=1)
+        u_a = K / (ev_a + 1).sum(dim=1)
+        # the reference's strict-< indicator combine (`avmnist.py:525-537`)
+        return (preds * ((u < u_i) & (u < u_a)).long()
+                + preds_i * ((u_i < u) & (u_i < u_a)).long()
+                + preds_a * ((u_a < u) & (u_a < u_i)).long())
+
+    def test_fn(model, dm):
+        acc = tm.Accuracy(task="multiclass", num_classes=K)
+        f1m = tm.F1Score(task="multiclass", num_classes=K, average="macro")
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            li, la, lf = model(torch.tensor(np.asarray(b["image"])),
+                               torch.tensor(np.asarray(b["audio"])))
+            preds = combined_preds(li, la, lf).numpy()
+            acc.update(preds, np.asarray(b["label"]))
+            f1m.update(preds, np.asarray(b["label"]))
+        return {"test_loss": float(np.mean(tl)), "test_acc": float(acc.compute()),
+                "test_f1m": float(f1m.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs)
+    return {"mode": "lockstep_uq", "native": native, "torch": ref}
+
+
+# ---------------------------------------------------------------------------
+# Estimator-in-the-loop lockstep (VERDICT r4 #3): SoftAdapt / GradBlend
+# ACTIVE during training in both frameworks, each refitting from its own
+# histories/parameters — verifies the estimator->training feedback coupling
+# ---------------------------------------------------------------------------
+
+def _capture_applied_weights(store: list):
+    """task_hook: record the loss-weight vector APPLIED to each train epoch
+    (captured after on_train_epoch_start so a GradBlend refit at epoch
+    start is reflected; SoftAdapt refits at val end apply from the next
+    epoch on both sides)."""
+
+    def hook(task):
+        orig = task.on_train_epoch_start
+
+        def wrapped(trainer, epoch):
+            orig(trainer, epoch)
+            store.append([float(x) for x in task.current_loss_weights()])
+
+        task.on_train_epoch_start = wrapped
+
+    return hook
+
+
+def lockstep_experiment_softadapt(data_dir: str, work_dir: str,
+                                  epochs: int = 6, update_every: int = 2,
+                                  seed: int = 0) -> Dict:
+    """SoftAdapt ACTIVE in both frameworks on the flagship topology
+    (`model.use_softadapt`, refit every ``update_every`` epochs from each
+    side's OWN val branch-loss histories —
+    `/root/reference/models/avmnist.py:284-286,340-361`). Returns the
+    per-epoch applied weight vectors of both sides alongside the curves."""
+    from .datasets import get_data_module
+
+    cfg = _load_s_cfg(data_dir, work_dir, epochs, seed, dropout=0.0)
+    cfg.model.use_softadapt = True
+    cfg.model.update_loss_weights_per_epoch = int(update_every)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    params, sd = _shared_init(cfg, dm)
+    native_weights: list = []
+    native = native_protocol(cfg, work_dir, init_params=params,
+                             task_hook=_capture_applied_weights(native_weights))
+    ref = torch_protocol(cfg.model, cfg.train.optimizer, dm, epochs,
+                         seed=seed, state_dict=sd, estimator="softadapt")
+    return {"mode": "lockstep_softadapt", "native": native, "torch": ref,
+            "native_weights": native_weights,
+            "torch_weights": ref["weights_per_epoch"]}
+
+
+def lockstep_experiment_gradblend_loop(data_dir: str, work_dir: str,
+                                       epochs: int = 3, gb_epochs: int = 2,
+                                       seed: int = 0) -> Dict:
+    """GradBlend ACTIVE in both frameworks (``gb_update_freq=1`` — an O/G^2
+    re-estimation from the CURRENT weights at every train-epoch start,
+    feeding that epoch's loss combine,
+    `/root/reference/models/avmnist.py:219-234,287-289`)."""
+    from .datasets import get_data_module
+
+    cfg = _load_s_cfg(data_dir, work_dir, epochs, seed, dropout=0.0)
+    cfg.model.gradblend = True
+    cfg.model.gb_update_freq = 1
+    cfg.model.gb_epochs = int(gb_epochs)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    params, sd = _shared_init(cfg, dm)
+    native_weights: list = []
+    native = native_protocol(cfg, work_dir, init_params=params,
+                             task_hook=_capture_applied_weights(native_weights))
+    ref = torch_protocol(cfg.model, cfg.train.optimizer, dm, epochs,
+                         seed=seed, state_dict=sd, estimator="gradblend")
+    return {"mode": "lockstep_gradblend", "native": native, "torch": ref,
+            "native_weights": native_weights,
+            "torch_weights": ref["weights_per_epoch"]}
+
+
+def _summarize_protocol_runs(runs: Dict, keys) -> Dict:
+    summary = {}
+    for side in ("native", "torch"):
+        summary[side] = {}
+        for key in keys:
+            vals = [r[key] for r in runs[side]]
+            summary[side][f"{key}_mean"] = float(np.mean(vals))
+            summary[side][f"{key}_std"] = float(np.std(vals))
+    return summary
+
+
+def protocol_experiment_mimic(data_dir: str, work_dir: str, epochs: int = 12,
+                              seeds=(0, 1, 2, 3, 4, 5)) -> Dict:
+    """MIMIC seed-noise protocol (VERDICT r4 #7): the SHIPPED mimic_H
+    recipe — dropout ON, plateau LR, shuffled training, independent seeds
+    and independent inits per framework — run ``len(seeds)`` times each
+    side; final test metrics must agree within seed noise. Mirrors the
+    avmnist 6-seed protocol table (BASELINE.md); the lockstep experiment
+    proves the math at dropout 0, this proves the shipped stochastic
+    recipe."""
+    from . import config as cfg_lib
+    from .datasets import get_data_module
+    from .training import metrics as tm
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runs = {"native": [], "torch": []}
+    for seed in seeds:
+        cfg = cfg_lib.load(os.path.join(repo, "cfg", "mimic",
+                                        "mimic_m2-mixer_H.yml"))
+        cfg.dataset.params.data_dir = data_dir
+        cfg.dataset.params.num_workers = 0
+        cfg.train.epochs = int(epochs)
+        cfg.train.seed = int(seed)
+        cfg.train.tensorboard_path = os.path.join(work_dir, "logs")
+        cfg.train.mesh_data = 1
+        cfg.train.mesh_model = 1
+
+        dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        native = _native_family_protocol(cfg, f"proto_mimic_s{seed}", dm=dm,
+                                         shuffle_train=True)
+        runs["native"].append(native)
+
+        torch.manual_seed(seed)
+        model = RefMimicMixer(cfg.model)  # torch's OWN init: seed noise
+        ce = nn.CrossEntropyLoss()
+        w_f = float(cfg.model.get("fusion_loss_weight", 1.0 / 3.0))
+        ow = (1.0 - w_f) / 2.0
+
+        def loss_fn(model, b):
+            ls_, lt_, lf_ = model(torch.tensor(np.asarray(b["static"])),
+                                  torch.tensor(np.asarray(b["time"])))
+            y = torch.tensor(np.asarray(b["label"]), dtype=torch.long)
+            return w_f * ce(lf_, y) + ow * ce(ls_, y) + ow * ce(lt_, y)
+
+        n_cls = int(cfg.model.modalities.classification.num_classes)
+
+        def test_fn(model, dm):
+            f1 = tm.F1Score(task="multiclass", num_classes=n_cls, average="micro")
+            acc = tm.Accuracy(task="multiclass", num_classes=n_cls)
+            tl = []
+            for b in dm.test_batches():
+                tl.append(float(loss_fn(model, b)))
+                _, _, lf_ = model(torch.tensor(np.asarray(b["static"])),
+                                  torch.tensor(np.asarray(b["time"])))
+                preds = lf_.argmax(dim=1).numpy()
+                f1.update(preds, np.asarray(b["label"]))
+                acc.update(preds, np.asarray(b["label"]))
+            return {"test_loss": float(np.mean(tl)),
+                    "test_f1_micro": float(f1.compute()),
+                    "test_acc": float(acc.compute())}
+
+        dm2 = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        dm2.shuffle_train = True  # the shipped shuffled recipe
+        runs["torch"].append(_torch_family_protocol(
+            model, loss_fn, test_fn, dm2, cfg.train.optimizer, epochs))
+    return {"mode": "protocol_mimic", "runs": runs,
+            "summary": _summarize_protocol_runs(runs, ("test_acc",
+                                                       "test_f1_micro"))}
+
+
+def protocol_experiment_mmimdb(data_dir: str, work_dir: str, epochs: int = 12,
+                               seeds=(0, 1, 2, 3, 4, 5)) -> Dict:
+    """MM-IMDB seed-noise protocol (VERDICT r4 #7): the shipped 3-loss
+    recipe — dropout 0.5, multilabel BCE pos_weight, plain-sum combine —
+    at the lockstep test geometry (dims shrunk for CPU wall-time; every
+    stochastic element of the recipe — dropout, shuffling, independent
+    inits — stays ON), ``len(seeds)`` independent runs per framework."""
+    from . import config as cfg_lib
+    from .datasets import get_data_module
+    from .training import metrics as tm
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runs = {"native": [], "torch": []}
+    for seed in seeds:
+        cfg = cfg_lib.load(os.path.join(repo, "cfg", "mmimdb",
+                                        "mmimdb_3loss.yml"))
+        cfg.dataset.params.data_dir = data_dir
+        cfg.dataset.params.batch_size = 16
+        cfg.dataset.params.num_workers = 0
+        cfg.train.epochs = int(epochs)
+        cfg.train.seed = int(seed)
+        cfg.train.tensorboard_path = os.path.join(work_dir, "logs")
+        cfg.train.mesh_data = 1
+        cfg.train.mesh_model = 1
+        for mod in ("image", "text", "multimodal"):
+            cfg.model.modalities[mod].hidden_dim = 32
+            cfg.model.modalities[mod].channel_dim = 64
+            cfg.model.modalities[mod].token_dim = 8
+            cfg.model.modalities[mod].num_mixers = 1
+        cfg.model.modalities.classification.input_shape = [16, 80, 32]
+
+        dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        native = _native_family_protocol(cfg, f"proto_mmimdb_s{seed}", dm=dm,
+                                         shuffle_train=True)
+        runs["native"].append(native)
+
+        torch.manual_seed(seed)
+        model = RefMMIMDBMixer(cfg.model)  # torch's OWN init: seed noise
+        pos_weight = torch.tensor(np.asarray(cfg.model.pos_weight, np.float32))
+        bce = nn.BCEWithLogitsLoss(pos_weight=pos_weight)
+
+        def loss_fn(model, b):
+            li, lt, lf = model(torch.tensor(np.asarray(b["image"])),
+                               torch.tensor(np.asarray(b["text"])))
+            y = torch.tensor(np.asarray(b["label"]), dtype=torch.float32)
+            return bce(li, y) + bce(lt, y) + bce(lf, y)
+
+        n_labels = int(cfg.model.modalities.classification.num_classes)
+
+        def test_fn(model, dm):
+            f1w = tm.F1Score(task="multilabel", num_labels=n_labels,
+                             average="weighted")
+            f1m = tm.F1Score(task="multilabel", num_labels=n_labels,
+                             average="macro")
+            tl = []
+            for b in dm.test_batches():
+                tl.append(float(loss_fn(model, b)))
+                _, _, lf = model(torch.tensor(np.asarray(b["image"])),
+                                 torch.tensor(np.asarray(b["text"])))
+                preds = (torch.sigmoid(lf) > 0.5).long().numpy()
+                f1w.update(preds, np.asarray(b["label"]))
+                f1m.update(preds, np.asarray(b["label"]))
+            return {"test_loss": float(np.mean(tl)),
+                    "test_f1w": float(f1w.compute()),
+                    "test_f1m": float(f1m.compute())}
+
+        dm2 = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+        dm2.shuffle_train = True  # the shipped shuffled recipe
+        runs["torch"].append(_torch_family_protocol(
+            model, loss_fn, test_fn, dm2, cfg.train.optimizer, epochs))
+    return {"mode": "protocol_mmimdb", "runs": runs,
+            "summary": _summarize_protocol_runs(runs, ("test_f1w", "test_f1m"))}
+
+
 def protocol_experiment(data_dir: str, work_dir: str, epochs: int = 12,
                         seeds=(0, 1, 2)) -> Dict:
     """Shipped recipe, independent seeds: final metrics within seed noise."""
@@ -1229,10 +1990,19 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--families", default="avmnist",
                     help="comma list of lockstep families to run: avmnist "
-                    "(lockstep+protocol), mimic, mmimdb")
+                    "(lockstep+protocol), mimic, mmimdb, mmhs, uq, "
+                    "multioff, memotion")
     ap.add_argument("--gradblend", action="store_true",
                     help="also run GradBlend weight-estimation parity "
                     "(native estimator vs the reference O/G^2 math in torch)")
+    ap.add_argument("--estimator-loop", action="store_true",
+                    help="also run the estimator-IN-THE-LOOP lockstep "
+                    "experiments (SoftAdapt + GradBlend active during "
+                    "training in both frameworks)")
+    ap.add_argument("--protocols", default="",
+                    help="comma list of seed-noise protocol experiments "
+                    "to run (shipped recipe, dropout on, independent "
+                    "seeds): mimic, mmimdb")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -1243,11 +2013,13 @@ def main(argv=None):
     from .datasets.surrogate import generate
 
     families = [f.strip() for f in args.families.split(",") if f.strip()]
-    unknown = set(families) - {"avmnist", "mimic", "mmimdb"}
+    unknown = set(families) - {"avmnist", "mimic", "mmimdb", "mmhs", "uq",
+                               "multioff", "memotion"}
     if unknown:
         # a typo must not produce an empty-but-"successful" parity run
         raise SystemExit(f"parity: unknown families {sorted(unknown)}; "
-                         "valid: avmnist, mimic, mmimdb")
+                         "valid: avmnist, mimic, mmimdb, mmhs, uq, "
+                         "multioff, memotion")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(args.work, exist_ok=True)
     out = {}
@@ -1312,6 +2084,89 @@ def main(argv=None):
         show_curves("mmimdb", lock)
         print(f"[parity] mmimdb test: native f1w {lock['native']['test_f1w']:.4f} "
               f"| torch {lock['torch']['test_f1w']:.4f}")
+
+    for fam, cfg_name in (("mmhs", "mmhs150"), ("multioff", "multioff"),
+                          ("memotion", "memotion")):
+        if fam not in families:
+            continue
+        work = os.path.join(args.work, f"{fam}_work")
+        cfg = small_image_text_cfg(cfg_name, work, epochs=args.lockstep_epochs)
+        fn = {"mmhs": lockstep_experiment_mmhs,
+              "multioff": lockstep_experiment_multioff,
+              "memotion": lockstep_experiment_memotion}[fam]
+        lock = fn(work, cfg, epochs=args.lockstep_epochs)
+        out[f"lockstep_{fam}"] = lock
+        show_curves(fam, lock)
+        key = "test_f1" if fam != "memotion" else "test_f1m"
+        print(f"[parity] {fam} test: native {key} {lock['native'][key]:.4f} "
+              f"| torch {lock['torch'][key]:.4f}")
+
+    if "uq" in families:
+        data_dir = os.path.join(args.work, "avmnist")
+        if not os.path.exists(os.path.join(data_dir, ".complete")):
+            generate("avmnist", data_dir, n=args.n)
+            open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+        lock = lockstep_experiment_uq(data_dir, os.path.join(args.work, "uq_work"),
+                                      epochs=args.lockstep_epochs)
+        out["lockstep_uq"] = lock
+        show_curves("uq", lock)
+        print(f"[parity] uq test: native acc {lock['native']['test_acc']:.4f} "
+              f"| torch {lock['torch']['test_acc']:.4f}")
+
+    if args.estimator_loop:
+        data_dir = os.path.join(args.work, "avmnist")
+        if not os.path.exists(os.path.join(data_dir, ".complete")):
+            generate("avmnist", data_dir, n=args.n)
+            open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+        sa = lockstep_experiment_softadapt(
+            data_dir, os.path.join(args.work, "sa_loop"), epochs=6)
+        gbl = lockstep_experiment_gradblend_loop(
+            data_dir, os.path.join(args.work, "gb_loop"), epochs=3)
+        out["softadapt_loop"] = sa
+        out["gradblend_loop"] = gbl
+        show_curves("softadapt-loop", sa)
+        show_curves("gradblend-loop", gbl)
+        for tag, res in (("softadapt", sa), ("gradblend", gbl)):
+            nw = np.asarray(res["native_weights"], np.float64)
+            tw = np.asarray(res["torch_weights"], np.float64)
+            print(f"[parity] {tag}-loop per-epoch weights max |d|: "
+                  f"{np.abs(nw - tw).max():.2e}")
+
+    protocols = [p.strip() for p in args.protocols.split(",") if p.strip()]
+    unknown_p = set(protocols) - {"mimic", "mmimdb"}
+    if unknown_p:
+        raise SystemExit(f"parity: unknown protocols {sorted(unknown_p)}; "
+                         "valid: mimic, mmimdb")
+    if "mimic" in protocols:
+        data_dir = os.path.join(args.work, "mimic_proto")
+        if not os.path.exists(os.path.join(data_dir, "im.pk")):
+            generate("mimic", data_dir, n=1600)
+        res = protocol_experiment_mimic(data_dir,
+                                        os.path.join(args.work, "mimic_proto_work"),
+                                        epochs=args.epochs,
+                                        seeds=tuple(range(args.seeds)))
+        out["protocol_mimic"] = res
+        s = res["summary"]
+        print(f"[parity] mimic protocol ({args.seeds} seeds, {args.epochs} "
+              f"epochs): native f1_micro {s['native']['test_f1_micro_mean']:.4f}"
+              f"±{s['native']['test_f1_micro_std']:.4f} | torch "
+              f"{s['torch']['test_f1_micro_mean']:.4f}"
+              f"±{s['torch']['test_f1_micro_std']:.4f}")
+    if "mmimdb" in protocols:
+        data_dir = os.path.join(args.work, "mmimdb")
+        if not os.path.isdir(os.path.join(data_dir, "train")):
+            generate("mmimdb_ext", data_dir, n=320)
+        res = protocol_experiment_mmimdb(data_dir,
+                                         os.path.join(args.work, "mmimdb_proto_work"),
+                                         epochs=args.epochs,
+                                         seeds=tuple(range(args.seeds)))
+        out["protocol_mmimdb"] = res
+        s = res["summary"]
+        print(f"[parity] mmimdb protocol ({args.seeds} seeds, {args.epochs} "
+              f"epochs): native f1w {s['native']['test_f1w_mean']:.4f}"
+              f"±{s['native']['test_f1w_std']:.4f} | torch "
+              f"{s['torch']['test_f1w_mean']:.4f}"
+              f"±{s['torch']['test_f1w_std']:.4f}")
 
     if args.gradblend:
         data_dir = os.path.join(args.work, "avmnist")

@@ -154,14 +154,19 @@ def export_reference_state_dict(variables: dict,
     for i, m in enumerate(modalities):
         enc = p[f"encoders_{i}"]
         put_blocks(f"{m}_mixer", enc)
-        kernel = np.asarray(enc["patch_embed"]["proj"]["linear"]["kernel"])
-        shape = (patch_conv_shapes or {}).get(m)
-        w = kernel.T  # (out, in*p*p)
-        if shape is not None:
-            w = w.reshape(w.shape[0], *shape)
-        sd[f"{m}_mixer.to_patch_embedding.0.weight"] = np.ascontiguousarray(w)
-        sd[f"{m}_mixer.to_patch_embedding.0.bias"] = np.asarray(
-            enc["patch_embed"]["proj"]["linear"]["bias"])
+        if "bottleneck" in enc:
+            # PNLPMixer text encoder: Linear bottleneck instead of a patch
+            # embed (`/root/reference/modules/mixer.py:244-245`)
+            put_linear(f"{m}_mixer.bottleneck", enc["bottleneck"])
+        else:
+            kernel = np.asarray(enc["patch_embed"]["proj"]["linear"]["kernel"])
+            shape = (patch_conv_shapes or {}).get(m)
+            w = kernel.T  # (out, in*p*p)
+            if shape is not None:
+                w = w.reshape(w.shape[0], *shape)
+            sd[f"{m}_mixer.to_patch_embedding.0.weight"] = np.ascontiguousarray(w)
+            sd[f"{m}_mixer.to_patch_embedding.0.bias"] = np.asarray(
+                enc["patch_embed"]["proj"]["linear"]["bias"])
         put_linear(f"classifier_{m}", p[f"heads_{i}"])
     put_blocks("fusion_mixer", p["fusion_mixer"])
     if "fusion" in p and "mod1_hidden" in p["fusion"]:

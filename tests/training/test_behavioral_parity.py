@@ -228,6 +228,153 @@ def test_lockstep_parity_mimic(tmp_path):
     assert abs(res["native"]["test_loss"] - res["torch"]["test_loss"]) < 1e-3
 
 
+def test_lockstep_parity_mmhs(tmp_path):
+    """MMHS150K topology lockstep (VERDICT r4 #2): the only 3-modal,
+    masked-flag, 4-way-weighted topology — image MLPMixer + two PNLPMixers,
+    3-ary concat, four BCE(pos_weight=3.57) heads with the text/OCR losses
+    masked by per-sample ``use_features`` flags (~30% zero rows, so the
+    masks genuinely fire), ``ow=(1-w_f)/3`` weighting without the x3
+    (`/root/reference/models/mmhs150.py:36-54,100-107`)."""
+    from m2mixer_tpu.parity import lockstep_experiment_mmhs, small_image_text_cfg
+
+    cfg = small_image_text_cfg("mmhs150", str(tmp_path), epochs=3)
+    res = lockstep_experiment_mmhs(str(tmp_path), cfg, epochs=3)
+    for key in ("train_loss", "val_loss"):
+        a = np.asarray(res["native"]["history"][key])
+        b = np.asarray(res["torch"]["history"][key])
+        assert a.shape == b.shape == (3,)
+        assert np.abs(a - b).max() < 1e-3, (key, a, b)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    # 64-sample test split: one sigmoid-threshold flip moves acc by 1/64
+    assert abs(res["native"]["test_accuracy"] - res["torch"]["test_accuracy"]) <= 1 / 64 + 1e-9
+    assert abs(res["native"]["test_f1"] - res["torch"]["test_f1"]) < 0.05
+    assert abs(res["native"]["test_auc"] - res["torch"]["test_auc"]) < 0.02
+    assert abs(res["native"]["test_loss"] - res["torch"]["test_loss"]) < 1e-3
+
+
+def test_lockstep_parity_multioff(tmp_path):
+    """MultiOFF topology lockstep (VERDICT r4 #8): unweighted BCE on all
+    three heads, plain-sum combine, sigmoid>0.5 preds
+    (`/root/reference/models/multioff.py:47-50,115-136`)."""
+    from m2mixer_tpu.parity import lockstep_experiment_multioff, small_image_text_cfg
+
+    cfg = small_image_text_cfg("multioff", str(tmp_path), epochs=3)
+    res = lockstep_experiment_multioff(str(tmp_path), cfg, epochs=3)
+    for key in ("train_loss", "val_loss"):
+        a = np.asarray(res["native"]["history"][key])
+        b = np.asarray(res["torch"]["history"][key])
+        assert a.shape == b.shape == (3,)
+        assert np.abs(a - b).max() < 1e-3, (key, a, b)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_accuracy"] - res["torch"]["test_accuracy"]) <= 1 / 64 + 1e-9
+    assert abs(res["native"]["test_f1"] - res["torch"]["test_f1"]) < 0.05
+    assert abs(res["native"]["test_loss"] - res["torch"]["test_loss"]) < 1e-3
+
+
+def test_lockstep_parity_memotion(tmp_path):
+    """Memotion topology lockstep (VERDICT r4 #8): CE on all three heads,
+    PLAIN SUM — no weighting, no x3 — argmax preds, macro F1
+    (`/root/reference/models/memotion.py:105-112,187-192`)."""
+    from m2mixer_tpu.parity import lockstep_experiment_memotion, small_image_text_cfg
+
+    cfg = small_image_text_cfg("memotion", str(tmp_path), epochs=3)
+    res = lockstep_experiment_memotion(str(tmp_path), cfg, epochs=3)
+    for key in ("train_loss", "val_loss"):
+        a = np.asarray(res["native"]["history"][key])
+        b = np.asarray(res["torch"]["history"][key])
+        assert a.shape == b.shape == (3,)
+        assert np.abs(a - b).max() < 1e-3, (key, a, b)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_f1m"] - res["torch"]["test_f1m"]) < 0.05
+    assert abs(res["native"]["test_loss"] - res["torch"]["test_loss"]) < 1e-3
+
+
+def test_lockstep_parity_uq(tmp_path):
+    """UQ/EDL topology lockstep (VERDICT r4 #4): EDL MSE Bayes risk per
+    branch with the x0 KL quirk, plain-sum combine, least-uncertain-branch
+    prediction — the torch side implements the reference's strict-< masks
+    verbatim (`/root/reference/models/avmnist.py:447-572,525-537`,
+    `modules/losses.py:5-49`). Measured gap: ~2.4e-7 on both curves,
+    identical test predictions."""
+    from m2mixer_tpu.datasets.surrogate import generate
+    from m2mixer_tpu.parity import lockstep_experiment_uq
+
+    data = str(tmp_path / "avmnist")
+    generate("avmnist", data, n=384)
+    res = lockstep_experiment_uq(data, str(tmp_path), epochs=3)
+    for key in ("train_loss", "val_loss"):
+        a = np.asarray(res["native"]["history"][key])
+        b = np.asarray(res["torch"]["history"][key])
+        assert a.shape == b.shape == (3,)
+        assert np.abs(a - b).max() < 1e-3, (key, a, b)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    # the combined (least-uncertain-branch) predictions drive acc/F1: one
+    # borderline uncertainty flip moves acc by 1/64
+    assert abs(res["native"]["test_acc"] - res["torch"]["test_acc"]) <= 1 / 64 + 1e-9
+    assert abs(res["native"]["test_f1m"] - res["torch"]["test_f1m"]) < 0.05
+    assert abs(res["native"]["test_loss"] - res["torch"]["test_loss"]) < 1e-3
+
+
+def test_lockstep_softadapt_in_loop(tmp_path):
+    """Estimator-in-the-loop lockstep (VERDICT r4 #3a): SoftAdapt ACTIVE in
+    both frameworks — refits every 2 epochs from each side's OWN val
+    branch-loss histories, reweighted loss feeding the next epochs
+    (`/root/reference/models/avmnist.py:284-286,340-361`). Asserts the
+    per-epoch APPLIED weight vectors agree (measured 4.8e-7) on top of the
+    usual curve/metric lockstep — the estimator->training feedback loop,
+    not just the estimator in isolation."""
+    from m2mixer_tpu.datasets.surrogate import generate
+    from m2mixer_tpu.parity import lockstep_experiment_softadapt
+
+    data = str(tmp_path / "avmnist")
+    generate("avmnist", data, n=384)
+    res = lockstep_experiment_softadapt(data, str(tmp_path), epochs=6,
+                                        update_every=2)
+    nw = np.asarray(res["native_weights"], np.float64)
+    tw = np.asarray(res["torch_weights"], np.float64)
+    assert nw.shape == tw.shape == (6, 3)
+    # the weights must actually CHANGE (refits at epochs 2 and 4 apply
+    # from epochs 3 and 5) — otherwise the loop never fed back
+    assert not np.allclose(nw[0], nw[3]) and not np.allclose(nw[3], nw[5])
+    assert np.abs(nw - tw).max() < 1e-4, (nw, tw)
+    for key in ("train_loss", "val_loss"):
+        a = np.asarray(res["native"]["history"][key])
+        b = np.asarray(res["torch"]["history"][key])
+        assert a.shape == b.shape == (6,)
+        assert np.abs(a - b).max() < 1e-3, (key, a, b)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_acc"] - res["torch"]["test_acc"]) <= 1 / 64 + 1e-9
+
+
+def test_lockstep_gradblend_in_loop(tmp_path):
+    """Estimator-in-the-loop lockstep (VERDICT r4 #3b): GradBlend ACTIVE
+    with ``gb_update_freq=1`` — an O/G^2 re-estimation from the CURRENT
+    weights at every train-epoch start, feeding that epoch's loss combine
+    (`/root/reference/models/avmnist.py:219-234,287-289`). The weight
+    vectors diverge epoch to epoch as training moves the parameters; both
+    frameworks must track (measured 6.6e-6)."""
+    from m2mixer_tpu.datasets.surrogate import generate
+    from m2mixer_tpu.parity import lockstep_experiment_gradblend_loop
+
+    data = str(tmp_path / "avmnist")
+    generate("avmnist", data, n=384)
+    res = lockstep_experiment_gradblend_loop(data, str(tmp_path), epochs=3,
+                                             gb_epochs=2)
+    nw = np.asarray(res["native_weights"], np.float64)
+    tw = np.asarray(res["torch_weights"], np.float64)
+    assert nw.shape == tw.shape == (3, 3)
+    # each epoch's re-estimation sees different params -> different weights
+    assert not np.allclose(nw[0], nw[1]) and not np.allclose(nw[1], nw[2])
+    assert np.abs(nw - tw).max() < 1e-3, (nw, tw)
+    for key in ("train_loss", "val_loss"):
+        a = np.asarray(res["native"]["history"][key])
+        b = np.asarray(res["torch"]["history"][key])
+        assert a.shape == b.shape == (3,)
+        assert np.abs(a - b).max() < 1e-3, (key, a, b)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_acc"] - res["torch"]["test_acc"]) <= 1 / 64 + 1e-9
+
+
 def test_lockstep_parity_mmimdb(tmp_path):
     """MM-IMDB topology lockstep (VERDICT r3 #2a): multilabel
     ``BCEWithLogitsLoss(pos_weight)`` on all three heads, plain-sum combine,
