@@ -210,15 +210,22 @@ def gen_memotion(out: str, n: int = 300, seed: int = 0) -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(out, "images"), exist_ok=True)
     levels = ["funny", "hilarious", "not_funny"]
-    sentiments = ["positive", "negative", "neutral"]  # shipped config's task
-    words = {0: ["chuckleword"], 1: ["hilariousword"], 2: ["dryword"]}
+    # ALL five sentiment levels of the real dataset (the shipped config's
+    # task has num_classes=5; planting fewer would cap macro-F1 at
+    # present/5 — the round-3 exhibit's 0.566 plateau was this ceiling)
+    sentiments = ["very_positive", "positive", "neutral", "negative",
+                  "very_negative"]
+    words = {0: ["ecstaticword"], 1: ["chuckleword"], 2: ["dryword"],
+             3: ["grumpyword"], 4: ["furiousword"]}
     rows = ["image_name,text_corrected,humour,sarcasm,offensive,"
             "motivational,overall_sentiment"]
     for i in range(n):
-        label = rng.randint(3)
+        label = rng.randint(len(sentiments))
         name = f"image_{i}.jpg"
-        _save_jpeg(os.path.join(out, "images", name), _image(rng, label, 3))
-        rows.append(f"{name},{_sentence(rng, words[label])},{levels[label]},"
+        _save_jpeg(os.path.join(out, "images", name),
+                   _image(rng, label, len(sentiments)))
+        rows.append(f"{name},{_sentence(rng, words[label])},"
+                    f"{levels[label % 3]},"
                     f"general,not_offensive,not_motivational,{sentiments[label]}")
     with open(os.path.join(out, "labels.csv"), "w") as f:
         f.write("\n".join(rows) + "\n")
