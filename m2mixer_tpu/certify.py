@@ -61,7 +61,9 @@ FAMILY_BY_DATAMODULE = {
 #: enough that every split is non-empty at batch size 8
 SURROGATE_N = {
     "avmnist": 120, "mmimdb": 60, "mmimdb_ext": 60, "mimic": 240,
-    "mmhs150": 60, "multioff": 40, "memotion": 40, "pnlp": 60, "mosi": 60,
+    # memotion 60: the dev split (10%) must hold all 5 sentiment classes
+    # so the per-split cat.codes (reference quirk) stay globally aligned
+    "mmhs150": 60, "multioff": 40, "memotion": 60, "pnlp": 60, "mosi": 60,
 }
 
 

@@ -219,8 +219,20 @@ def gen_memotion(out: str, n: int = 300, seed: int = 0) -> None:
              3: ["grumpyword"], 4: ["furiousword"]}
     rows = ["image_name,text_corrected,humour,sarcasm,offensive,"
             "motivational,overall_sentiment"]
+    # STRATIFIED labels: the datamodule (faithfully mirroring the
+    # reference, `/root/reference/datasets/memotion.py:91-99`) computes
+    # cat.codes PER SPLIT after slicing, so a split missing a class would
+    # silently renumber its labels against the train split's ids. Cycle
+    # the classes within each shuffled-split region so every split of
+    # size >= n_classes contains all of them.
+    perm = np.random.RandomState(seed + 1).permutation(n)
+    labels_by_row = np.empty(n, int)
+    bounds = [0, int(0.7 * n), int(0.9 * n), n]
+    for lo, hi in zip(bounds, bounds[1:]):
+        for k, j in enumerate(range(lo, hi)):
+            labels_by_row[perm[j]] = k % len(sentiments)
     for i in range(n):
-        label = rng.randint(len(sentiments))
+        label = int(labels_by_row[i])
         name = f"image_{i}.jpg"
         _save_jpeg(os.path.join(out, "images", name),
                    _image(rng, label, len(sentiments)))
@@ -229,8 +241,7 @@ def gen_memotion(out: str, n: int = 300, seed: int = 0) -> None:
                     f"general,not_offensive,not_motivational,{sentiments[label]}")
     with open(os.path.join(out, "labels.csv"), "w") as f:
         f.write("\n".join(rows) + "\n")
-    np.save(os.path.join(out, "shuffled.npy"),
-            np.random.RandomState(seed + 1).permutation(n))
+    np.save(os.path.join(out, "shuffled.npy"), perm)
     _write_vocab(out, _FILL + sum(words.values(), []))
     print(f"[surrogate] memotion: {n} memes -> {out}")
 

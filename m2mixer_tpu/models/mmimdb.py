@@ -220,6 +220,15 @@ class _UnimodalMultilabelTask(TrainTask):
     def network_inputs(self, batch):
         return {"x": batch["image"]}
 
+    def predictions(self, outputs, batch):
+        """Serving-eval adapter (serving.py::evaluate_serving): the same
+        sigmoid>0.5 multilabel semantics step() computes — without this,
+        serving evaluation of the VGG/gMLP baselines would refuse (they
+        are NOT plain multiclass)."""
+        probs = jax.nn.sigmoid(outputs["logits"])
+        return {"preds": (probs > 0.5).astype(jnp.int32),
+                "labels": batch["label"], "probs": probs}
+
     def step(self, params, batch, ctx, rngs, train: bool):
         kwargs = dict(self.network_inputs(batch), deterministic=not train)
         logits, new_state = self.apply_network(

@@ -1616,6 +1616,14 @@ def lockstep_experiment_mmhs(work_dir: str, cfg, epochs: int = 3,
     bce = nn.BCEWithLogitsLoss(pos_weight=torch.tensor([3.57]))
     w_f = float(cfg.model.get("fusion_loss_weight", 1.0 / 4.0))
     ow = (1.0 - w_f) / 3.0
+    # the torch loss holds w_f FIXED; the native MMHS task anneals it
+    # UNGATED at every train-epoch end when fusion_loss_change is set
+    # (`mmhs150.py:135`, base.py anneal_on='train_end') — guard like the
+    # mimic twin so a nonzero value can't report a bogus divergence
+    if float(cfg.model.get("fusion_loss_change", 0.0)) != 0.0:
+        raise ValueError(
+            "lockstep_experiment_mmhs: model.fusion_loss_change must be 0 "
+            "(the torch twin's loss uses a fixed fusion weight)")
 
     def forward(model, b):
         return model(torch.tensor(np.asarray(b["image"])),
@@ -2020,6 +2028,13 @@ def main(argv=None):
         raise SystemExit(f"parity: unknown families {sorted(unknown)}; "
                          "valid: avmnist, mimic, mmimdb, mmhs, uq, "
                          "multioff, memotion")
+    # validate EVERY selector up front — a typo in a later flag must not
+    # discard hours of already-computed experiments at json-dump time
+    protocols = [p.strip() for p in args.protocols.split(",") if p.strip()]
+    unknown_p = set(protocols) - {"mimic", "mmimdb"}
+    if unknown_p:
+        raise SystemExit(f"parity: unknown protocols {sorted(unknown_p)}; "
+                         "valid: mimic, mmimdb")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(args.work, exist_ok=True)
     out = {}
@@ -2031,11 +2046,15 @@ def main(argv=None):
         for e, (a, b) in enumerate(zip(nv, tv)):
             print(f"  epoch {e}: native {a:.6f}  torch {b:.6f}  |d| {abs(a-b):.2e}")
 
-    if "avmnist" in families:
+    def ensure_avmnist():
         data_dir = os.path.join(args.work, "avmnist")
         if not os.path.exists(os.path.join(data_dir, ".complete")):
             generate("avmnist", data_dir, n=args.n)
             open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+        return data_dir
+
+    if "avmnist" in families:
+        data_dir = ensure_avmnist()
         lock = lockstep_experiment(data_dir, os.path.join(args.work, "lockstep"),
                                    epochs=args.lockstep_epochs)
         proto = protocol_experiment(data_dir, os.path.join(args.work, "protocol"),
@@ -2102,10 +2121,7 @@ def main(argv=None):
               f"| torch {lock['torch'][key]:.4f}")
 
     if "uq" in families:
-        data_dir = os.path.join(args.work, "avmnist")
-        if not os.path.exists(os.path.join(data_dir, ".complete")):
-            generate("avmnist", data_dir, n=args.n)
-            open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+        data_dir = ensure_avmnist()
         lock = lockstep_experiment_uq(data_dir, os.path.join(args.work, "uq_work"),
                                       epochs=args.lockstep_epochs)
         out["lockstep_uq"] = lock
@@ -2114,10 +2130,7 @@ def main(argv=None):
               f"| torch {lock['torch']['test_acc']:.4f}")
 
     if args.estimator_loop:
-        data_dir = os.path.join(args.work, "avmnist")
-        if not os.path.exists(os.path.join(data_dir, ".complete")):
-            generate("avmnist", data_dir, n=args.n)
-            open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+        data_dir = ensure_avmnist()
         sa = lockstep_experiment_softadapt(
             data_dir, os.path.join(args.work, "sa_loop"), epochs=6)
         gbl = lockstep_experiment_gradblend_loop(
@@ -2132,11 +2145,6 @@ def main(argv=None):
             print(f"[parity] {tag}-loop per-epoch weights max |d|: "
                   f"{np.abs(nw - tw).max():.2e}")
 
-    protocols = [p.strip() for p in args.protocols.split(",") if p.strip()]
-    unknown_p = set(protocols) - {"mimic", "mmimdb"}
-    if unknown_p:
-        raise SystemExit(f"parity: unknown protocols {sorted(unknown_p)}; "
-                         "valid: mimic, mmimdb")
     if "mimic" in protocols:
         data_dir = os.path.join(args.work, "mimic_proto")
         if not os.path.exists(os.path.join(data_dir, "im.pk")):
@@ -2169,10 +2177,7 @@ def main(argv=None):
               f"±{s['torch']['test_f1w_std']:.4f}")
 
     if args.gradblend:
-        data_dir = os.path.join(args.work, "avmnist")
-        if not os.path.exists(os.path.join(data_dir, ".complete")):
-            generate("avmnist", data_dir, n=args.n)
-            open(os.path.join(data_dir, ".complete"), "w").write("ok\n")
+        data_dir = ensure_avmnist()
         cfg = _load_s_cfg(data_dir, args.work, 1, 0, dropout=0.0)
         gb = gradblend_parity(cfg, gb_epochs=2)
         out["gradblend"] = gb
