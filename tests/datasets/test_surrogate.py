@@ -115,6 +115,24 @@ def test_memotion(tmp_path):
     assert b["image"].shape == (2, 3, 512, 512)
 
 
+def test_memotion_every_split_holds_all_sentiment_classes(tmp_path):
+    """The datamodule computes cat.codes PER SPLIT (a faithful reference
+    quirk, `/root/reference/datasets/memotion.py:91-99`), so a split
+    missing a class would silently renumber its labels against the train
+    split. The generator must stratify: every split of size >= 5 holds all
+    five sentiment levels."""
+    import numpy as np
+    import pandas as pd
+
+    generate("memotion", str(tmp_path), n=60)
+    ref = pd.read_csv(tmp_path / "labels.csv").dropna()
+    idx = np.load(tmp_path / "shuffled.npy")
+    n = len(ref)
+    for part in (idx[: int(0.7 * n)], idx[int(0.7 * n): int(0.9 * n)],
+                 idx[int(0.9 * n):]):
+        assert len(set(ref.iloc[part]["overall_sentiment"])) == 5
+
+
 def test_pnlp(tmp_path):
     from m2mixer_tpu.datasets.pnlp import PnlpMixerDataModule
 

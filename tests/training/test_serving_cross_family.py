@@ -230,3 +230,75 @@ def test_serving_eval_matches_trainer_all_families(tmp_path, family):
         assert key in logs and key in art_logs, (key, sorted(logs))
         assert art_logs[key] == pytest.approx(logs[key], abs=1e-6), key
     assert art_logs["test_samples"] == dm.split_size("test")
+
+
+class _FakeServed:
+    """Minimal ServedModel stand-in: identity logits, no ensemble meta."""
+
+    meta = {}
+
+    def predict(self, features):
+        import numpy as _np
+
+        n = len(next(iter(features.values())))
+        return {"logits": _np.zeros((n, 3), _np.float32)}
+
+
+class _FakeDM:
+    batch_size = 4
+
+    def setup(self, stage=None):
+        pass
+
+    train_batches = val_batches = property(lambda self: self.test_batches)
+
+    def test_batches(self):
+        import numpy as _np
+
+        yield {"x": _np.zeros((4, 3), _np.float32),
+               "label": _np.zeros((4,), _np.int32)}
+
+    def split_size(self, stage):
+        return 4
+
+
+def test_evaluate_serving_refuses_unknown_prediction_semantics():
+    """ADVICE r4: a task with neither predictions() nor
+    plain_multiclass=True must fail LOUDLY instead of evaluating with
+    argmax semantics that may be wrong (sigmoid thresholds, regression)."""
+
+    class _Opaque:
+        # no predictions(), no plain_multiclass
+        def setup_scores(self):
+            return [None, None, {}]
+
+    with pytest.raises(TypeError, match="plain_multiclass"):
+        evaluate_serving(_FakeServed(), _Opaque(), _FakeDM(), split="test")
+
+    class _Declared(_Opaque):
+        plain_multiclass = True
+
+    logs = evaluate_serving(_FakeServed(), _Declared(), _FakeDM(),
+                            split="test")
+    assert logs["test_samples"] == 4.0
+
+
+def test_vgg_baseline_predictions_adapter_matches_step_semantics():
+    """The MMIDB_GMLP baselines' serving-eval adapter (review fix): same
+    sigmoid>0.5 multilabel preds their step() computes."""
+    import jax.numpy as jnp
+
+    from m2mixer_tpu.config import DictConfig
+    from m2mixer_tpu.models.mmimdb import MMIDB_GMLP_ext
+
+    cfg = DictConfig({"modalities": {"image": {
+        "block_type": "VisiongMLP", "image_size": [32, 32], "in_channels": 3,
+        "patch_size": 16, "d_model": 16, "d_ffn": 32, "n_blocks": 1,
+        "prob_0_L": [1.0, 1.0]}}})
+    task = MMIDB_GMLP_ext(cfg, DictConfig({"lr": 1e-3}))
+    logits = jnp.asarray(np.random.RandomState(0).randn(4, 23), jnp.float32)
+    labels = jnp.zeros((4, 23), jnp.int32)
+    out = task.predictions({"logits": logits}, {"label": labels})
+    want = (np.asarray(1 / (1 + np.exp(-np.asarray(logits)))) > 0.5).astype(int)
+    np.testing.assert_array_equal(np.asarray(out["preds"]), want)
+    assert out["probs"].shape == (4, 23)
