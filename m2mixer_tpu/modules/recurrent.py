@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from .common import Dropout
 
-__all__ = ["GRU"]
+__all__ = ["GRU", "TorchGRUCell"]
 
 
 def _torch_gru_init(hidden_dim: int):
@@ -29,6 +29,54 @@ def _torch_gru_init(hidden_dim: int):
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
     return init
+
+
+class TorchGRUCell(nn.Module):
+    """GRU cell with torch's EXACT parameterization.
+
+    ``torch.nn.GRU`` (the reference's cell, `/root/reference/modules/
+    recurrent.py:27`) carries SEPARATE input- and hidden-side biases on
+    every gate: ``r = sigmoid(W_ir x + b_ir + W_hr h + b_hr)`` etc. flax's
+    ``nn.GRUCell`` omits the hidden-side r/z biases; the forward values are
+    expressible either way (fold ``b_hr`` into ``b_ir``), but the TRAINING
+    dynamics differ — the redundant pair receives identical gradients, so
+    identical Adam states move the effective bias at twice the
+    per-parameter step. Bit-faithful lockstep with the reference therefore
+    needs the redundant parameterization, and checkpoint import/export
+    becomes bijective (no bias folding). Child names extend the historical
+    flax layout (ir/iz/in/hr/hz/hn), now with ``use_bias=True`` on the
+    hidden side too.
+    """
+
+    features: int
+    dtype: Optional[Any] = None
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h = carry
+        dense_i = lambda name: nn.Dense(
+            self.features, use_bias=True, kernel_init=self.kernel_init,
+            bias_init=self.bias_init, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+        dense_h = lambda name: nn.Dense(
+            self.features, use_bias=True, kernel_init=self.kernel_init,
+            bias_init=self.bias_init, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+        r = nn.sigmoid(dense_i("ir")(x) + dense_h("hr")(h))
+        z = nn.sigmoid(dense_i("iz")(x) + dense_h("hz")(h))
+        n = nn.tanh(dense_i("in")(x) + r * dense_h("hn")(h))
+        new_h = (1.0 - z) * n + z * h
+        return new_h, new_h
+
+    @nn.nowrap
+    def initialize_carry(self, rng, input_shape):
+        return jnp.zeros(input_shape[:-1] + (self.features,), jnp.float32)
+
+    @property
+    def num_feature_axes(self) -> int:
+        return 1
 
 
 class GRU(nn.Module):
@@ -55,13 +103,14 @@ class GRU(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         init = _torch_gru_init(self.hidden_dim)
-        cell = nn.GRUCell(
+        # torch-parameterization cell (see TorchGRUCell): named GRUCell_0
+        # so parameter trees keep the historical flax path
+        cell = TorchGRUCell(
             features=self.hidden_dim,
             kernel_init=init,
-            recurrent_kernel_init=init,
             bias_init=init,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            name="GRUCell_0",
         )
         rnn = nn.RNN(cell, name="gru")
 

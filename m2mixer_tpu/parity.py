@@ -17,7 +17,9 @@ concat-CE S config, GMU fusion (`BiModalGatedUnit`), gMLP encoders
 `lockstep_experiment_mmimdb`), MMHS150K (3-modal masked-flag 4-loss,
 `lockstep_experiment_mmhs`), UQ/EDL (least-uncertain-branch prediction,
 `lockstep_experiment_uq`), MultiOFF, and Memotion — every loss topology
-the reference defines. The loss-weight estimators are additionally
+the reference defines — plus the GRU-encoder MimicRecurrent baseline
+(`lockstep_experiment_mimic_gru`, riding the double-bias ``TorchGRUCell``
+so Adam dynamics match torch's redundant parameterization exactly). The loss-weight estimators are additionally
 verified IN THE TRAINING LOOP (`lockstep_experiment_softadapt` /
 `lockstep_experiment_gradblend_loop`: both frameworks refit from their own
 histories/parameters and the per-epoch applied weight vectors must agree),
@@ -57,7 +59,8 @@ from torch import nn
 
 __all__ = ["build_reference_torch_model", "torch_protocol", "native_protocol",
            "lockstep_experiment", "protocol_experiment",
-           "lockstep_experiment_mimic", "lockstep_experiment_mmimdb",
+           "lockstep_experiment_mimic", "lockstep_experiment_mimic_gru",
+           "lockstep_experiment_mmimdb",
            "lockstep_experiment_mmhs", "lockstep_experiment_uq",
            "lockstep_experiment_multioff", "lockstep_experiment_memotion",
            "lockstep_experiment_softadapt", "lockstep_experiment_gradblend_loop",
@@ -1280,6 +1283,126 @@ def lockstep_experiment_mimic(data_dir: str, work_dir: str, cfg,
     return {"mode": "lockstep_mimic", "native": native, "torch": ref}
 
 
+class _RefGRUFlatten(nn.Module):
+    """The reference's MultiBench GRU wrapper on the flatten path: full
+    output sequence -> dropout -> flatten
+    (`/root/reference/modules/recurrent.py:27-59`)."""
+
+    def __init__(self, input_dim, hidden_dim, dropout):
+        super().__init__()
+        self.gru = nn.GRU(input_dim, hidden_dim, batch_first=True)
+        self.p = dropout
+        self.dropout_layer = nn.Dropout(dropout)
+
+    def forward(self, x):
+        out, _ = self.gru(x)
+        if self.p:
+            out = self.dropout_layer(out)
+        return torch.flatten(out, 1)
+
+
+class RefMimicRecurrent(nn.Module):
+    """The MimicRecurrent forward
+    (`/root/reference/models/mimic.py:210-267`): MLP static encoder,
+    flattened-GRU time encoder, 1-D concat into an MLP fusion encoder,
+    Linear static/time heads (the time head over the
+    input_dim*hidden_dim*2 flattened width, `:226-228`) +
+    StandardClassifier fusion head."""
+
+    def __init__(self, model_cfg):
+        super().__init__()
+        m = model_cfg.modalities
+        d = float(model_cfg.get("dropout", 0.0))
+        s, t, mm = m.static, m.time, m.multimodal
+        self.static_extractor = _RefMLP(int(s.input_dim), int(s.hidden_dim),
+                                        int(s.num_blocks),
+                                        int(s.output_dim) if s.get("output_dim")
+                                        is not None else None, d)
+        self.time_encoder = _RefGRUFlatten(int(t.input_dim), int(t.hidden_dim), d)
+        self.fusion_encoder = _RefMLP(int(mm.input_dim), int(mm.hidden_dim),
+                                      int(mm.num_blocks), None, d)
+        n_cls = int(m.classification.num_classes)
+        time_out = int(t.input_dim) * int(t.hidden_dim) * 2
+        self.classifier_static = nn.Linear(int(s.output_dim), n_cls)
+        self.classifier_time = nn.Linear(time_out, n_cls)
+        self.classifier_fusion = _RefStandardClassifier(int(mm.hidden_dim), n_cls)
+
+    def forward(self, static, time):
+        fs = self.static_extractor(static)
+        ft = self.time_encoder(time)
+        ff = self.fusion_encoder(torch.cat([fs, ft], dim=1))
+        return (self.classifier_static(fs),
+                self.classifier_time(ft),
+                self.classifier_fusion(ff))
+
+
+def lockstep_experiment_mimic_gru(data_dir: str, work_dir: str, cfg,
+                                  epochs: int = 3) -> Dict:
+    """MimicRecurrent lockstep: the GRU-encoder baseline — the one encoder
+    family previously without full-training lockstep. Depends on the
+    double-bias ``TorchGRUCell`` (modules/recurrent.py): torch's redundant
+    per-gate input+hidden biases receive identical gradients, so identical
+    Adam states move each copy by the same step — a single-bias cell's
+    effective bias would move at HALF the rate and the curves would
+    diverge. CE branches, fixed weighting without the x3
+    (`/root/reference/models/mimic.py:268-283`)."""
+    import jax
+
+    from .datasets import get_data_module
+    from .models import get_model
+    from .training import metrics as tm
+    from .utils.torch_import import export_mimic_gru_state_dict
+
+    cfg.train.tensorboard_path = os.path.join(work_dir, "logs")
+    if float(cfg.model.get("fusion_loss_change", 0.0)) != 0.0:
+        raise ValueError(
+            "lockstep_experiment_mimic_gru: model.fusion_loss_change must "
+            "be 0 (the torch twin's loss uses a fixed fusion weight)")
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.shuffle_train = False
+    dm.setup("fit")
+    sample = next(iter(dm.train_batches()))
+    params = task.init_params(jax.random.PRNGKey(int(cfg.train.seed)), sample)
+    sd = export_mimic_gru_state_dict(params)
+    native = _native_family_protocol(cfg, "parity_mimic_gru", init_params=params,
+                                     dm=dm)
+
+    model = RefMimicRecurrent(cfg.model)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    ce = nn.CrossEntropyLoss()
+    w_f = float(cfg.model.get("fusion_loss_weight", 1.0 / 3.0))
+    ow = (1.0 - w_f) / 2.0
+
+    def loss_fn(model, b):
+        ls_, lt_, lf_ = model(torch.tensor(np.asarray(b["static"])),
+                              torch.tensor(np.asarray(b["time"])))
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.long)
+        return w_f * ce(lf_, y) + ow * ce(ls_, y) + ow * ce(lt_, y)
+
+    n_cls = int(cfg.model.modalities.classification.num_classes)
+
+    def test_fn(model, dm):
+        f1 = tm.F1Score(task="multiclass", num_classes=n_cls, average="micro")
+        acc = tm.Accuracy(task="multiclass", num_classes=n_cls)
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            _, _, lf_ = model(torch.tensor(np.asarray(b["static"])),
+                              torch.tensor(np.asarray(b["time"])))
+            preds = lf_.argmax(dim=1).numpy()
+            f1.update(preds, np.asarray(b["label"]))
+            acc.update(preds, np.asarray(b["label"]))
+        return {"test_loss": float(np.mean(tl)),
+                "test_f1_micro": float(f1.compute()),
+                "test_acc": float(acc.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs)
+    return {"mode": "lockstep_mimic_gru", "native": native, "torch": ref}
+
+
 # ---------------------------------------------------------------------------
 # Image+text twins (MultiOFF / Memotion / MMHS150K) and the UQ/EDL twin
 # (VERDICT r4 #2/#4/#8)
@@ -2021,13 +2144,13 @@ def main(argv=None):
     from .datasets.surrogate import generate
 
     families = [f.strip() for f in args.families.split(",") if f.strip()]
-    unknown = set(families) - {"avmnist", "mimic", "mmimdb", "mmhs", "uq",
-                               "multioff", "memotion"}
+    unknown = set(families) - {"avmnist", "mimic", "mimic_gru", "mmimdb",
+                               "mmhs", "uq", "multioff", "memotion"}
     if unknown:
         # a typo must not produce an empty-but-"successful" parity run
         raise SystemExit(f"parity: unknown families {sorted(unknown)}; "
-                         "valid: avmnist, mimic, mmimdb, mmhs, uq, "
-                         "multioff, memotion")
+                         "valid: avmnist, mimic, mimic_gru, mmimdb, mmhs, "
+                         "uq, multioff, memotion")
     # validate EVERY selector up front — a typo in a later flag must not
     # discard hours of already-computed experiments at json-dump time
     protocols = [p.strip() for p in args.protocols.split(",") if p.strip()]
@@ -2084,6 +2207,26 @@ def main(argv=None):
         out["lockstep_mimic"] = lock
         show_curves("mimic", lock)
         print(f"[parity] mimic test: native f1_micro {lock['native']['test_f1_micro']:.4f} "
+              f"| torch {lock['torch']['test_f1_micro']:.4f}")
+
+    if "mimic_gru" in families:
+        data_dir = os.path.join(args.work, "mimic")
+        if not os.path.exists(os.path.join(data_dir, "im.pk")):
+            generate("mimic", data_dir, n=400)
+        cfg = cfg_lib.load(os.path.join(repo, "cfg", "mimic", "mimic_gru.yml"))
+        cfg.dataset.params.data_dir = data_dir
+        cfg.dataset.params.batch_size = 16
+        cfg.dataset.params.num_workers = 0
+        cfg.train.epochs = args.lockstep_epochs
+        cfg.model.dropout = 0.0
+        cfg.model.gradblend = False  # lockstep pins the base recipe
+        lock = lockstep_experiment_mimic_gru(
+            data_dir, os.path.join(args.work, "mimic_gru_work"), cfg,
+            epochs=args.lockstep_epochs)
+        out["lockstep_mimic_gru"] = lock
+        show_curves("mimic_gru", lock)
+        print(f"[parity] mimic_gru test: native f1_micro "
+              f"{lock['native']['test_f1_micro']:.4f} "
               f"| torch {lock['torch']['test_f1_micro']:.4f}")
 
     if "mmimdb" in families:

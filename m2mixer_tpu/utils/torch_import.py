@@ -326,6 +326,46 @@ def export_mimic_state_dict(variables: dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_mimic_gru_state_dict(variables: dict) -> Dict[str, np.ndarray]:
+    """MimicRecurrent params -> reference-named torch state_dict
+    (`/root/reference/models/mimic.py:210-267`): ``static_extractor`` MLP,
+    ``time_encoder`` a torch ``nn.GRU`` whose ``weight_ih_l0``/``weight_hh_l0``
+    stack the r/z/n gate rows (torch order) and whose separate input-/
+    hidden-side biases map 1:1 onto ``TorchGRUCell``'s double-bias
+    parameterization (modules/recurrent.py — bijective, no bias folding),
+    ``fusion_encoder`` MLP, three classifier heads."""
+    p = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix, node):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(node["linear"]["kernel"]).T)
+        sd[f"{prefix}.bias"] = np.asarray(node["linear"]["bias"])
+
+    def put_mlp(prefix, mlp):
+        i = 0
+        while f"fc_{i}" in mlp:
+            put_linear(f"{prefix}.module_list.{3 * i}", mlp[f"fc_{i}"])
+            i += 1
+        if "fc_out" in mlp:
+            put_linear(f"{prefix}.module_list.{3 * i}", mlp["fc_out"])
+
+    put_mlp("static_extractor", p["encoders_0"])
+    cell = p["encoders_1"]["GRUCell_0"]
+    sd["time_encoder.gru.weight_ih_l0"] = np.ascontiguousarray(np.concatenate(
+        [np.asarray(cell[g]["kernel"]).T for g in ("ir", "iz", "in")]))
+    sd["time_encoder.gru.weight_hh_l0"] = np.ascontiguousarray(np.concatenate(
+        [np.asarray(cell[g]["kernel"]).T for g in ("hr", "hz", "hn")]))
+    sd["time_encoder.gru.bias_ih_l0"] = np.concatenate(
+        [np.asarray(cell[g]["bias"]) for g in ("ir", "iz", "in")])
+    sd["time_encoder.gru.bias_hh_l0"] = np.concatenate(
+        [np.asarray(cell[g]["bias"]) for g in ("hr", "hz", "hn")])
+    put_mlp("fusion_encoder", p["fusion_encoder"])
+    put_linear("classifier_static", p["heads_0"])
+    put_linear("classifier_time", p["heads_1"])
+    put_linear("classifier_fusion.classifer", p["classifier"]["cls"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # Migration CLI: Lightning .ckpt -> a native checkpoint directory
 # ---------------------------------------------------------------------------

@@ -135,14 +135,17 @@ class TestMixerBlockParity:
             np.asarray(cell["hz"]["kernel"]).T,
             np.asarray(cell["hn"]["kernel"]).T,
         ])
-        # flax puts input bias on i{r,z,n} and hidden-side bias only on hn
+        # TorchGRUCell carries torch's FULL double-bias parameterization
+        # (separate input- and hidden-side biases on every gate) — required
+        # for identical Adam dynamics, see modules/recurrent.py
         b_ih = np.concatenate([
-            np.asarray(cell["ir"]["bias"]) if "bias" in cell["ir"] else np.zeros(H),
-            np.asarray(cell["iz"]["bias"]) if "bias" in cell["iz"] else np.zeros(H),
-            np.asarray(cell["in"]["bias"]) if "bias" in cell["in"] else np.zeros(H),
+            np.asarray(cell["ir"]["bias"]),
+            np.asarray(cell["iz"]["bias"]),
+            np.asarray(cell["in"]["bias"]),
         ])
         b_hh = np.concatenate([
-            np.zeros(H, np.float32), np.zeros(H, np.float32),
+            np.asarray(cell["hr"]["bias"]),
+            np.asarray(cell["hz"]["bias"]),
             np.asarray(cell["hn"]["bias"]),
         ])
         with torch.no_grad():

@@ -375,6 +375,42 @@ def test_lockstep_gradblend_in_loop(tmp_path):
     assert abs(res["native"]["test_acc"] - res["torch"]["test_acc"]) <= 1 / 64 + 1e-9
 
 
+def test_lockstep_parity_mimic_gru(tmp_path):
+    """MimicRecurrent lockstep (round-5 addition): the GRU-encoder baseline
+    (`/root/reference/models/mimic.py:210-283`) — lax.scan recurrence vs
+    torch nn.GRU through a full training loop. Requires the double-bias
+    ``TorchGRUCell`` (modules/recurrent.py): torch's redundant per-gate
+    input+hidden biases receive identical gradients, so a single-bias cell
+    would move the effective bias at HALF torch's Adam rate and the curves
+    would diverge. Measured gap: ~1.2e-6."""
+    from m2mixer_tpu import config as cfg_lib
+    from m2mixer_tpu.datasets.surrogate import generate
+    from m2mixer_tpu.parity import lockstep_experiment_mimic_gru
+
+    data = str(tmp_path / "mimic")
+    generate("mimic", data, n=400)
+    cfg = cfg_lib.load("cfg/mimic/mimic_gru.yml")
+    cfg.dataset.params.data_dir = data
+    cfg.dataset.params.batch_size = 16
+    cfg.dataset.params.num_workers = 0
+    cfg.train.epochs = 3
+    cfg.train.mesh_data = 1
+    cfg.train.mesh_model = 1
+    cfg.model.dropout = 0.0
+    cfg.model.gradblend = False  # lockstep pins the base recipe
+    res = lockstep_experiment_mimic_gru(data, str(tmp_path), cfg, epochs=3)
+
+    for key in ("train_loss", "val_loss"):
+        a = np.asarray(res["native"]["history"][key])
+        b = np.asarray(res["torch"]["history"][key])
+        assert a.shape == b.shape == (3,)
+        assert np.abs(a - b).max() < 1e-3, (key, a, b)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_f1_micro"] - res["torch"]["test_f1_micro"]) <= 1 / 40 + 1e-9
+    assert abs(res["native"]["test_acc"] - res["torch"]["test_acc"]) <= 1 / 40 + 1e-9
+    assert abs(res["native"]["test_loss"] - res["torch"]["test_loss"]) < 1e-3
+
+
 def test_lockstep_parity_mmimdb(tmp_path):
     """MM-IMDB topology lockstep (VERDICT r3 #2a): multilabel
     ``BCEWithLogitsLoss(pos_weight)`` on all three heads, plain-sum combine,
