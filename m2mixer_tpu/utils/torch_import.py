@@ -88,6 +88,11 @@ def _count_blocks(sd, prefix):
 
 def _mlp_mixer(sd, prefix):
     out = _mixer_blocks(sd, prefix, _count_blocks(sd, prefix))
+    if f"{prefix}.bottleneck.weight" in sd:
+        # PNLPMixer text encoder: Linear bottleneck instead of a patch
+        # embed (`/root/reference/modules/mixer.py:244-245`)
+        out["bottleneck"] = _linear(sd, f"{prefix}.bottleneck")
+        return out
     # Conv2d(k=s=p) patch embed -> our reshape+GEMM: torch conv weight
     # (out, in, kh, kw) flattens to (out, in*kh*kw); our kernel is its T and
     # PatchEmbed flattens patches in the same (c, p1, p2) order.
@@ -99,6 +104,81 @@ def _mlp_mixer(sd, prefix):
     return out
 
 
+def _mlp(sd, prefix, num_blocks, has_output):
+    """Reference MLP ``module_list.{3i}`` Linears -> fc_i (+ fc_out)
+    (`/root/reference/modules/mlp.py:11-21`). ``num_blocks``/``has_output``
+    come from the model config — the flat index list alone cannot
+    distinguish 'N blocks + output Linear' from 'N+1 blocks'."""
+    out = {}
+    for i in range(num_blocks):
+        out[f"fc_{i}"] = _linear(sd, f"{prefix}.module_list.{3 * i}")
+    if has_output:
+        out["fc_out"] = _linear(sd, f"{prefix}.module_list.{3 * num_blocks}")
+    return out
+
+
+def _gru(sd, prefix, hidden_dim):
+    """torch ``nn.GRU`` l0 weights -> TorchGRUCell params (bijective — the
+    cell carries torch's exact double-bias parameterization,
+    modules/recurrent.py)."""
+    H = hidden_dim
+    out = {}
+    for stacked, gates in (("ih", ("ir", "iz", "in")),
+                           ("hh", ("hr", "hz", "hn"))):
+        w = np.asarray(sd[f"{prefix}.weight_{stacked}_l0"])
+        b = np.asarray(sd[f"{prefix}.bias_{stacked}_l0"])
+        for g, gate in enumerate(gates):
+            out[gate] = {
+                "kernel": np.ascontiguousarray(w[g * H:(g + 1) * H].T),
+                "bias": b[g * H:(g + 1) * H],
+            }
+    return out
+
+
+def convert_mimic_state_dict(state_dict: Dict[str, np.ndarray],
+                             model_cfg) -> dict:
+    """Reference MimicMixerMultiLoss state_dict -> native params
+    (inverse of ``export_mimic_state_dict``; `/root/reference/models/
+    mimic.py:24-124`)."""
+    sd = state_dict
+    s, t = model_cfg.modalities.static, model_cfg.modalities.time
+    params = {
+        "encoders_0": _mlp(sd, "static_extractor", int(s.num_blocks),
+                           s.get("output_dim") is not None),
+        "encoders_1": dict(
+            _mixer_blocks(sd, "time_mixer", _count_blocks(sd, "time_mixer")),
+            proj=_linear(sd, "time_mixer.proj")),
+        "heads_0": _linear(sd, "classifier_static"),
+        "heads_1": _linear(sd, "classifier_time"),
+        "fusion_mixer": _mixer_blocks(sd, "fusion_mixer",
+                                      _count_blocks(sd, "fusion_mixer")),
+        "classifier": {"cls": _linear(sd, "classifier_fusion.classifer")},
+    }
+    return {"params": params}
+
+
+def convert_mimic_gru_state_dict(state_dict: Dict[str, np.ndarray],
+                                 model_cfg) -> dict:
+    """Reference MimicRecurrent state_dict -> native params (inverse of
+    ``export_mimic_gru_state_dict``; `/root/reference/models/mimic.py:
+    210-267`)."""
+    sd = state_dict
+    m = model_cfg.modalities
+    params = {
+        "encoders_0": _mlp(sd, "static_extractor", int(m.static.num_blocks),
+                           m.static.get("output_dim") is not None),
+        "encoders_1": {"GRUCell_0": _gru(sd, "time_encoder.gru",
+                                         int(m.time.hidden_dim))},
+        "heads_0": _linear(sd, "classifier_static"),
+        "heads_1": _linear(sd, "classifier_time"),
+        "fusion_encoder": _mlp(sd, "fusion_encoder",
+                               int(m.multimodal.num_blocks),
+                               m.multimodal.get("output_dim") is not None),
+        "classifier": {"cls": _linear(sd, "classifier_fusion.classifer")},
+    }
+    return {"params": params}
+
+
 def convert_reference_state_dict(
     state_dict: Dict[str, np.ndarray],
     modalities: Sequence[str] = ("image", "audio"),
@@ -107,8 +187,11 @@ def convert_reference_state_dict(
     ``MultimodalNet`` built by the corresponding task."""
     sd = state_dict
     params = {}
-    # the reference names encoders '<modality>_mixer' (`avmnist.py:181-182`)
+    # the reference names encoders '<modality>_mixer' (`avmnist.py:181-182`);
+    # the MMHS OCR modality is named 'text_ocr' in its module tree
+    # (`mmhs150.py:38,47`)
     for i, m in enumerate(modalities):
+        m = {"ocr": "text_ocr"}.get(m, m)
         params[f"encoders_{i}"] = _mlp_mixer(sd, f"{m}_mixer")
         params[f"heads_{i}"] = _linear(sd, f"classifier_{m}")
     params["fusion_mixer"] = _mixer_blocks(
@@ -435,7 +518,13 @@ def import_checkpoint(ckpt_path: str, cfg, out_dir: str) -> str:
     global_step = int(raw.get("global_step", 0) or 0)
 
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
-    variables = convert_reference_state_dict(sd, task.modalities)
+    model_type = str(cfg.model.type)
+    if model_type == "MimicRecurrent":
+        variables = convert_mimic_gru_state_dict(sd, cfg.model)
+    elif model_type == "MimicMixerMultiLoss":
+        variables = convert_mimic_state_dict(sd, cfg.model)
+    else:
+        variables = convert_reference_state_dict(sd, task.modalities)
     _check_structure(task, variables)
     variables = {k: _tree_map_np(jnp.asarray, v) for k, v in variables.items()}
 

@@ -156,3 +156,107 @@ def test_export_import_inverse():
     for path, leaf in flat_a:
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]),
                                       err_msg=str(path))
+
+
+MIMIC_CFG = """
+model:
+  type: MimicMixerMultiLoss
+  dropout: 0.0
+  modalities:
+    classification: {num_classes: 6, classifier: StandardClassifier,
+                     input_shape: [16, 1024, 16]}
+    static: {block_type: MLP, input_dim: 5, hidden_dim: 8, num_blocks: 2,
+             output_dim: 16}
+    time: {block_type: MLPMixerNoPatching, embedding_dim: 12, proj_dim: 16,
+           hidden_dim: 16, num_patch: 24, num_mixers: 1, token_dim: 8,
+           channel_dim: 32}
+    multimodal: {block_type: FusionMixer, fusion_function: ConcatFusion,
+                 hidden_dim: 16, token_dim: 8, channel_dim: 32, num_mixers: 1}
+train:
+  optimizer: {lr: 1e-3}
+"""
+
+GRU_CFG = """
+model:
+  type: MimicRecurrent
+  dropout: 0.0
+  modalities:
+    classification: {num_classes: 6, classifier: StandardClassifier,
+                     input_shape: [16, 1024, 12]}
+    static: {block_type: MLP, input_dim: 5, hidden_dim: 8, num_blocks: 1,
+             output_dim: 10}
+    time: {block_type: GRU, input_dim: 12, hidden_dim: 6, flatten: true,
+           batch_first: true}
+    multimodal: {block_type: MLP, fusion_function: ConcatFusion,
+                 input_dim: 154, hidden_dim: 12, num_blocks: 1}
+train:
+  optimizer: {lr: 1e-3}
+"""
+
+
+def _assert_roundtrip(variables, back):
+    import jax as _jax
+
+    flat_a = _jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = dict(_jax.tree_util.tree_leaves_with_path(back["params"]))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+
+
+def test_mimic_export_import_inverse():
+    """convert_mimic_state_dict is the exact inverse of
+    export_mimic_state_dict (MLP module_list indices, NoPatching proj)."""
+    from m2mixer_tpu.utils.torch_import import (
+        convert_mimic_state_dict, export_mimic_state_dict)
+
+    cfg = loads(MIMIC_CFG)
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    batch = {"static": np.zeros((2, 5), np.float32),
+             "time": np.zeros((2, 24, 12), np.float32),
+             "label": np.zeros((2,), np.int32)}
+    variables = task.init_params(jax.random.PRNGKey(1), batch)
+    sd = export_mimic_state_dict(variables)
+    _assert_roundtrip(variables, convert_mimic_state_dict(sd, cfg.model))
+
+
+def test_mimic_gru_export_import_inverse():
+    """convert_mimic_gru_state_dict inverts export_mimic_gru_state_dict
+    bit-for-bit — possible only because TorchGRUCell carries torch's exact
+    double-bias parameterization (no bias folding)."""
+    from m2mixer_tpu.utils.torch_import import (
+        convert_mimic_gru_state_dict, export_mimic_gru_state_dict)
+
+    cfg = loads(GRU_CFG)
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    batch = {"static": np.zeros((2, 5), np.float32),
+             "time": np.zeros((2, 24, 12), np.float32),
+             "label": np.zeros((2,), np.int32)}
+    variables = task.init_params(jax.random.PRNGKey(2), batch)
+    sd = export_mimic_gru_state_dict(variables)
+    # torch GRU stacked layout present
+    assert sd["time_encoder.gru.weight_ih_l0"].shape == (18, 12)
+    assert sd["time_encoder.gru.bias_hh_l0"].shape == (18,)
+    _assert_roundtrip(variables, convert_mimic_gru_state_dict(sd, cfg.model))
+
+
+def test_pnlp_text_export_import_inverse():
+    """The PNLP-text families (MMHS 3-modal incl. the text_ocr naming)
+    roundtrip through the generic reference converter."""
+    from m2mixer_tpu.parity import small_image_text_cfg
+
+    cfg = small_image_text_cfg("mmhs150", "/tmp/unused_ti")
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    mi = cfg.model.modalities.image
+    batch = {"image": np.zeros((2, 3, 32, 32), np.float32),
+             "text": np.zeros((2, 8, 48), np.float32),
+             "ocr": np.zeros((2, 8, 48), np.float32),
+             "label": np.zeros((2,), np.int32),
+             "use_features": np.ones((2,), np.float32),
+             "use_features_ocr": np.ones((2,), np.float32)}
+    variables = task.init_params(jax.random.PRNGKey(3), batch)
+    sd = export_reference_state_dict(
+        variables, ("image", "text", "text_ocr"),
+        patch_conv_shapes={"image": (3, 16, 16)})
+    back = convert_reference_state_dict(sd, ("image", "text", "ocr"))
+    _assert_roundtrip(variables, back)
