@@ -302,3 +302,48 @@ def test_vgg_baseline_predictions_adapter_matches_step_semantics():
     want = (np.asarray(1 / (1 + np.exp(-np.asarray(logits)))) > 0.5).astype(int)
     np.testing.assert_array_equal(np.asarray(out["preds"]), want)
     assert out["probs"].shape == (4, 23)
+
+
+MIMIC_GRU_CFG = """
+train:
+  tensorboard_path: {tmp}/logs
+  log_interval_steps: 5
+  epochs: 2
+  optimizer: {{lr: 1e-3, weight_decay: 0.0}}
+  seed: 3
+  monitor: val_loss
+  monitor_mode: min
+dataset:
+  type: MIMICDataModule
+  params: {{data_dir: {tmp}/data, batch_size: 16, task: -1, num_workers: 0}}
+model:
+  type: MimicRecurrent
+  dropout: 0.0
+  modalities:
+    classification: {{num_classes: 6, classifier: StandardClassifier,
+                      input_shape: [16, 1024, 12]}}
+    static: {{block_type: MLP, input_dim: 5, hidden_dim: 8, num_blocks: 1,
+              output_dim: 10}}
+    time: {{block_type: GRU, input_dim: 12, hidden_dim: 6, flatten: true,
+            batch_first: true}}
+    multimodal: {{block_type: MLP, fusion_function: ConcatFusion,
+                  input_dim: 154, hidden_dim: 12, num_blocks: 1}}
+"""
+
+
+def test_serving_eval_mimic_gru_matches_trainer(tmp_path):
+    """MimicRecurrent (GRU time encoder): the lax.scan recurrence exports
+    through the AOT serving path and the artifact reproduces the trainer's
+    test metrics — the one encoder family previously never driven through
+    serving."""
+    generate("mimic", str(tmp_path / "data"), n=240)
+    cfg = loads(MIMIC_GRU_CFG.format(tmp=tmp_path))
+    task, dm, trainer, logs = _fit_and_test(cfg)
+
+    d = export_serving(task, trainer.params, _sample_batch(dm),
+                       str(tmp_path / "art"), fmt="stablehlo", buckets=(16,))
+    art_logs = evaluate_serving(load_serving(d), task, dm, split="test")
+    for key in ("test_f1_micro", "test_acc"):
+        assert key in logs and key in art_logs
+        assert art_logs[key] == pytest.approx(logs[key], abs=1e-6), key
+    assert art_logs["test_samples"] == dm.split_size("test")
