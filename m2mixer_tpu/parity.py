@@ -64,8 +64,10 @@ __all__ = ["build_reference_torch_model", "torch_protocol", "native_protocol",
            "lockstep_experiment_mmhs", "lockstep_experiment_uq",
            "lockstep_experiment_multioff", "lockstep_experiment_memotion",
            "lockstep_experiment_softadapt", "lockstep_experiment_gradblend_loop",
+           "lockstep_experiment_mimic_gru_gradblend",
            "protocol_experiment_mimic", "protocol_experiment_mmimdb",
-           "gradblend_parity", "torch_gradblend_weights"]
+           "gradblend_parity", "torch_gradblend_weights",
+           "torch_gradblend_weights_mimic_gru"]
 
 
 # ---------------------------------------------------------------------------
@@ -1067,10 +1069,14 @@ class RefMimicMixer(nn.Module):
 
 
 def _torch_family_protocol(model, loss_fn, test_fn, datamodule, optimizer_cfg,
-                           epochs: int, es_patience: int = 30) -> Dict:
+                           epochs: int, es_patience: int = 30,
+                           epoch_start_hook=None) -> Dict:
     """The reference training protocol (epoch loop, best-val snapshot,
     plateau LR, early stop — `/root/reference/run.py:59-83`,
-    `train_test_module.py:166-175`) for any (loss_fn, test_fn) family."""
+    `train_test_module.py:166-175`) for any (loss_fn, test_fn) family.
+    ``epoch_start_hook(model, epoch)`` mirrors the reference's
+    ``on_train_epoch_start`` (the GradBlend refit site,
+    `/root/reference/models/mimic.py:305-320`)."""
     from .training.callbacks import EarlyStopping, ReduceLROnPlateau
 
     opt = torch.optim.Adam(
@@ -1087,6 +1093,8 @@ def _torch_family_protocol(model, loss_fn, test_fn, datamodule, optimizer_cfg,
     history = {"train_loss": [], "val_loss": []}
     best_val, best_state, best_epoch = np.inf, None, -1
     for epoch in range(epochs):
+        if epoch_start_hook is not None:
+            epoch_start_hook(model, epoch)
         model.train()
         losses = []
         for batch in datamodule.train_batches():
@@ -1121,19 +1129,23 @@ def _torch_family_protocol(model, loss_fn, test_fn, datamodule, optimizer_cfg,
 
 
 def _native_family_protocol(cfg, name: str, init_params=None, dm=None,
-                            shuffle_train: bool = False) -> Dict:
+                            shuffle_train: bool = False,
+                            task_hook=None) -> Dict:
     """``Trainer.fit`` + best-ckpt test for any family config; returns the
     full test-metric dict plus loss history. ``dm`` overrides the
     config-built datamodule (the synthetic in-memory lockstep modules).
     ``shuffle_train`` stays False for lockstep (both sides iterate dataset
     order); the seed-noise protocol experiments pass True (the shipped
-    shuffled recipe)."""
+    shuffled recipe). ``task_hook(task)`` instruments the task before fit
+    (e.g. ``_capture_applied_weights`` for estimator-in-loop runs)."""
     from .datasets import get_data_module
     from .models import get_model
     from .parallel import MeshConfig
     from .training import Trainer
 
     task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    if task_hook is not None:
+        task_hook(task)
     if dm is None:
         dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
     dm.shuffle_train = shuffle_train
@@ -1929,6 +1941,189 @@ def lockstep_experiment_gradblend_loop(data_dir: str, work_dir: str,
             "torch_weights": ref["weights_per_epoch"]}
 
 
+def torch_gradblend_weights_mimic_gru(model, datamodule, epochs: int = 2,
+                                      lr: float = 1e-3) -> np.ndarray:
+    """The reference's MimicRecurrent GradBlend estimation
+    (`/root/reference/models/mimic.py:305-320` wiring
+    `/root/reference/modules/gradblend.py:24-112`) from the CURRENT model:
+    per branch, deepcopy encoder+head (static MLP + ``classifier_static``,
+    flattened-GRU + ``classifier_time``), sub-train with a fresh Adam on a
+    90/10 split of the train set, ``O/G^2``; the fused branch trains
+    ``fusion_encoder`` + ``classifier_fusion`` over the 1-D concat of the
+    FROZEN unimodal encodings (both 2-D, so the reference's rank
+    harmonization is a no-op — `gradblend.py:15-20`); normalize to sum 1.
+    Weight order (static, time, fused) matches both ``task.loss_names`` and
+    the reference's ``gb_weights`` indexing (`mimic.py:283-285`). Batches
+    are the native adapter's deterministic sequential drop-last split (the
+    same deliberate deviation as ``torch_gradblend_weights`` — the
+    reference's ``shuffle=True`` loaders only permute SGD order, and
+    parity needs both sides on identical batches)."""
+    import copy as _copy
+
+    splits = datamodule.splits["train"]
+    n = len(next(iter(splits.values())))
+    cut = int(n * 0.1)
+    bs = datamodule.batch_size
+
+    def make_batches(lo, hi):
+        n_full = (hi - lo) // bs
+
+        def gen():
+            if n_full == 0:
+                yield {k: v[lo:hi] for k, v in splits.items()}
+                return
+            for i in range(n_full):
+                s = lo + i * bs
+                yield {k: v[s:s + bs] for k, v in splits.items()}
+
+        return gen
+
+    train_b, val_b = make_batches(cut, n), make_batches(0, cut)
+    ce = nn.CrossEntropyLoss()
+
+    def single_weight(forward, opt_params):
+        def total(batches):
+            with torch.no_grad():
+                return sum(float(ce(*forward(b))) for b in batches())
+
+        opt = torch.optim.Adam(opt_params, lr=lr)
+        l_n_train, l_n_val = total(train_b), total(val_b)
+        for _ in range(epochs):
+            for b in train_b():
+                opt.zero_grad()
+                loss = ce(*forward(b))
+                loss.backward()
+                opt.step()
+        l_nn_train, l_nn_val = total(train_b), total(val_b)
+        o = (l_nn_val - l_nn_train) - (l_n_val - l_n_train)
+        g = l_nn_val - l_n_val
+        # native adds 1e-12 to G^2 (`modules/gradblend.py:103`); match it
+        return abs(o / (g * g + 1e-12))
+
+    def to_t(b, key):
+        return (torch.tensor(np.asarray(b[key])),
+                torch.tensor(np.asarray(b["label"]), dtype=torch.long))
+
+    weights = []
+    for key, enc_name, head_name in (
+            ("static", "static_extractor", "classifier_static"),
+            ("time", "time_encoder", "classifier_time")):
+        enc = _copy.deepcopy(getattr(model, enc_name))
+        head = _copy.deepcopy(getattr(model, head_name))
+
+        def fwd(b, key=key, enc=enc, head=head):
+            x, y = to_t(b, key)
+            return head(enc(x)), y  # both encoders emit 2-D features
+
+        weights.append(single_weight(
+            fwd, list(enc.parameters()) + list(head.parameters())))
+
+    uenc = {k: _copy.deepcopy(getattr(model, n_))
+            for k, n_ in (("static", "static_extractor"),
+                          ("time", "time_encoder"))}
+    for e in uenc.values():
+        for p in e.parameters():
+            p.requires_grad = False
+    fm = _copy.deepcopy(model.fusion_encoder)
+    fhead = _copy.deepcopy(model.classifier_fusion)
+
+    def fused_fwd(b):
+        encs = [uenc["static"](torch.tensor(np.asarray(b["static"]))),
+                uenc["time"](torch.tensor(np.asarray(b["time"])))]
+        fused = torch.cat(encs, dim=1)  # (B, static_out + seq*hidden)
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.long)
+        return fhead(fm(fused)), y
+
+    weights.append(single_weight(
+        fused_fwd, list(fm.parameters()) + list(fhead.parameters())))
+    w = np.asarray(weights, np.float64)
+    return (w / w.sum()).astype(np.float32)
+
+
+def lockstep_experiment_mimic_gru_gradblend(data_dir: str, work_dir: str,
+                                            cfg, epochs: int = 3,
+                                            gb_epochs: int = 2) -> Dict:
+    """GradBlend ACTIVE in both frameworks on MimicRecurrent — the
+    reference's ONLY shipped config that trains with GradBlend on
+    (`/root/reference/cfg/mimic/mimic_gru.yml:26`). ``gb_update_freq=1``:
+    both sides re-estimate O/G^2 from their CURRENT weights at every
+    train-epoch start (`/root/reference/models/mimic.py:305-320`) and apply
+    ``gb[0]*static + gb[1]*time + gb[2]*fusion`` (`mimic.py:283-285`).
+    Exercises the estimator branches the flagship loop cannot: an MLP
+    encoder, a scan-GRU encoder (double-bias ``TorchGRUCell`` Adam
+    dynamics inside the sub-training), and a 1-D-concat MLP fused branch.
+    Returns per-epoch applied weight vectors of both sides + the curves."""
+    import jax
+
+    from .datasets import get_data_module
+    from .models import get_model
+    from .training import metrics as tm
+    from .utils.torch_import import export_mimic_gru_state_dict
+
+    cfg.train.tensorboard_path = os.path.join(work_dir, "logs")
+    if float(cfg.model.get("dropout", 0.0)) != 0.0:
+        raise ValueError("lockstep mimic_gru_gradblend requires dropout=0 "
+                         "(frameworks draw dropout masks differently)")
+    cfg.model.gradblend = True
+    cfg.model.gb_update_freq = 1
+    cfg.model.gb_epochs = int(gb_epochs)
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.shuffle_train = False
+    dm.setup("fit")
+    sample = next(iter(dm.train_batches()))
+    params = task.init_params(jax.random.PRNGKey(int(cfg.train.seed)), sample)
+    sd = export_mimic_gru_state_dict(params)
+    native_weights: list = []
+    native = _native_family_protocol(
+        cfg, "parity_mimic_gru_gb", init_params=params, dm=dm,
+        task_hook=_capture_applied_weights(native_weights))
+
+    model = RefMimicRecurrent(cfg.model)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    ce = nn.CrossEntropyLoss()
+    state = {"weights": None}
+    torch_weights: list = []
+
+    def epoch_start_hook(model, epoch):
+        # every epoch with gb_update_freq=1 (`mimic.py:306`)
+        state["weights"] = torch_gradblend_weights_mimic_gru(
+            model, dm, epochs=int(gb_epochs)).astype(np.float64)
+        torch_weights.append([float(x) for x in state["weights"]])
+
+    def loss_fn(model, b):
+        ls_, lt_, lf_ = model(torch.tensor(np.asarray(b["static"])),
+                              torch.tensor(np.asarray(b["time"])))
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.long)
+        w = state["weights"]
+        return w[0] * ce(ls_, y) + w[1] * ce(lt_, y) + w[2] * ce(lf_, y)
+
+    n_cls = int(cfg.model.modalities.classification.num_classes)
+
+    def test_fn(model, dm):
+        f1 = tm.F1Score(task="multiclass", num_classes=n_cls, average="micro")
+        acc = tm.Accuracy(task="multiclass", num_classes=n_cls)
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            _, _, lf_ = model(torch.tensor(np.asarray(b["static"])),
+                              torch.tensor(np.asarray(b["time"])))
+            preds = lf_.argmax(dim=1).numpy()
+            f1.update(preds, np.asarray(b["label"]))
+            acc.update(preds, np.asarray(b["label"]))
+        return {"test_loss": float(np.mean(tl)),
+                "test_f1_micro": float(f1.compute()),
+                "test_acc": float(acc.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs,
+                                 epoch_start_hook=epoch_start_hook)
+    return {"mode": "lockstep_mimic_gru_gradblend", "native": native,
+            "torch": ref, "native_weights": native_weights,
+            "torch_weights": torch_weights}
+
+
 def _summarize_protocol_runs(runs: Dict, keys) -> Dict:
     summary = {}
     for side in ("native", "torch"):
@@ -2278,11 +2473,27 @@ def main(argv=None):
             data_dir, os.path.join(args.work, "sa_loop"), epochs=6)
         gbl = lockstep_experiment_gradblend_loop(
             data_dir, os.path.join(args.work, "gb_loop"), epochs=3)
+        mimic_dir = os.path.join(args.work, "mimic")
+        if not os.path.exists(os.path.join(mimic_dir, "im.pk")):
+            generate("mimic", mimic_dir, n=400)
+        gru_cfg = cfg_lib.load(os.path.join(repo, "cfg", "mimic",
+                                            "mimic_gru.yml"))
+        gru_cfg.dataset.params.data_dir = mimic_dir
+        gru_cfg.dataset.params.batch_size = 16
+        gru_cfg.dataset.params.num_workers = 0
+        gru_cfg.train.epochs = 3
+        gru_cfg.model.dropout = 0.0
+        gru_gbl = lockstep_experiment_mimic_gru_gradblend(
+            mimic_dir, os.path.join(args.work, "gru_gb_loop"), gru_cfg,
+            epochs=3)
         out["softadapt_loop"] = sa
         out["gradblend_loop"] = gbl
+        out["mimic_gru_gradblend_loop"] = gru_gbl
         show_curves("softadapt-loop", sa)
         show_curves("gradblend-loop", gbl)
-        for tag, res in (("softadapt", sa), ("gradblend", gbl)):
+        show_curves("mimic-gru-gradblend-loop", gru_gbl)
+        for tag, res in (("softadapt", sa), ("gradblend", gbl),
+                         ("mimic-gru-gradblend", gru_gbl)):
             nw = np.asarray(res["native_weights"], np.float64)
             tw = np.asarray(res["torch_weights"], np.float64)
             print(f"[parity] {tag}-loop per-epoch weights max |d|: "
