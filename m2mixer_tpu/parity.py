@@ -65,6 +65,7 @@ __all__ = ["build_reference_torch_model", "torch_protocol", "native_protocol",
            "lockstep_experiment_multioff", "lockstep_experiment_memotion",
            "lockstep_experiment_softadapt", "lockstep_experiment_gradblend_loop",
            "lockstep_experiment_mimic_gru_gradblend",
+           "lockstep_experiment_mmimdb_softadapt",
            "protocol_experiment_mimic", "protocol_experiment_mmimdb",
            "gradblend_parity", "torch_gradblend_weights",
            "torch_gradblend_weights_mimic_gru"]
@@ -1070,13 +1071,16 @@ class RefMimicMixer(nn.Module):
 
 def _torch_family_protocol(model, loss_fn, test_fn, datamodule, optimizer_cfg,
                            epochs: int, es_patience: int = 30,
-                           epoch_start_hook=None) -> Dict:
+                           epoch_start_hook=None, epoch_val_hook=None) -> Dict:
     """The reference training protocol (epoch loop, best-val snapshot,
     plateau LR, early stop — `/root/reference/run.py:59-83`,
     `train_test_module.py:166-175`) for any (loss_fn, test_fn) family.
     ``epoch_start_hook(model, epoch)`` mirrors the reference's
     ``on_train_epoch_start`` (the GradBlend refit site,
-    `/root/reference/models/mimic.py:305-320`)."""
+    `/root/reference/models/mimic.py:305-320`);
+    ``epoch_val_hook(model, epoch, datamodule)`` runs right after the val
+    sweep, mirroring ``validation_epoch_end`` (the SoftAdapt history/refit
+    site, `/root/reference/models/mmimdb.py:156-177`)."""
     from .training.callbacks import EarlyStopping, ReduceLROnPlateau
 
     opt = torch.optim.Adam(
@@ -1109,6 +1113,8 @@ def _torch_family_protocol(model, loss_fn, test_fn, datamodule, optimizer_cfg,
         val = float(np.mean(vl))
         history["train_loss"].append(float(np.mean(losses)))
         history["val_loss"].append(val)
+        if epoch_val_hook is not None:
+            epoch_val_hook(model, epoch, datamodule)
         if val < best_val:
             best_val, best_epoch = val, epoch
             best_state = {k: v.detach().clone()
@@ -2124,6 +2130,120 @@ def lockstep_experiment_mimic_gru_gradblend(data_dir: str, work_dir: str,
             "torch_weights": torch_weights}
 
 
+def lockstep_experiment_mmimdb_softadapt(data_dir: str, work_dir: str, cfg,
+                                         epochs: int = 6,
+                                         update_every: int = 2) -> Dict:
+    """SoftAdapt ACTIVE in both frameworks on MM-IMDB — a LIVE softadapt
+    application the flagship loop does not cover: the weighted sum replaces
+    the plain 3-way sum (`/root/reference/models/mmimdb.py:119-123`,
+    initial weights 1/3 each, `:61`) and the refit histories are per-epoch
+    val means of multilabel ``BCEWithLogitsLoss(pos_weight)`` branch losses
+    (`:156-177`) rather than the flagship's CE. (Of the reference's six
+    softadapt wirings, avmnist/mmimdb/multioff/memotion apply the weights;
+    MIMIC's and MMHS150K's are dead code — histories initialized at
+    `mimic.py:62-64` / weights refit at `mmhs150.py:158-168` but the loss
+    combine never reads them.) Returns per-epoch applied weight vectors of
+    both sides alongside the curves."""
+    import jax
+
+    from .datasets import get_data_module
+    from .models import get_model
+    from .modules.softadapt import LossWeightedSoftAdapt
+    from .training import metrics as tm
+    from .utils.torch_import import export_reference_state_dict
+
+    cfg.train.tensorboard_path = os.path.join(work_dir, "logs")
+    if float(cfg.model.get("dropout", 0.0)) != 0.0:
+        raise ValueError("lockstep mmimdb_softadapt requires dropout=0 "
+                         "(frameworks draw dropout masks differently)")
+    cfg.model.use_softadapt = True
+    cfg.model.update_loss_weights_per_epoch = int(update_every)
+    task = get_model(cfg.model.type)(cfg.model, cfg.train.optimizer)
+    dm = get_data_module(cfg.dataset.type)(**cfg.dataset.params)
+    dm.shuffle_train = False
+    dm.setup("fit")
+    sample = next(iter(dm.train_batches()))
+    params = task.init_params(jax.random.PRNGKey(int(cfg.train.seed)), sample)
+    m = cfg.model.modalities
+    shapes = {name: (int(m[name].in_channels), int(m[name].patch_size),
+                     int(m[name].patch_size)) for name in ("image", "text")}
+    sd = export_reference_state_dict(params, ("image", "text"), shapes)
+    native_weights: list = []
+    native = _native_family_protocol(
+        cfg, "parity_mmimdb_sa", init_params=params, dm=dm,
+        task_hook=_capture_applied_weights(native_weights))
+
+    model = RefMMIMDBMixer(cfg.model)
+    model.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    pos_weight = torch.tensor(np.asarray(cfg.model.pos_weight, np.float32))
+    bce = nn.BCEWithLogitsLoss(pos_weight=pos_weight)
+    softadapt = LossWeightedSoftAdapt(beta=-0.1,
+                                      accuracy_order=int(update_every) - 1)
+    state = {"w": np.full((3,), 1.0 / 3.0, np.float64),
+             "hist": [[], [], []]}
+    torch_weights: list = []
+
+    def branch_losses(model, b):
+        li, lt, lf = model(torch.tensor(np.asarray(b["image"])),
+                           torch.tensor(np.asarray(b["text"])))
+        y = torch.tensor(np.asarray(b["label"]), dtype=torch.float32)
+        return bce(li, y), bce(lt, y), bce(lf, y), lf
+
+    def loss_fn(model, b):
+        l_i, l_t, l_f, _ = branch_losses(model, b)
+        w = state["w"]
+        # weighted combine replaces the plain sum (`mmimdb.py:119-123`)
+        return w[0] * l_i + w[1] * l_t + w[2] * l_f
+
+    def epoch_start_hook(model, epoch):
+        torch_weights.append([float(x) for x in state["w"]])
+
+    def epoch_val_hook(model, epoch, dm):
+        # validation_epoch_end: append val branch means, refit every
+        # update_every epochs (epoch != 0), reset histories
+        # (`mmimdb.py:156-177`)
+        sums, nb = np.zeros(3), 0
+        with torch.no_grad():
+            for b in dm.val_batches():
+                l_i, l_t, l_f, _ = branch_losses(model, b)
+                sums += [float(l_i), float(l_t), float(l_f)]
+                nb += 1
+        for i in range(3):
+            state["hist"][i].append(sums[i] / nb)
+        if epoch != 0 and epoch % int(update_every) == 0:
+            state["w"] = softadapt.get_component_weights(
+                *[np.asarray(h, np.float64) for h in state["hist"]]
+            ).astype(np.float64)
+            state["hist"] = [[], [], []]
+
+    n_labels = int(cfg.model.modalities.classification.num_classes)
+
+    def test_fn(model, dm):
+        f1w = tm.F1Score(task="multilabel", num_labels=n_labels,
+                         average="weighted")
+        f1m = tm.F1Score(task="multilabel", num_labels=n_labels,
+                         average="macro")
+        tl = []
+        for b in dm.test_batches():
+            tl.append(float(loss_fn(model, b)))
+            _, _, _, lf = branch_losses(model, b)
+            preds = (torch.sigmoid(lf) > 0.5).long().numpy()
+            f1w.update(preds, np.asarray(b["label"]))
+            f1m.update(preds, np.asarray(b["label"]))
+        return {"test_loss": float(np.mean(tl)),
+                "test_f1w": float(f1w.compute()),
+                "test_f1m": float(f1m.compute())}
+
+    ref = _torch_family_protocol(model, loss_fn, test_fn, dm,
+                                 cfg.train.optimizer, epochs,
+                                 epoch_start_hook=epoch_start_hook,
+                                 epoch_val_hook=epoch_val_hook)
+    return {"mode": "lockstep_mmimdb_softadapt", "native": native,
+            "torch": ref, "native_weights": native_weights,
+            "torch_weights": torch_weights}
+
+
 def _summarize_protocol_runs(runs: Dict, keys) -> Dict:
     summary = {}
     for side in ("native", "torch"):
@@ -2486,14 +2606,39 @@ def main(argv=None):
         gru_gbl = lockstep_experiment_mimic_gru_gradblend(
             mimic_dir, os.path.join(args.work, "gru_gb_loop"), gru_cfg,
             epochs=3)
+        imdb_dir = os.path.join(args.work, "mmimdb")
+        if not os.path.isdir(os.path.join(imdb_dir, "train")):
+            generate("mmimdb_ext", imdb_dir, n=320)
+        sa_cfg = cfg_lib.load(os.path.join(repo, "cfg", "mmimdb",
+                                           "mmimdb_3loss.yml"))
+        sa_cfg.dataset.params.data_dir = imdb_dir
+        sa_cfg.dataset.params.batch_size = 16
+        sa_cfg.dataset.params.num_workers = 0
+        sa_cfg.train.epochs = 6
+        sa_cfg.train.seed = 0
+        sa_cfg.model.dropout = 0.0
+        # CPU wall-time: shrink dims like the lockstep test; the BCE loss
+        # math and softadapt plumbing stay the shipped ones
+        for mod in ("image", "text", "multimodal"):
+            sa_cfg.model.modalities[mod].hidden_dim = 32
+            sa_cfg.model.modalities[mod].channel_dim = 64
+            sa_cfg.model.modalities[mod].token_dim = 8
+            sa_cfg.model.modalities[mod].num_mixers = 1
+        sa_cfg.model.modalities.classification.input_shape = [16, 80, 32]
+        imdb_sa = lockstep_experiment_mmimdb_softadapt(
+            imdb_dir, os.path.join(args.work, "imdb_sa_loop"), sa_cfg,
+            epochs=6, update_every=2)
         out["softadapt_loop"] = sa
         out["gradblend_loop"] = gbl
         out["mimic_gru_gradblend_loop"] = gru_gbl
+        out["mmimdb_softadapt_loop"] = imdb_sa
         show_curves("softadapt-loop", sa)
         show_curves("gradblend-loop", gbl)
         show_curves("mimic-gru-gradblend-loop", gru_gbl)
+        show_curves("mmimdb-softadapt-loop", imdb_sa)
         for tag, res in (("softadapt", sa), ("gradblend", gbl),
-                         ("mimic-gru-gradblend", gru_gbl)):
+                         ("mimic-gru-gradblend", gru_gbl),
+                         ("mmimdb-softadapt", imdb_sa)):
             nw = np.asarray(res["native_weights"], np.float64)
             tw = np.asarray(res["torch_weights"], np.float64)
             print(f"[parity] {tag}-loop per-epoch weights max |d|: "

@@ -498,5 +498,52 @@ def test_lockstep_parity_mmimdb(tmp_path):
     # moves the weighted F1 by well under 0.02
     assert abs(res["native"]["test_f1w"] - res["torch"]["test_f1w"]) < 0.02
     assert abs(res["native"]["test_f1m"] - res["torch"]["test_f1m"]) < 0.02
+
+
+def test_lockstep_softadapt_in_loop_mmimdb(tmp_path):
+    """SoftAdapt-in-the-loop lockstep on MM-IMDB — a LIVE weight
+    application the flagship loop doesn't cover: the weighted combine
+    replaces the plain 3-way sum (`/root/reference/models/mmimdb.py:
+    119-123`, initial weights 1/3) and the refit histories are val means
+    of multilabel ``BCEWithLogitsLoss(pos_weight)`` branch losses
+    (`:156-177`), not CE. update_every=2 over 6 epochs -> refits at val
+    end of epochs 2 and 4, applied from epochs 3 and 5 on BOTH sides."""
+    from m2mixer_tpu import config as cfg_lib
+    from m2mixer_tpu.datasets.surrogate import generate
+    from m2mixer_tpu.parity import lockstep_experiment_mmimdb_softadapt
+
+    data = str(tmp_path / "mmimdb")
+    generate("mmimdb_ext", data, n=320)
+    cfg = cfg_lib.load("cfg/mmimdb/mmimdb_3loss.yml")
+    cfg.dataset.params.data_dir = data
+    cfg.dataset.params.batch_size = 16
+    cfg.dataset.params.num_workers = 0
+    cfg.train.epochs = 6
+    cfg.train.seed = 0
+    cfg.model.dropout = 0.0
+    for mod in ("image", "text", "multimodal"):
+        cfg.model.modalities[mod].hidden_dim = 32
+        cfg.model.modalities[mod].channel_dim = 64
+        cfg.model.modalities[mod].token_dim = 8
+        cfg.model.modalities[mod].num_mixers = 1
+    cfg.model.modalities.classification.input_shape = [16, 80, 32]
+    res = lockstep_experiment_mmimdb_softadapt(data, str(tmp_path), cfg,
+                                               epochs=6, update_every=2)
+
+    nw = np.asarray(res["native_weights"], np.float64)
+    tw = np.asarray(res["torch_weights"], np.float64)
+    assert nw.shape == tw.shape == (6, 3)
+    # epochs 0-2 run the 1/3 init; refits land at epochs 3 and 5
+    assert np.allclose(nw[0], 1.0 / 3.0) and np.allclose(nw[2], 1.0 / 3.0)
+    assert not np.allclose(nw[3], 1.0 / 3.0)
+    assert np.abs(nw - tw).max() < 1e-3, (nw, tw)
+    for key in ("train_loss", "val_loss"):
+        a = np.asarray(res["native"]["history"][key])
+        b = np.asarray(res["torch"]["history"][key])
+        assert a.shape == b.shape == (6,)
+        assert (np.abs(a - b) / np.abs(b)).max() < 1e-4, (key, a, b)
+    assert res["native"]["best_epoch"] == res["torch"]["best_epoch"]
+    assert abs(res["native"]["test_f1w"] - res["torch"]["test_f1w"]) < 0.02
+    assert abs(res["native"]["test_f1m"] - res["torch"]["test_f1m"]) < 0.02
     assert abs(res["native"]["test_loss"] - res["torch"]["test_loss"]) / abs(
         res["torch"]["test_loss"]) < 1e-4
